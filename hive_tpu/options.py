@@ -1,0 +1,494 @@
+"""The configuration/flag system.
+
+The public CLI contract (flag names, defaults, JSON round-trips) matches the
+reference (hive/options.py:44-689) so that existing HIVE invocations work
+unchanged; the implementation is dataclass-based.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import enum
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hive_tpu.custom_types import File
+
+
+class Options:
+    """Option groups know how to (a) register CLI flags and (b) build themselves
+    from a parsed namespace. Groups are plain dataclasses otherwise."""
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        raise NotImplementedError
+
+    @staticmethod
+    def from_args(args: argparse.Namespace) -> "Options":
+        raise NotImplementedError
+
+
+@dataclasses.dataclass
+class StorageOptions(Options):
+    """Input/output locations and cache behaviour. (ref hive/options.py:70-104)"""
+
+    dataset_path: File
+    output_path: File
+    overwrite_ok: bool = False
+    no_cache: bool = False
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        group = parser.add_argument_group("Storage Options")
+        group.add_argument("--dataset_path", type=str, required=True,
+                           help="Path to the folder containing the RGB and depth image folders.")
+        group.add_argument("--output_path", type=str, required=True,
+                           help="Where to save the outputs.")
+        group.add_argument("--overwrite_ok", action="store_true",
+                           help="Whether it is okay to overwrite preexisting mesh data in the "
+                                "output and export folders.")
+        group.add_argument("--no_cache", action="store_true",
+                           help="Whether cached datasets/results should be ignored.")
+
+    @staticmethod
+    def from_args(args) -> "StorageOptions":
+        return StorageOptions(dataset_path=args.dataset_path, output_path=args.output_path,
+                              overwrite_ok=args.overwrite_ok, no_cache=args.no_cache)
+
+
+@dataclasses.dataclass
+class COLMAPOptions(Options):
+    """Settings for the (optional, external) COLMAP SfM tool. (ref hive/options.py:107-207)"""
+
+    QUALITY_CHOICES = ("low", "medium", "high", "extreme")
+
+    is_single_camera: bool = True
+    single_camera_per_folder: bool = False
+    dense: bool = False
+    quality: str = "low"
+    binary_path: str = "/usr/local/bin/colmap"
+    vocab_path: str = "/root/.cache/colmap/vocab.bin"
+
+    def __post_init__(self):
+        if self.quality not in COLMAPOptions.QUALITY_CHOICES:
+            raise ValueError(f"Quality must be one of {COLMAPOptions.QUALITY_CHOICES}, "
+                             f"got {self.quality}.")
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        group = parser.add_argument_group("COLMAP Options")
+        group.add_argument("--multiple_cameras", action="store_true",
+                           help="Whether the video dataset was captured with multiple camera devices "
+                                "or a single camera device with different settings per-frame "
+                                "(e.g. focal length).")
+        group.add_argument("--single_camera_per_folder", action="store_true",
+                           help="Whether COLMAP will be given a folder where frames are organised in "
+                                "sub-folders (e.g., for stereo footage).")
+        group.add_argument("--dense", action="store_true", help="Whether to run dense reconstruction.")
+        group.add_argument("--quality", type=str, default="low",
+                           choices=COLMAPOptions.QUALITY_CHOICES,
+                           help="The quality of the COLMAP reconstruction.")
+        group.add_argument("--binary_path", type=str, default="/usr/local/bin/colmap",
+                           help="The path to the COLMAP binary.")
+        group.add_argument("--vocab_path", type=str, default="/root/.cache/colmap/vocab.bin",
+                           help="The path to the COLMAP vocabulary file.")
+
+    @staticmethod
+    def from_args(args: argparse.Namespace) -> "COLMAPOptions":
+        return COLMAPOptions(is_single_camera=not args.multiple_cameras,
+                             single_camera_per_folder=args.single_camera_per_folder,
+                             dense=args.dense, quality=args.quality,
+                             binary_path=args.binary_path, vocab_path=args.vocab_path)
+
+    def copy(self) -> "COLMAPOptions":
+        return dataclasses.replace(self)
+
+    def to_json(self) -> dict:
+        return dict(binary_path=self.binary_path, vocab_path=self.vocab_path,
+                    is_single_camera=self.is_single_camera,
+                    single_camera_per_folder=self.single_camera_per_folder,
+                    dense=self.dense, quality=self.quality)
+
+    @classmethod
+    def from_json(cls, json_dict: dict) -> "COLMAPOptions":
+        return COLMAPOptions(
+            binary_path=str(json_dict["binary_path"]),
+            vocab_path=str(json_dict["vocab_path"]),
+            is_single_camera=bool(json_dict["is_single_camera"]),
+            # Default keeps datasets created before this key existed loadable.
+            single_camera_per_folder=bool(json_dict.get("single_camera_per_folder", False)),
+            dense=bool(json_dict["dense"]),
+            quality=str(json_dict["quality"]),
+        )
+
+
+@dataclasses.dataclass
+class MeshDecimationOptions(Options):
+    """Targets for mesh simplification. (ref hive/options.py:210-242)"""
+
+    num_faces_background: int = 2 ** 14
+    num_faces_object: int = 2 ** 10
+    max_error: float = 0.001
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        group = parser.add_argument_group("Mesh Decimation Options")
+        group.add_argument("--num_faces_background", type=int, default=2 ** 14,
+                           help="The target number of vertices for the background mesh.")
+        group.add_argument("--num_faces_object", type=int, default=2 ** 10,
+                           help="The target number of vertices for any object meshes.")
+        group.add_argument("--decimation_max_error", type=float, default=0.001,
+                           help="Maximum quadric error allowed when collapsing an edge.")
+
+    @staticmethod
+    def from_args(args) -> "MeshDecimationOptions":
+        return MeshDecimationOptions(num_faces_background=args.num_faces_background,
+                                     num_faces_object=args.num_faces_object,
+                                     max_error=args.decimation_max_error)
+
+
+@dataclasses.dataclass
+class MaskDilationOptions(Options):
+    """Mask dilation settings for :func:`hive_tpu.image_processing.dilate_mask`.
+    (ref hive/options.py:245-268)"""
+
+    num_iterations: int = 0
+    filter_size: int = 3
+
+    @property
+    def filter(self) -> np.ndarray:
+        # A rectangular structuring element, equivalent to
+        # cv2.getStructuringElement(cv2.MORPH_RECT, (filter_size, filter_size)).
+        return np.ones((self.filter_size, self.filter_size), dtype=np.uint8)
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        group = parser.add_argument_group("Mask Dilation Options")
+        group.add_argument("--dilate_mask_iter", type=int, default=0,
+                           help="The number of times to run a dilation filter over the object masks. "
+                                "A higher number results in larger masks and zero results in the "
+                                "original mask.")
+
+    @staticmethod
+    def from_args(args) -> "MaskDilationOptions":
+        return MaskDilationOptions(num_iterations=args.dilate_mask_iter)
+
+
+@dataclasses.dataclass
+class MeshFilteringOptions(Options):
+    """Face-filtering thresholds. (ref hive/options.py:271-306)"""
+
+    max_pixel_distance: float = 2
+    max_depth_distance: float = 0.1
+    min_num_components: float = 5
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        group = parser.add_argument_group("Mesh Filtering Options")
+        group.add_argument("--max_depth_dist", type=float, default=0.1,
+                           help="The maximum difference in depth between vertices of a face. "
+                                "Used when filtering mesh faces.")
+        group.add_argument("--max_pixel_dist", type=float, default=2,
+                           help="The maximum distance between vertices of a face in terms of their "
+                                "image space coordinates.")
+        group.add_argument("--min_num_components", type=float, default=5,
+                           help="The minimum number of connected components in a mesh fragment. "
+                                "Fragments with fewer components will be culled.")
+
+    @staticmethod
+    def from_args(args) -> "MeshFilteringOptions":
+        return MeshFilteringOptions(max_pixel_distance=args.max_pixel_dist,
+                                    max_depth_distance=args.max_depth_dist,
+                                    min_num_components=args.min_num_components)
+
+
+class MeshReconstructionMethod(enum.Enum):
+    """Background-mesh reconstruction algorithms. (ref hive/options.py:310-350)"""
+
+    TSDFFusion = enum.auto()
+    BundleFusion = enum.auto()
+    RGBD = enum.auto()
+
+    @classmethod
+    def get_cli_names(cls) -> Dict["MeshReconstructionMethod", str]:
+        return {cls.TSDFFusion: "tsdf_fusion", cls.BundleFusion: "bundle_fusion", cls.RGBD: "rgbd"}
+
+    def get_cli_name(self) -> str:
+        return self.get_cli_names()[self]
+
+    @classmethod
+    def get_choices(cls) -> Dict[str, "MeshReconstructionMethod"]:
+        return {name: method for method, name in cls.get_cli_names().items()}
+
+    @classmethod
+    def from_string(cls, name: str) -> "MeshReconstructionMethod":
+        choices = cls.get_choices()
+
+        if name.lower() in choices:
+            return choices[name.lower()]
+
+        raise RuntimeError(f"No method called {name}, valid choices are: {list(choices)}")
+
+
+@dataclasses.dataclass
+class BackgroundMeshOptions(Options):
+    """Static background reconstruction settings. (ref hive/options.py:353-439)"""
+
+    reconstruction_method: MeshReconstructionMethod = MeshReconstructionMethod.TSDFFusion
+    depth_mask_dilation_iterations: int = 10
+    sdf_volume_size: float = 5.0
+    sdf_voxel_size: float = 0.005
+    sdf_max_voxels: Optional[int] = 320_000_000
+    key_frame_threshold: float = 0.3
+    key_frame_step: int = 30
+
+    SUPPORTED_RECONSTRUCTION_METHODS = (MeshReconstructionMethod.TSDFFusion,
+                                        MeshReconstructionMethod.BundleFusion,
+                                        MeshReconstructionMethod.RGBD)
+
+    def __post_init__(self):
+        if self.reconstruction_method not in self.SUPPORTED_RECONSTRUCTION_METHODS:
+            raise ValueError(f"Reconstruction method must be one of "
+                             f"{[m.name for m in self.SUPPORTED_RECONSTRUCTION_METHODS]}, "
+                             f"got {self.reconstruction_method}.")
+
+        if not (isinstance(self.depth_mask_dilation_iterations, int)
+                and self.depth_mask_dilation_iterations >= 0):
+            raise ValueError("depth_mask_dilation_iterations must be a non-negative integer.")
+
+        if self.sdf_volume_size <= 0.0 or self.sdf_voxel_size <= 0.0:
+            raise ValueError("SDF volume/voxel sizes must be positive.")
+
+        if self.sdf_max_voxels is not None and self.sdf_max_voxels <= 0:
+            raise ValueError("sdf_max_voxels must be a positive integer or None.")
+
+        if not (0.0 <= self.key_frame_threshold <= 1.0):
+            raise ValueError(f"Key frame threshold must be between zero and one (inclusive), "
+                             f"but got {self.key_frame_threshold}.")
+
+        if not (isinstance(self.key_frame_step, int) and self.key_frame_step > 1):
+            raise ValueError(f"Key frame step must be an integer > 1, got {self.key_frame_step}.")
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        group = parser.add_argument_group("Static Mesh Options")
+        group.add_argument("--mesh_reconstruction_method", type=str, default="tsdf_fusion",
+                           choices=[m.get_cli_name()
+                                    for m in BackgroundMeshOptions.SUPPORTED_RECONSTRUCTION_METHODS],
+                           help="The method to use for reconstructing the static mesh.")
+        group.add_argument("--depth_mask_dilation_iterations", type=int, default=10,
+                           help="The number of times to dilate the dynamic object masks for masking "
+                                "the depth maps.")
+        group.add_argument("--sdf_volume_size", type=float, default=5.0,
+                           help="The size of the SDF volume in cubic meters. This option has no "
+                                "effect for the reconstruction method `tsdf_fusion` as it "
+                                "automatically infers the volume size from the input data.")
+        group.add_argument("--sdf_voxel_size", type=float, default=0.005,
+                           help="The size of a voxel in the SDF volume in cubic meters.")
+        group.add_argument("--sdf_max_voxels", type=int, default=320_000_000,
+                           help="The maximum number of voxels allowed in the resulting voxel volume. "
+                                "This option only has an effect for the reconstruction method "
+                                "`tsdf_fusion`. If exceeded, the voxel size is grown to fit.")
+        group.add_argument("--key_frame_threshold", type=float, default=0.3,
+                           help="The maximum overlap ratio before a frame is excluded from the key "
+                                "frame set.")
+        group.add_argument("--key_frame_step", type=int, default=30,
+                           help="The frequency to sample frames at for key frame selection.")
+
+    @staticmethod
+    def from_args(args: argparse.Namespace) -> "BackgroundMeshOptions":
+        return BackgroundMeshOptions(
+            reconstruction_method=MeshReconstructionMethod.from_string(args.mesh_reconstruction_method),
+            depth_mask_dilation_iterations=args.depth_mask_dilation_iterations,
+            sdf_volume_size=args.sdf_volume_size,
+            sdf_voxel_size=args.sdf_voxel_size,
+            sdf_max_voxels=args.sdf_max_voxels,
+            key_frame_threshold=args.key_frame_threshold,
+            key_frame_step=int(args.key_frame_step),
+        )
+
+
+@dataclasses.dataclass
+class ForegroundTrajectorySmoothingOptions(Options):
+    """Settings for the foreground-trajectory smoothing optimiser. (ref hive/options.py:442-466)"""
+
+    learning_rate: float = 1e-5
+    num_epochs: int = 0
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        group = parser.add_argument_group("Foreground Trajectory Smoothing")
+        group.add_argument("--fts_learning_rate", type=float, default=1e-5,
+                           help="The learning rate/step size to take each epoch when smoothing the "
+                                "trajectory.")
+        group.add_argument("--fts_num_epochs", type=int, default=0,
+                           help="The number of iterations to loop the smoothing algorithm. Set to "
+                                "zero to disable foreground trajectory smoothing.")
+
+    @staticmethod
+    def from_args(args: argparse.Namespace) -> "ForegroundTrajectorySmoothingOptions":
+        return ForegroundTrajectorySmoothingOptions(learning_rate=args.fts_learning_rate,
+                                                    num_epochs=args.fts_num_epochs)
+
+
+@dataclasses.dataclass
+class WebXROptions(Options):
+    """WebXR export/renderer settings. (ref hive/options.py:469-527)"""
+
+    webxr_source_path: str = "third_party/HIVE_Renderer"
+    webxr_path: str = "third_party/HIVE_Renderer/docs/video"
+    webxr_url: str = "http://localhost:8080"
+    webxr_add_ground_plane: bool = False
+    webxr_add_sky_box: bool = False
+    webxr_run_server: bool = False
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        group = parser.add_argument_group("WebXR")
+        group.add_argument("--webxr_source_path", type=str, default="third_party/HIVE_Renderer",
+                           help="The path to the source code for the renderer.")
+        group.add_argument("--webxr_path", type=str, default="third_party/HIVE_Renderer/docs/video",
+                           help="Where to export the 3D video files to.")
+        group.add_argument("--webxr_url", type=str, default="http://localhost:8080",
+                           help="The URL to the WebXR 3D video player.")
+        group.add_argument("--webxr_add_ground_plane", action="store_true",
+                           help="Whether to render a white ground plane to the scene in the renderer.")
+        group.add_argument("--webxr_add_sky_box", action="store_true",
+                           help="Whether to render a sky cube map in the background.")
+        group.add_argument("--webxr_run_server", action="store_true",
+                           help="Whether to automatically start the web server.")
+
+    @staticmethod
+    def from_args(args: argparse.Namespace) -> "WebXROptions":
+        return WebXROptions(webxr_source_path=args.webxr_source_path, webxr_path=args.webxr_path,
+                            webxr_url=args.webxr_url,
+                            webxr_add_ground_plane=args.webxr_add_ground_plane,
+                            webxr_add_sky_box=args.webxr_add_sky_box,
+                            webxr_run_server=args.webxr_run_server)
+
+    def copy(self) -> "WebXROptions":
+        return dataclasses.replace(self)
+
+
+class InpaintingMode(enum.Flag):
+    """Which inpainting backend to use for RGB and depth. The CLI uses the integer
+    codes 0-4 (ref hive/options.py:530-582)."""
+
+    Off = 0
+    CV2_Image = enum.auto()
+    CV2_Depth = enum.auto()
+    Lama_Image = enum.auto()
+    Lama_Depth = enum.auto()
+
+    CV2_Image_Depth = CV2_Image | CV2_Depth
+    Lama_Image_CV2_Depth = Lama_Image | CV2_Depth
+    CV2_Image_Lama_Depth = CV2_Image | Lama_Depth
+    Lama_Image_Depth = Lama_Image | Lama_Depth
+
+    @classmethod
+    def get_modes(cls) -> List["InpaintingMode"]:
+        return [cls.Off, cls.CV2_Image_Depth, cls.Lama_Image_CV2_Depth,
+                cls.CV2_Image_Lama_Depth, cls.Lama_Image_Depth]
+
+    def to_integer(self) -> int:
+        try:
+            return self.get_modes().index(self)
+        except ValueError:
+            raise RuntimeError(f"{self!r} does not have an integer mapping, only "
+                               f"{self.get_modes()} have an integer mapping.")
+
+    @classmethod
+    def from_integer(cls, value: int) -> "InpaintingMode":
+        modes = cls.get_modes()
+
+        if 0 <= value < len(modes):
+            return modes[value]
+
+        raise RuntimeError(f"Unrecognised integer value {value} for {cls.__name__}, "
+                           f"expected one of {list(range(len(modes)))}.")
+
+    @classmethod
+    def get_name(cls, value: int) -> str:
+        return cls.from_integer(value).name
+
+    @classmethod
+    def get_modes_as_integer(cls) -> List[int]:
+        return list(range(len(cls.get_modes())))
+
+
+@dataclasses.dataclass
+class PipelineOptions(Options):
+    """Core pipeline behaviour flags. (ref hive/options.py:585-689)"""
+
+    num_frames: int = -1
+    frame_step: int = 15
+    estimate_pose: bool = False
+    estimate_depth: bool = False
+    background_only: bool = False
+    static_camera: bool = False
+    align_scene: bool = False
+    inpainting_mode: InpaintingMode = InpaintingMode.Off
+    billboard: bool = False
+    disable_scaling: bool = False
+    disable_coverage_constraint: bool = False
+    log_file: str = "logs.log"
+
+    @staticmethod
+    def add_args(parser: argparse.ArgumentParser):
+        group = parser.add_argument_group("Pipeline")
+        group.add_argument("--num_frames", type=int, default=-1,
+                           help="The maximum of frames to process. Set to -1 (default) to process "
+                                "all frames.")
+        group.add_argument("--frame_step", type=int, default=15,
+                           help="The frequency to sample frames at for COLMAP and pose optimisation. "
+                                "If set to 1, samples all frames (i.e. no effect). Otherwise if set "
+                                "to n > 1, samples every n frames.")
+        group.add_argument("--estimate_pose", action="store_true",
+                           help="Whether to estimate camera parameters with COLMAP or use provided "
+                                "ground truth data.")
+        group.add_argument("--estimate_depth", action="store_true",
+                           help="Whether to estimate depth maps or use provided ground truth depth "
+                                "maps.")
+        group.add_argument("--background_only", action="store_true",
+                           help="Whether to only reconstruct the static background.")
+        group.add_argument("--static_camera", action="store_true",
+                           help="Whether the camera was moved during capture, or should be treated "
+                                "as such.")
+        group.add_argument("--align_scene", action="store_true",
+                           help="Whether to align the scene with the ground plane. Enable this if "
+                                "the recording device was held at an angle (facing upwards or "
+                                "downwards, not level) and the scene is not level in the renderer.")
+        group.add_argument("--inpainting_mode", type=int, default=0,
+                           choices=InpaintingMode.get_modes_as_integer(),
+                           help="Whether to use inpainting in the pipeline process. "
+                                + ", ".join(f"{m.to_integer()}={m.name}"
+                                            for m in InpaintingMode.get_modes()))
+        group.add_argument("--billboard", action="store_true",
+                           help="Creates flat billboards for foreground objects. This is intended "
+                                "as a workaround for cases where the estimated depth results in "
+                                "stretched out meshes with missing body parts.")
+        group.add_argument("--disable_scaling", action="store_true",
+                           help="If set, do not rescale the input sequence to VGA (640x480), "
+                                "otherwise leave the input sequence at its original resolution.")
+        group.add_argument("--disable_coverage_constraint", action="store_true",
+                           help="Foreground objects are excluded if they do not cover at least 1%% "
+                                "of the frame, set this flag to always include foreground objects "
+                                "in the reconstruction.")
+        group.add_argument("--log_file", type=str, default="logs.log",
+                           help="The path to save the logs to.")
+
+    @staticmethod
+    def from_args(args: argparse.Namespace) -> "PipelineOptions":
+        return PipelineOptions(num_frames=args.num_frames, frame_step=args.frame_step,
+                               estimate_pose=args.estimate_pose, estimate_depth=args.estimate_depth,
+                               background_only=args.background_only, static_camera=args.static_camera,
+                               align_scene=args.align_scene,
+                               inpainting_mode=InpaintingMode.from_integer(args.inpainting_mode),
+                               billboard=args.billboard, disable_scaling=args.disable_scaling,
+                               disable_coverage_constraint=args.disable_coverage_constraint,
+                               log_file=args.log_file)
+
+    def copy(self) -> "PipelineOptions":
+        return dataclasses.replace(self)
