@@ -1,0 +1,310 @@
+"""Static background reconstruction: TPU TSDF fusion + BundleFusion driver.
+
+Capability parity with reference hive/fusion.py (adjust_voxel_size:37,
+tsdf_fusion:79, BundleFusionConfig:137, bundle_fusion:283). The TSDF path is
+fully TPU-native (:mod:`hive_tpu.ops.tsdf`); BundleFusion remains an optional
+external binary driven through a config-file-compatible wrapper.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+import subprocess
+from collections import OrderedDict
+from os.path import join as pjoin
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from hive_tpu.image_processing import dilate_mask
+from hive_tpu.io import HiveDataset
+from hive_tpu.meshing.mesh import TriangleMesh
+from hive_tpu.meshing.ply import load_ply
+from hive_tpu.options import BackgroundMeshOptions, MaskDilationOptions, MeshReconstructionMethod
+from hive_tpu.ops.tsdf import TSDFVolume, estimate_volume_bounds
+
+
+def adjust_voxel_size(dataset: HiveDataset, options: BackgroundMeshOptions,
+                      frame_set: List[int]) -> Tuple[float, np.ndarray]:
+    """Estimate scene bounds from view frusta and grow the voxel size to keep
+    the voxel count under ``options.sdf_max_voxels``.
+
+    Unlike the reference's per-frame Python loop (hive/fusion.py:53-61), the
+    frustum union is computed in one batched device call.
+    """
+    logging.info("Estimating voxel volume bounds...")
+
+    # TSDF fusion needs cam-to-world poses; dataset trajectories are world-to-cam.
+    cam_to_world = dataset.camera_trajectory.inverse().to_homogenous_transforms()
+
+    depths = np.stack([dataset.bg_depth_dataset[i] for i in frame_set])
+    poses = cam_to_world[list(frame_set)]
+
+    vol_bnds = estimate_volume_bounds(depths, dataset.camera_matrix, poses)
+
+    extent = vol_bnds[:, 1] - vol_bnds[:, 0]
+    voxel_count = np.ceil(np.prod(extent / options.sdf_voxel_size))
+
+    if options.sdf_max_voxels and voxel_count > options.sdf_max_voxels:
+        voxel_size = float((np.prod(extent) / options.sdf_max_voxels) ** (1.0 / 3.0))
+        logging.info(f"Increasing voxel size to {voxel_size:.3f}: using a voxel size of "
+                     f"{options.sdf_voxel_size} would result in {voxel_count:,.0f} voxels, "
+                     f"which is above the specified limit of {options.sdf_max_voxels:,d}.")
+    else:
+        voxel_size = options.sdf_voxel_size
+
+    return voxel_size, vol_bnds
+
+
+def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = BackgroundMeshOptions(),
+                num_frames: int = -1, frame_set: Optional[List[int]] = None,
+                frames_per_batch: int = 32) -> TriangleMesh:
+    """Reconstruct the static background by fusing masked RGB-D frames into a
+    TSDF volume on TPU and extracting the isosurface.
+
+    :param dataset: An RGB-D dataset with known camera parameters.
+    :param options: Voxel volume + mask dilation configuration.
+    :param num_frames: Limit on frames used (-1 = all).
+    :param frame_set: Explicit frame indices to fuse (overrides num_frames).
+    :param frames_per_batch: Frames shipped to the device per scan call
+        (bounds host memory while keeping dispatch count low).
+    :return: The reconstructed vertex-coloured triangle mesh.
+    """
+    if num_frames == -1:
+        num_frames = dataset.num_frames
+
+    if frame_set is None:
+        frame_set = list(range(num_frames))
+    else:
+        frame_set = list(frame_set)
+
+    mask_dilation_options = MaskDilationOptions(
+        num_iterations=options.depth_mask_dilation_iterations)
+
+    voxel_size, volume_bounds = adjust_voxel_size(dataset=dataset, options=options,
+                                                  frame_set=frame_set)
+
+    logging.info("Initializing voxel volume...")
+    volume = TSDFVolume(volume_bounds, voxel_size=voxel_size)
+    logging.info(f"Voxel volume dims {volume.dims} "
+                 f"({volume.num_voxels:,d} voxels at {voxel_size:.4f} m)")
+
+    cam_to_world = dataset.camera_trajectory.inverse().to_homogenous_transforms()
+    has_inpainted = dataset.has_inpainted_frame_data
+
+    logging.info("Fusing frames...")
+
+    def load_frame(i: int):
+        color = dataset.bg_rgb_dataset[i]
+        depth = dataset.bg_depth_dataset[i]
+
+        if not has_inpainted:
+            # Mask out dynamic objects (dilated) so they don't leave floaters
+            # in the static mesh.
+            mask = dilate_mask(dataset.mask_dataset[i], mask_dilation_options)
+            depth = depth.copy()
+            depth[mask] = 0.0
+
+        return color[..., :3], depth
+
+    for start in range(0, len(frame_set), frames_per_batch):
+        batch = frame_set[start:start + frames_per_batch]
+        frames = [load_frame(i) for i in batch]
+
+        volume.integrate_frames(
+            colors=np.stack([f[0] for f in frames]),
+            depths=np.stack([f[1] for f in frames]),
+            camera_matrix=dataset.camera_matrix,
+            cam_to_world_poses=cam_to_world[batch],
+        )
+
+    logging.info("Extracting mesh...")
+    verts, faces, norms, colors = volume.get_mesh()
+
+    return TriangleMesh(vertices=verts, faces=faces, vertex_colors=colors,
+                        vertex_normals=norms)
+
+
+class BundleFusionConfig:
+    """Parser/writer for BundleFusion's ``key = value;`` config format.
+
+    File-format compatible with the reference (hive/fusion.py:137-268) so
+    generated configs drive the stock BundleFusion binary.
+    """
+
+    _DELIMITER_PATTERN = re.compile(r"[;#]|(//)")
+
+    def __init__(self, **kwargs):
+        self.config_dict = OrderedDict(**kwargs)
+
+    def __getitem__(self, key):
+        return self.config_dict[key]
+
+    def __setitem__(self, key, value):
+        if key in self.config_dict and type(value) is not type(self.config_dict[key]):
+            logging.warning(f'The config file entry "{key}" is of type '
+                            f"{type(self.config_dict[key])} but it is being set to a new value "
+                            f"of type {type(value)}")
+
+        self.config_dict[key] = value
+
+    @staticmethod
+    def load(f) -> "BundleFusionConfig":
+        if isinstance(f, str):
+            with open(f) as fp:
+                return BundleFusionConfig._parse(fp)
+
+        return BundleFusionConfig._parse(f)
+
+    @staticmethod
+    def _convert_value(text: str):
+        if text.startswith('"') and text.endswith('"'):
+            return text.strip('"')
+        if text == "true":
+            return True
+        if text == "false":
+            return False
+        if text.endswith("f"):
+            return float(text[:-1])
+        return int(text)
+
+    @classmethod
+    def _parse(cls, fp) -> "BundleFusionConfig":
+        config = OrderedDict()
+
+        for line in fp:
+            line = line.strip()
+
+            if match := re.search(cls._DELIMITER_PATTERN, line):
+                line = line[:match.start()]
+
+            if "=" not in line:
+                continue
+
+            name, _, values = line.partition("=")
+            name = name.strip()
+            values = values.strip()
+
+            if not name or not values:
+                continue
+
+            parts = values.split(" ")
+            config[name] = ([cls._convert_value(part) for part in parts]
+                            if len(parts) > 1 else cls._convert_value(values))
+
+        return BundleFusionConfig(**config)
+
+    @staticmethod
+    def _to_string(value) -> str:
+        if isinstance(value, list):
+            return " ".join(BundleFusionConfig._to_string(item) for item in value)
+        if isinstance(value, bool):
+            return str(value).lower()
+        if isinstance(value, float):
+            return f"{value}f"
+        if isinstance(value, int):
+            return str(value)
+        if isinstance(value, str):
+            return f'"{value}"'
+
+        raise ValueError(f"The type '{type(value)}' is not supported for serialisation. "
+                         f"Supported types are list, float, int, bool and str.")
+
+    def save(self, f):
+        if isinstance(f, str):
+            with open(f, "w") as fp:
+                self._write(fp)
+        else:
+            self._write(f)
+
+    def _write(self, fp):
+        for name, value in self.config_dict.items():
+            fp.write(f"{name} = {self._to_string(value)};\n")
+
+
+def get_bundle_fusion_path() -> str:
+    try:
+        return os.environ["BUNDLE_FUSION_PATH"]
+    except KeyError:
+        logging.error("Could not find the environment variable 'BUNDLE_FUSION_PATH'. "
+                      "Set it to the folder containing BundleFusion's default config files.")
+        raise
+
+
+def bundle_fusion(output_folder: str, dataset: HiveDataset,
+                  options: BackgroundMeshOptions = BackgroundMeshOptions(
+                      MeshReconstructionMethod.BundleFusion),
+                  num_frames: int = -1) -> TriangleMesh:
+    """Run the external BundleFusion binary on a dataset and load its mesh.
+
+    Same contract as the reference driver (hive/fusion.py:283-369): configures
+    intrinsics/voxel parameters, runs the binary, loads `mesh.ply` and undoes
+    BundleFusion's x-axis reflection.
+    """
+    if num_frames == -1:
+        num_frames = dataset.num_frames
+
+    frame_set = list(range(num_frames))
+    bundle_fusion_path = get_bundle_fusion_path()
+
+    logging.info("Creating masked depth maps for BundleFusion...")
+    dataset.create_masked_depth(
+        MaskDilationOptions(num_iterations=options.depth_mask_dilation_iterations))
+
+    dataset_path = os.path.abspath(dataset.base_path)
+    output_path = pjoin(dataset_path, output_folder)
+    os.makedirs(output_path, exist_ok=True)
+
+    voxel_size, volume_bounds = adjust_voxel_size(dataset=dataset, options=options,
+                                                  frame_set=frame_set)
+    max_distance = float(np.ceil(np.max(volume_bounds[:, 1] - volume_bounds[:, 0])))
+
+    logging.info("Configuring BundleFusion...")
+    config = BundleFusionConfig.load(pjoin(bundle_fusion_path, "zParametersDefault.txt"))
+    config["s_SDFMaxIntegrationDistance"] = max_distance
+    config["s_SDFVoxelSize"] = float(voxel_size)
+    config["s_cameraIntrinsicFx"] = int(dataset.fx)
+    config["s_cameraIntrinsicFy"] = int(dataset.fy)
+    config["s_cameraIntrinsicCx"] = int(dataset.cx)
+    config["s_cameraIntrinsicCy"] = int(dataset.cy)
+    config["s_generateMeshDir"] = output_path
+    config_output_path = pjoin(output_path, "bundleFusionConfig.txt")
+    config.save(config_output_path)
+
+    bundling_config = BundleFusionConfig.load(
+        pjoin(bundle_fusion_path, "zParametersBundlingDefault.txt"))
+    submap_size = bundling_config["s_submapSize"]
+    # `+ submap_size` avoids off-by-one errors in BundleFusion's submap logic.
+    bundling_config["s_maxNumImages"] = (num_frames + submap_size) // submap_size
+    bundling_config_output_path = pjoin(output_path, "bundleFusionBundlingConfig.txt")
+    bundling_config.save(bundling_config_output_path)
+
+    if dataset.has_inpainted_frame_data:
+        rgb_folder = dataset.inpainted_rgb_folder
+        depth_folder = dataset.inpainted_depth_folder
+    else:
+        rgb_folder = dataset.rgb_folder
+        depth_folder = dataset.masked_depth_folder
+
+    cmd = [os.environ["BUNDLE_FUSION_BIN"], config_output_path, bundling_config_output_path,
+           dataset_path, rgb_folder, depth_folder]
+    log_path = pjoin(output_path, "log.txt")
+    logging.info(f"Running BundleFusion with command '{' '.join(cmd)}'")
+
+    with subprocess.Popen(cmd, stdout=subprocess.PIPE, bufsize=1,
+                          universal_newlines=True) as p, open(log_path, "w") as log_file:
+        for line in p.stdout:
+            log_file.write(line)
+
+    if p.returncode != 0:
+        raise RuntimeError(f"BundleFusion returned a non-zero code, check the logs for what "
+                           f"went wrong ({os.path.abspath(log_path)}).")
+
+    mesh = load_ply(pjoin(output_path, "mesh.ply"))
+
+    # BundleFusion meshes come out reflected along the x-axis; reflect back.
+    mesh.apply_transform(np.diag([-1.0, 1.0, 1.0, 1.0]))
+
+    return mesh
