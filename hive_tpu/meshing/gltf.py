@@ -1,0 +1,272 @@
+"""Binary glTF 2.0 (.glb) scene export/import.
+
+The reference exported scenes through trimesh (hive/pipeline.py:921-936); this
+is a self-contained writer producing the same renderer-facing contract: one
+node per frame mesh (named ``000000``, ``000001``, ...), textured primitives
+with a baseColorTexture, or vertex-coloured primitives for TSDF meshes. A
+reader is included for round-trip tests and for re-ingesting exported scenes.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from hive_tpu.meshing.mesh import Scene, TriangleMesh
+
+_GLB_MAGIC = 0x46546C67  # 'glTF'
+_CHUNK_JSON = 0x4E4F534A
+_CHUNK_BIN = 0x004E4942
+
+_FLOAT = 5126
+_UBYTE = 5121
+_UINT = 5125
+
+_ARRAY_BUFFER = 34962
+_ELEMENT_ARRAY_BUFFER = 34963
+
+
+class _BufferBuilder:
+    def __init__(self):
+        self.chunks: List[bytes] = []
+        self.offset = 0
+        self.views: List[dict] = []
+
+    def add_view(self, data: bytes, target: Optional[int] = None,
+                 byte_stride: Optional[int] = None) -> int:
+        # glTF requires 4-byte alignment for bufferView offsets.
+        padding = (-self.offset) % 4
+        if padding:
+            self.chunks.append(b"\x00" * padding)
+            self.offset += padding
+
+        view = {"buffer": 0, "byteOffset": self.offset, "byteLength": len(data)}
+        if target is not None:
+            view["target"] = target
+        if byte_stride is not None:
+            view["byteStride"] = byte_stride
+
+        self.views.append(view)
+        self.chunks.append(data)
+        self.offset += len(data)
+
+        return len(self.views) - 1
+
+    def tobytes(self) -> bytes:
+        blob = b"".join(self.chunks)
+        padding = (-len(blob)) % 4
+        return blob + b"\x00" * padding
+
+
+def export_scene(scene: Scene, output_path: str):
+    """Write a :class:`Scene` as a binary glTF file."""
+    builder = _BufferBuilder()
+    accessors: List[dict] = []
+    meshes: List[dict] = []
+    nodes: List[dict] = []
+    materials: List[dict] = []
+    images: List[dict] = []
+    textures: List[dict] = []
+    samplers: List[dict] = []
+
+    def add_accessor(view: int, component_type: int, count: int, accessor_type: str,
+                     normalized: bool = False, minmax: Optional[Tuple] = None) -> int:
+        accessor = {"bufferView": view, "componentType": component_type,
+                    "count": count, "type": accessor_type}
+        if normalized:
+            accessor["normalized"] = True
+        if minmax is not None:
+            accessor["min"], accessor["max"] = minmax
+
+        accessors.append(accessor)
+        return len(accessors) - 1
+
+    for name, mesh in scene.geometry.items():
+        if mesh.is_empty:
+            continue
+
+        positions = np.ascontiguousarray(mesh.vertices, dtype=np.float32)
+        pos_view = builder.add_view(positions.tobytes(), target=_ARRAY_BUFFER)
+        pos_acc = add_accessor(pos_view, _FLOAT, len(positions), "VEC3",
+                               minmax=(positions.min(axis=0).tolist(),
+                                       positions.max(axis=0).tolist()))
+
+        indices = np.ascontiguousarray(mesh.faces.reshape(-1), dtype=np.uint32)
+        idx_view = builder.add_view(indices.tobytes(), target=_ELEMENT_ARRAY_BUFFER)
+        idx_acc = add_accessor(idx_view, _UINT, len(indices), "SCALAR")
+
+        attributes = {"POSITION": pos_acc}
+        primitive = {"attributes": attributes, "indices": idx_acc, "mode": 4}
+
+        if mesh.vertex_normals is not None:
+            normals = np.ascontiguousarray(mesh.vertex_normals, dtype=np.float32)
+            norm_view = builder.add_view(normals.tobytes(), target=_ARRAY_BUFFER)
+            attributes["NORMAL"] = add_accessor(norm_view, _FLOAT, len(normals), "VEC3")
+
+        if mesh.vertex_colors is not None:
+            rgba = mesh.vertex_colors
+            if rgba.shape[1] == 3:
+                rgba = np.concatenate(
+                    [rgba, np.full((len(rgba), 1), 255, dtype=rgba.dtype)], axis=-1)
+            rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
+            col_view = builder.add_view(rgba.tobytes(), target=_ARRAY_BUFFER)
+            attributes["COLOR_0"] = add_accessor(col_view, _UBYTE, len(rgba), "VEC4",
+                                                 normalized=True)
+
+        if mesh.uv is not None and mesh.texture is not None:
+            # Mesh UVs use a bottom-left origin (matching the reference's
+            # internal convention, hive/pipeline.py:866); glTF uses top-left.
+            uv = np.ascontiguousarray(mesh.uv, dtype=np.float32).copy()
+            uv[:, 1] = 1.0 - uv[:, 1]
+            uv_view = builder.add_view(uv.tobytes(), target=_ARRAY_BUFFER)
+            attributes["TEXCOORD_0"] = add_accessor(uv_view, _FLOAT, len(uv), "VEC2")
+
+            png = io.BytesIO()
+            Image.fromarray(mesh.texture.astype(np.uint8)).save(png, format="PNG")
+            img_view = builder.add_view(png.getvalue())
+
+            images.append({"bufferView": img_view, "mimeType": "image/png"})
+
+            if not samplers:
+                samplers.append({"magFilter": 9729, "minFilter": 9729,
+                                 "wrapS": 33071, "wrapT": 33071})
+
+            textures.append({"sampler": 0, "source": len(images) - 1})
+            materials.append({
+                "pbrMetallicRoughness": {
+                    "baseColorTexture": {"index": len(textures) - 1},
+                    "metallicFactor": 0.0,
+                    "roughnessFactor": 1.0,
+                },
+                "name": f"{name}_material",
+            })
+            primitive["material"] = len(materials) - 1
+        elif mesh.vertex_colors is not None:
+            materials.append({
+                "pbrMetallicRoughness": {"metallicFactor": 0.0, "roughnessFactor": 1.0},
+                "name": f"{name}_material",
+            })
+            primitive["material"] = len(materials) - 1
+
+        meshes.append({"primitives": [primitive], "name": name})
+        nodes.append({"mesh": len(meshes) - 1, "name": name})
+
+    gltf: Dict = {
+        "asset": {"version": "2.0", "generator": "hive_tpu"},
+        "scene": 0,
+        "scenes": [{"nodes": list(range(len(nodes)))}],
+        "nodes": nodes,
+        "meshes": meshes,
+        "accessors": accessors,
+        "bufferViews": builder.views,
+        "buffers": [{"byteLength": len(builder.tobytes())}],
+    }
+
+    if materials:
+        gltf["materials"] = materials
+    if images:
+        gltf["images"] = images
+        gltf["textures"] = textures
+        gltf["samplers"] = samplers
+
+    if scene.camera_focal is not None and scene.camera_resolution is not None:
+        width, height = scene.camera_resolution
+        fy = scene.camera_focal[1]
+        gltf["cameras"] = [{
+            "type": "perspective",
+            "perspective": {"yfov": float(2.0 * np.arctan(height / (2.0 * fy))),
+                            "aspectRatio": float(width / height), "znear": 0.01},
+        }]
+
+    json_blob = json.dumps(gltf, separators=(",", ":")).encode("utf-8")
+    json_blob += b" " * ((-len(json_blob)) % 4)
+    bin_blob = builder.tobytes()
+
+    total = 12 + 8 + len(json_blob) + 8 + len(bin_blob)
+
+    with open(output_path, "wb") as fh:
+        fh.write(struct.pack("<III", _GLB_MAGIC, 2, total))
+        fh.write(struct.pack("<II", len(json_blob), _CHUNK_JSON))
+        fh.write(json_blob)
+        fh.write(struct.pack("<II", len(bin_blob), _CHUNK_BIN))
+        fh.write(bin_blob)
+
+
+_COMPONENT_DTYPES = {5120: np.int8, 5121: np.uint8, 5122: np.int16,
+                     5123: np.uint16, 5125: np.uint32, 5126: np.float32}
+_TYPE_WIDTHS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+def load_glb(path: str) -> Scene:
+    """Read a .glb file written by :func:`export_scene` (or any simple glTF)."""
+    with open(path, "rb") as fh:
+        magic, version, _ = struct.unpack("<III", fh.read(12))
+        if magic != _GLB_MAGIC:
+            raise ValueError(f"{path} is not a binary glTF file")
+
+        json_len, chunk_type = struct.unpack("<II", fh.read(8))
+        assert chunk_type == _CHUNK_JSON
+        gltf = json.loads(fh.read(json_len))
+
+        binary = b""
+        rest = fh.read(8)
+        if rest:
+            bin_len, chunk_type = struct.unpack("<II", rest)
+            assert chunk_type == _CHUNK_BIN
+            binary = fh.read(bin_len)
+
+    def read_accessor(index: int) -> np.ndarray:
+        accessor = gltf["accessors"][index]
+        view = gltf["bufferViews"][accessor["bufferView"]]
+        dtype = _COMPONENT_DTYPES[accessor["componentType"]]
+        width = _TYPE_WIDTHS[accessor["type"]]
+
+        start = view.get("byteOffset", 0) + accessor.get("byteOffset", 0)
+        count = accessor["count"] * width
+        data = np.frombuffer(binary, dtype=dtype, count=count, offset=start)
+
+        return data.reshape(accessor["count"], width) if width > 1 else data
+
+    scene = Scene()
+
+    for node in gltf.get("nodes", []):
+        if "mesh" not in node:
+            continue
+
+        mesh_spec = gltf["meshes"][node["mesh"]]
+        primitive = mesh_spec["primitives"][0]
+        attributes = primitive["attributes"]
+
+        vertices = read_accessor(attributes["POSITION"]).astype(np.float32)
+        faces = read_accessor(primitive["indices"]).reshape(-1, 3).astype(np.int64)
+
+        mesh = TriangleMesh(vertices=vertices, faces=faces)
+
+        if "NORMAL" in attributes:
+            mesh.vertex_normals = read_accessor(attributes["NORMAL"]).astype(np.float32)
+
+        if "COLOR_0" in attributes:
+            mesh.vertex_colors = read_accessor(attributes["COLOR_0"]).astype(np.uint8)
+
+        if "TEXCOORD_0" in attributes:
+            uv = read_accessor(attributes["TEXCOORD_0"]).astype(np.float32).copy()
+            uv[:, 1] = 1.0 - uv[:, 1]
+            mesh.uv = uv
+
+            material = gltf["materials"][primitive["material"]]
+            texture_index = material["pbrMetallicRoughness"]["baseColorTexture"]["index"]
+            image_index = gltf["textures"][texture_index]["source"]
+            image_view = gltf["bufferViews"][gltf["images"][image_index]["bufferView"]]
+
+            start = image_view.get("byteOffset", 0)
+            png_bytes = binary[start:start + image_view["byteLength"]]
+            mesh.texture = np.asarray(Image.open(io.BytesIO(png_bytes)).convert("RGB"))
+
+        scene.add_geometry(mesh, node_name=node.get("name", f"node_{len(scene.geometry)}"))
+
+    return scene

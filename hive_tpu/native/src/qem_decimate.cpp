@@ -1,0 +1,356 @@
+// Quadric error metric (QEM) edge-collapse mesh decimation.
+//
+// Native replacement for the reference's OpenMesh PolyMeshDecimater +
+// ModQuadric path (hive/pipeline.py:696-738): simplify a triangle mesh to a
+// target face count, bounded by a maximum quadric error per collapse.
+//
+// Algorithm: Garland & Heckbert '97. Vertex quadrics accumulate the squared
+// distance to incident face planes; edges collapse greedily by minimum cost
+// (lazy-deletion binary heap with version stamps); optimal collapse position
+// solves the 4x4 quadric system, falling back to midpoint/endpoints; collapses
+// that would flip a surviving face normal are rejected.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+struct Quadric {
+  // Symmetric 4x4 quadric, upper triangle: a2 ab ac ad b2 bc bd c2 cd d2
+  double q[10] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+
+  void add_plane(double a, double b, double c, double d) {
+    q[0] += a * a; q[1] += a * b; q[2] += a * c; q[3] += a * d;
+    q[4] += b * b; q[5] += b * c; q[6] += b * d;
+    q[7] += c * c; q[8] += c * d;
+    q[9] += d * d;
+  }
+
+  void add(const Quadric& other) {
+    for (int i = 0; i < 10; ++i) q[i] += other.q[i];
+  }
+
+  double evaluate(const double* v) const {
+    const double x = v[0], y = v[1], z = v[2];
+    return q[0] * x * x + 2 * q[1] * x * y + 2 * q[2] * x * z + 2 * q[3] * x
+         + q[4] * y * y + 2 * q[5] * y * z + 2 * q[6] * y
+         + q[7] * z * z + 2 * q[8] * z
+         + q[9];
+  }
+
+  // Solve for the minimising position; returns false if near-singular.
+  bool optimal_position(double* out) const {
+    const double a11 = q[0], a12 = q[1], a13 = q[2], b1 = -q[3];
+    const double a22 = q[4], a23 = q[5], b2 = -q[6];
+    const double a33 = q[7], b3 = -q[8];
+
+    const double det = a11 * (a22 * a33 - a23 * a23)
+                     - a12 * (a12 * a33 - a23 * a13)
+                     + a13 * (a12 * a23 - a22 * a13);
+
+    if (std::fabs(det) < 1e-12) return false;
+
+    const double inv = 1.0 / det;
+    out[0] = inv * (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+                    + a13 * (b2 * a23 - a22 * b3));
+    out[1] = inv * (a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13)
+                    + a13 * (a12 * b3 - b2 * a13));
+    out[2] = inv * (a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+                    + b1 * (a12 * a23 - a22 * a13));
+    return true;
+  }
+};
+
+struct Candidate {
+  double cost;
+  int v0, v1;
+  uint32_t stamp0, stamp1;
+  double pos[3];
+
+  bool operator>(const Candidate& other) const { return cost > other.cost; }
+};
+
+struct EdgeKey {
+  int64_t key;
+  EdgeKey(int a, int b) {
+    if (a > b) std::swap(a, b);
+    key = (static_cast<int64_t>(a) << 32) | static_cast<uint32_t>(b);
+  }
+  bool operator==(const EdgeKey& o) const { return key == o.key; }
+};
+
+struct EdgeKeyHash {
+  size_t operator()(const EdgeKey& e) const {
+    return std::hash<int64_t>()(e.key);
+  }
+};
+
+class Decimator {
+ public:
+  Decimator(const double* verts, int n_verts, const int* faces, int n_faces)
+      : positions_(verts, verts + static_cast<size_t>(n_verts) * 3),
+        stamps_(n_verts, 0),
+        quadrics_(n_verts),
+        vertex_faces_(n_verts),
+        alive_vertex_(n_verts, true) {
+    faces_.resize(static_cast<size_t>(n_faces) * 3);
+    std::memcpy(faces_.data(), faces, faces_.size() * sizeof(int));
+    alive_face_.assign(n_faces, true);
+    live_faces_ = n_faces;
+
+    for (int f = 0; f < n_faces; ++f) {
+      for (int k = 0; k < 3; ++k) vertex_faces_[faces_[f * 3 + k]].push_back(f);
+      accumulate_face_quadric(f);
+    }
+  }
+
+  void run(int target_faces, double max_error) {
+    seed_candidates();
+
+    while (live_faces_ > target_faces && !heap_.empty()) {
+      Candidate top = heap_.top();
+      heap_.pop();
+
+      if (!is_current(top)) continue;
+      if (max_error > 0 && top.cost > max_error) break;
+      if (!try_collapse(top)) continue;
+    }
+  }
+
+  void extract(double* out_verts, int* out_n_verts, int* out_faces, int* out_n_faces) {
+    const int n = static_cast<int>(positions_.size() / 3);
+    std::vector<int> remap(n, -1);
+    int next = 0;
+
+    for (size_t f = 0; f < alive_face_.size(); ++f) {
+      if (!alive_face_[f]) continue;
+      for (int k = 0; k < 3; ++k) {
+        const int v = faces_[f * 3 + k];
+        if (remap[v] < 0) {
+          remap[v] = next;
+          std::memcpy(out_verts + static_cast<size_t>(next) * 3,
+                      positions_.data() + static_cast<size_t>(v) * 3,
+                      3 * sizeof(double));
+          ++next;
+        }
+      }
+    }
+
+    int nf = 0;
+    for (size_t f = 0; f < alive_face_.size(); ++f) {
+      if (!alive_face_[f]) continue;
+      for (int k = 0; k < 3; ++k) out_faces[nf * 3 + k] = remap[faces_[f * 3 + k]];
+      ++nf;
+    }
+
+    *out_n_verts = next;
+    *out_n_faces = nf;
+  }
+
+ private:
+  void accumulate_face_quadric(int f) {
+    const int* tri = &faces_[f * 3];
+    const double* p0 = &positions_[static_cast<size_t>(tri[0]) * 3];
+    const double* p1 = &positions_[static_cast<size_t>(tri[1]) * 3];
+    const double* p2 = &positions_[static_cast<size_t>(tri[2]) * 3];
+
+    double e1[3] = {p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2]};
+    double e2[3] = {p2[0] - p0[0], p2[1] - p0[1], p2[2] - p0[2]};
+    double n[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                   e1[2] * e2[0] - e1[0] * e2[2],
+                   e1[0] * e2[1] - e1[1] * e2[0]};
+    const double len = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+    if (len < 1e-15) return;
+
+    for (double& c : n) c /= len;
+    const double d = -(n[0] * p0[0] + n[1] * p0[1] + n[2] * p0[2]);
+
+    for (int k = 0; k < 3; ++k)
+      quadrics_[tri[k]].add_plane(n[0], n[1], n[2], d);
+  }
+
+  void seed_candidates() {
+    std::unordered_set<EdgeKey, EdgeKeyHash> seen;
+    seen.reserve(alive_face_.size() * 2);
+
+    for (size_t f = 0; f < alive_face_.size(); ++f) {
+      for (int k = 0; k < 3; ++k) {
+        const int a = faces_[f * 3 + k];
+        const int b = faces_[f * 3 + (k + 1) % 3];
+        if (seen.insert(EdgeKey(a, b)).second) push_candidate(a, b);
+      }
+    }
+  }
+
+  void push_candidate(int v0, int v1) {
+    Quadric combined = quadrics_[v0];
+    combined.add(quadrics_[v1]);
+
+    Candidate cand;
+    cand.v0 = v0;
+    cand.v1 = v1;
+    cand.stamp0 = stamps_[v0];
+    cand.stamp1 = stamps_[v1];
+
+    const double* p0 = &positions_[static_cast<size_t>(v0) * 3];
+    const double* p1 = &positions_[static_cast<size_t>(v1) * 3];
+
+    double best[3];
+    if (!combined.optimal_position(best)) {
+      // Pick the cheapest of the two endpoints and the midpoint.
+      const double mid[3] = {(p0[0] + p1[0]) / 2, (p0[1] + p1[1]) / 2, (p0[2] + p1[2]) / 2};
+      const double c0 = combined.evaluate(p0);
+      const double c1 = combined.evaluate(p1);
+      const double cm = combined.evaluate(mid);
+
+      if (cm <= c0 && cm <= c1) std::memcpy(best, mid, sizeof(best));
+      else if (c0 <= c1) std::memcpy(best, p0, sizeof(best));
+      else std::memcpy(best, p1, sizeof(best));
+    }
+
+    std::memcpy(cand.pos, best, sizeof(best));
+    cand.cost = combined.evaluate(best);
+    heap_.push(cand);
+  }
+
+  bool is_current(const Candidate& c) const {
+    return alive_vertex_[c.v0] && alive_vertex_[c.v1]
+        && stamps_[c.v0] == c.stamp0 && stamps_[c.v1] == c.stamp1;
+  }
+
+  bool would_flip_normal(int v_moving, int v_other, const double* new_pos) const {
+    for (int f : vertex_faces_[v_moving]) {
+      if (!alive_face_[f]) continue;
+
+      const int* tri = &faces_[static_cast<size_t>(f) * 3];
+      // Faces containing both endpoints disappear in the collapse.
+      bool shared = false;
+      for (int k = 0; k < 3; ++k) shared |= (tri[k] == v_other);
+      if (shared) continue;
+
+      const double* p[3];
+      double moved[3];
+      for (int k = 0; k < 3; ++k) {
+        if (tri[k] == v_moving) {
+          p[k] = new_pos;
+        } else {
+          p[k] = &positions_[static_cast<size_t>(tri[k]) * 3];
+        }
+      }
+      (void)moved;
+
+      const double* o[3];
+      for (int k = 0; k < 3; ++k) o[k] = &positions_[static_cast<size_t>(tri[k]) * 3];
+
+      double before[3], after[3];
+      cross_of(o[0], o[1], o[2], before);
+      cross_of(p[0], p[1], p[2], after);
+
+      const double dot = before[0] * after[0] + before[1] * after[1] + before[2] * after[2];
+      if (dot <= 0) return true;
+    }
+
+    return false;
+  }
+
+  static void cross_of(const double* a, const double* b, const double* c, double* out) {
+    const double e1[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+    const double e2[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+    out[0] = e1[1] * e2[2] - e1[2] * e2[1];
+    out[1] = e1[2] * e2[0] - e1[0] * e2[2];
+    out[2] = e1[0] * e2[1] - e1[1] * e2[0];
+  }
+
+  bool try_collapse(const Candidate& c) {
+    const int v0 = c.v0, v1 = c.v1;
+
+    if (would_flip_normal(v0, v1, c.pos) || would_flip_normal(v1, v0, c.pos)) {
+      return false;
+    }
+
+    // Move v0 to the optimal position; retire v1.
+    std::memcpy(&positions_[static_cast<size_t>(v0) * 3], c.pos, 3 * sizeof(double));
+    quadrics_[v0].add(quadrics_[v1]);
+    alive_vertex_[v1] = false;
+    ++stamps_[v0];
+    ++stamps_[v1];
+
+    // Rewrite v1 → v0 in v1's faces; kill faces that contained the edge.
+    for (int f : vertex_faces_[v1]) {
+      if (!alive_face_[f]) continue;
+
+      int* tri = &faces_[static_cast<size_t>(f) * 3];
+      bool has_v0 = false;
+      for (int k = 0; k < 3; ++k) has_v0 |= (tri[k] == v0);
+
+      if (has_v0) {
+        alive_face_[f] = false;
+        --live_faces_;
+      } else {
+        for (int k = 0; k < 3; ++k) {
+          if (tri[k] == v1) tri[k] = v0;
+        }
+        vertex_faces_[v0].push_back(f);
+      }
+    }
+    vertex_faces_[v1].clear();
+
+    // Refresh candidate edges around the merged vertex.
+    std::unordered_set<int> neighbors;
+    for (int f : vertex_faces_[v0]) {
+      if (!alive_face_[f]) continue;
+      const int* tri = &faces_[static_cast<size_t>(f) * 3];
+      for (int k = 0; k < 3; ++k) {
+        if (tri[k] != v0 && alive_vertex_[tri[k]]) neighbors.insert(tri[k]);
+      }
+    }
+
+    for (int nb : neighbors) push_candidate(v0, nb);
+
+    return true;
+  }
+
+  std::vector<double> positions_;
+  std::vector<int> faces_;
+  std::vector<uint32_t> stamps_;
+  std::vector<Quadric> quadrics_;
+  std::vector<std::vector<int>> vertex_faces_;
+  std::vector<bool> alive_vertex_;
+  std::vector<bool> alive_face_;
+  int live_faces_ = 0;
+
+  std::priority_queue<Candidate, std::vector<Candidate>, std::greater<Candidate>> heap_;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Decimate a mesh to `target_faces`. Output buffers must be sized for the
+// input mesh (the output never grows). Returns 0 on success.
+int hive_qem_decimate(const double* verts, int n_verts,
+                      const int* faces, int n_faces,
+                      int target_faces, double max_error,
+                      double* out_verts, int* out_n_verts,
+                      int* out_faces, int* out_n_faces) {
+  if (n_verts <= 0 || n_faces <= 0) {
+    *out_n_verts = 0;
+    *out_n_faces = 0;
+    return 0;
+  }
+
+  try {
+    Decimator decimator(verts, n_verts, faces, n_faces);
+    decimator.run(target_faces, max_error);
+    decimator.extract(out_verts, out_n_verts, out_faces, out_n_faces);
+    return 0;
+  } catch (...) {
+    return 1;
+  }
+}
+
+}  // extern "C"

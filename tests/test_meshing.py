@@ -1,0 +1,304 @@
+"""Meshing stack tests: containers, glTF/PLY round-trips, decimation,
+connected components, triangulation."""
+
+import numpy as np
+import pytest
+
+from hive_tpu.meshing.components import cleanup_with_connected_components, \
+    face_connected_components
+from hive_tpu.meshing.decimate import _decimate_clustering, decimate_mesh
+from hive_tpu.meshing.gltf import export_scene, load_glb
+from hive_tpu.meshing.mesh import Scene, TriangleMesh
+from hive_tpu.meshing.ply import load_ply, save_ply
+from hive_tpu.meshing.triangulate import filter_faces, triangulate_points
+from hive_tpu.options import MeshFilteringOptions
+
+
+def make_icosphere(subdivisions=3, radius=1.0):
+    """Subdivided icosahedron — a dense sphere mesh for decimation tests."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], dtype=np.float64)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ])
+
+    for _ in range(subdivisions):
+        edge_mid = {}
+        new_faces = []
+        verts = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                verts.append((np.asarray(verts[a]) + verts[b]) / 2.0)
+                edge_mid[key] = len(verts) - 1
+            return edge_mid[key]
+
+        for f in faces:
+            a, b, c = (int(v) for v in f)
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+
+        faces = np.array(new_faces)
+        verts = np.array(verts)
+
+    verts = verts / np.linalg.norm(verts, axis=-1, keepdims=True) * radius
+    return verts, faces
+
+
+class TestTriangleMesh:
+    def test_bounds_and_empty(self):
+        mesh = TriangleMesh()
+        assert mesh.is_empty
+        assert mesh.bounds is None
+
+        mesh = TriangleMesh(vertices=np.array([[0, 0, 0], [1, 2, 3]], dtype=np.float32),
+                            faces=np.array([[0, 1, 1]]))
+        np.testing.assert_allclose(mesh.bounds, [[0, 0, 0], [1, 2, 3]])
+
+    def test_transform_roundtrip(self):
+        verts, faces = make_icosphere(1)
+        mesh = TriangleMesh(vertices=verts.astype(np.float32), faces=faces)
+        mesh.compute_vertex_normals()
+
+        transform = np.eye(4)
+        transform[:3, 3] = [1.0, -2.0, 3.0]
+
+        before = mesh.vertices.copy()
+        mesh.apply_transform(transform)
+        inverse = np.linalg.inv(transform)
+        mesh.apply_transform(inverse)
+
+        np.testing.assert_allclose(mesh.vertices, before, atol=1e-5)
+
+    def test_reflection_flips_winding(self):
+        verts, faces = make_icosphere(0)
+        mesh = TriangleMesh(vertices=verts.astype(np.float32), faces=faces.copy())
+        mesh.apply_transform(np.diag([-1.0, 1.0, 1.0, 1.0]))
+        np.testing.assert_array_equal(mesh.faces, faces[:, ::-1])
+
+    def test_sphere_normals_point_outward(self):
+        verts, faces = make_icosphere(2)
+        mesh = TriangleMesh(vertices=verts.astype(np.float32), faces=faces)
+        normals = mesh.compute_vertex_normals()
+
+        outward = np.sum(normals * mesh.vertices, axis=-1)
+        assert (outward > 0).all()
+
+    def test_update_faces_compacts_vertices(self):
+        verts, faces = make_icosphere(0)
+        mesh = TriangleMesh(vertices=verts.astype(np.float32), faces=faces)
+
+        keep = np.zeros(len(faces), dtype=bool)
+        keep[:5] = True
+        mesh.update_faces(keep)
+
+        assert mesh.num_faces == 5
+        assert mesh.num_vertices == len(np.unique(faces[:5]))
+        assert mesh.faces.max() < mesh.num_vertices
+
+
+class TestSceneGLB:
+    def test_roundtrip_vertex_colors(self, tmp_path):
+        verts, faces = make_icosphere(1)
+        colors = np.random.default_rng(0).integers(0, 255, size=(len(verts), 3),
+                                                   dtype=np.uint8)
+        mesh = TriangleMesh(vertices=verts.astype(np.float32), faces=faces,
+                            vertex_colors=colors)
+        mesh.compute_vertex_normals()
+
+        scene = Scene(camera_resolution=(640, 480), camera_focal=(580.0, 580.0))
+        scene.add_geometry(mesh, node_name="000000")
+
+        path = str(tmp_path / "scene.glb")
+        export_scene(scene, path)
+        loaded = load_glb(path)
+
+        assert loaded.node_names == ["000000"]
+        out = loaded.geometry["000000"]
+        np.testing.assert_allclose(out.vertices, mesh.vertices, atol=1e-6)
+        np.testing.assert_array_equal(out.faces, mesh.faces)
+        np.testing.assert_array_equal(out.vertex_colors[:, :3], colors)
+
+    def test_roundtrip_textured(self, tmp_path):
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], dtype=np.float32)
+        faces = np.array([[0, 1, 2]])
+        uv = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], dtype=np.float32)
+        texture = np.random.default_rng(1).integers(0, 255, size=(16, 16, 3),
+                                                    dtype=np.uint8)
+
+        mesh = TriangleMesh(vertices=verts, faces=faces, uv=uv, texture=texture)
+        scene = Scene()
+        scene.add_geometry(mesh, node_name="frame")
+
+        path = str(tmp_path / "textured.glb")
+        export_scene(scene, path)
+        loaded = load_glb(path).geometry["frame"]
+
+        np.testing.assert_allclose(loaded.uv, uv, atol=1e-6)
+        np.testing.assert_array_equal(loaded.texture, texture)
+
+    def test_multiple_frames(self, tmp_path):
+        scene = Scene()
+        verts, faces = make_icosphere(0)
+
+        for i in range(3):
+            mesh = TriangleMesh(vertices=(verts + i).astype(np.float32), faces=faces)
+            scene.add_geometry(mesh, node_name=f"{i:06d}")
+
+        path = str(tmp_path / "frames.glb")
+        export_scene(scene, path)
+        loaded = load_glb(path)
+
+        assert loaded.node_names == ["000000", "000001", "000002"]
+
+    def test_empty_meshes_skipped(self, tmp_path):
+        scene = Scene()
+        scene.add_geometry(TriangleMesh(), node_name="empty")
+        path = str(tmp_path / "empty.glb")
+        export_scene(scene, path)
+        assert load_glb(path).node_names == []
+
+
+class TestPLY:
+    def test_roundtrip(self, tmp_path):
+        verts, faces = make_icosphere(1)
+        colors = np.random.default_rng(2).integers(0, 255, size=(len(verts), 3),
+                                                   dtype=np.uint8)
+        mesh = TriangleMesh(vertices=verts.astype(np.float32), faces=faces,
+                            vertex_colors=colors)
+        mesh.compute_vertex_normals()
+
+        path = str(tmp_path / "mesh.ply")
+        save_ply(path, mesh)
+        loaded = load_ply(path)
+
+        np.testing.assert_allclose(loaded.vertices, mesh.vertices, atol=1e-6)
+        np.testing.assert_array_equal(loaded.faces, mesh.faces)
+        np.testing.assert_array_equal(loaded.vertex_colors, colors)
+        np.testing.assert_allclose(loaded.vertex_normals, mesh.vertex_normals, atol=1e-6)
+
+
+class TestDecimation:
+    def test_native_decimation_hits_target(self):
+        verts, faces = make_icosphere(3)  # 1280 faces
+        out_verts, out_faces = decimate_mesh(verts, faces, target_faces=200, max_error=1e9)
+
+        assert len(out_faces) <= 210
+        assert len(out_faces) > 50
+        # The result should still be a sphere-ish surface.
+        radii = np.linalg.norm(out_verts, axis=-1)
+        np.testing.assert_allclose(radii, 1.0, atol=0.15)
+
+    def test_decimation_disabled(self):
+        verts, faces = make_icosphere(1)
+        out_verts, out_faces = decimate_mesh(verts, faces, target_faces=-1)
+        assert len(out_faces) == len(faces)
+
+    def test_already_under_target(self):
+        verts, faces = make_icosphere(0)
+        out_verts, out_faces = decimate_mesh(verts, faces, target_faces=100)
+        assert len(out_faces) == len(faces)
+
+    def test_clustering_fallback(self):
+        verts, faces = make_icosphere(3)
+        out_verts, out_faces = _decimate_clustering(verts, faces, target_faces=300)
+        assert 0 < len(out_faces) <= 1.2 * 300 + 50
+
+    def test_decimated_faces_are_valid(self):
+        verts, faces = make_icosphere(3)
+        out_verts, out_faces = decimate_mesh(verts, faces, target_faces=100, max_error=1e9)
+
+        assert out_faces.min() >= 0
+        assert out_faces.max() < len(out_verts)
+        # No degenerate faces.
+        assert (out_faces[:, 0] != out_faces[:, 1]).all()
+        assert (out_faces[:, 1] != out_faces[:, 2]).all()
+
+
+class TestConnectedComponents:
+    def test_two_spheres(self):
+        verts, faces = make_icosphere(1)
+        offset = verts + np.array([5.0, 0.0, 0.0])
+
+        all_verts = np.concatenate([verts, offset])
+        all_faces = np.concatenate([faces, faces + len(verts)])
+
+        num, labels = face_connected_components(all_faces)
+        assert num == 2
+        assert (labels[:len(faces)] == labels[0]).all()
+        assert (labels[len(faces):] == labels[len(faces)]).all()
+        assert labels[0] != labels[len(faces)]
+
+    def test_object_keeps_largest(self):
+        verts, faces = make_icosphere(2)  # large sphere
+        small_v, small_f = make_icosphere(0)
+        small_v = small_v + 10.0
+
+        all_verts = np.concatenate([verts, small_v])
+        all_faces = np.concatenate([faces, small_f + len(verts)])
+
+        out_verts, out_faces = cleanup_with_connected_components(
+            all_verts, all_faces, is_object=True)
+
+        assert len(out_faces) == len(faces)
+        assert (np.linalg.norm(out_verts, axis=-1) < 2.0).all()
+
+    def test_background_keeps_big_components(self):
+        verts, faces = make_icosphere(1)  # 80 faces
+        tiny_v = np.array([[10, 0, 0], [11, 0, 0], [10, 1, 0]], dtype=np.float64)
+        tiny_f = np.array([[0, 1, 2]]) + len(verts)
+
+        all_verts = np.concatenate([verts, tiny_v])
+        all_faces = np.concatenate([faces, tiny_f])
+
+        out_verts, out_faces = cleanup_with_connected_components(
+            all_verts, all_faces, is_object=False, min_components=5)
+
+        assert len(out_faces) == len(faces)
+
+
+class TestTriangulation:
+    def test_grid_triangulation(self):
+        xs, ys = np.meshgrid(np.arange(5), np.arange(5))
+        points = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(float)
+
+        faces = triangulate_points(points)
+        # A 5x5 grid triangulates into 2 * 4 * 4 = 32 triangles.
+        assert len(faces) == 32
+
+    def test_winding_reversed_for_culling(self):
+        points = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+        faces = triangulate_points(points)
+        tri = points[faces[0]]
+        # Reversed winding => negative signed area in image coords.
+        e1, e2 = tri[1] - tri[0], tri[2] - tri[0]
+        signed_area = e1[0] * e2[1] - e1[1] * e2[0]
+        assert signed_area < 0
+
+    def test_filter_faces_by_depth(self):
+        points = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], dtype=float)
+        depth = np.array([1.0, 1.0, 1.0, 5.0])  # far outlier
+        faces = triangulate_points(points)
+
+        options = MeshFilteringOptions(max_pixel_distance=10, max_depth_distance=0.5)
+        kept = filter_faces(points, depth, faces, options)
+
+        assert len(kept) < len(faces)
+        assert not np.isin(kept, 3).any()
+
+    def test_filter_faces_by_pixel_distance(self):
+        points = np.array([[0, 0], [1, 0], [0, 1], [100, 100]], dtype=float)
+        depth = np.ones(4)
+        faces = triangulate_points(points)
+
+        options = MeshFilteringOptions(max_pixel_distance=2, max_depth_distance=10)
+        kept = filter_faces(points, depth, faces, options)
+        assert not np.isin(kept, 3).any()
