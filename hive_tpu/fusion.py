@@ -55,6 +55,13 @@ def adjust_voxel_size(dataset: HiveDataset, options: BackgroundMeshOptions,
     else:
         voxel_size = options.sdf_voxel_size
 
+    # Pad by the truncation margin so surfaces at the frustum's far plane
+    # still get voxels behind them (required for a zero crossing to exist).
+    margin = 6.0 * voxel_size
+    vol_bnds = vol_bnds.copy()
+    vol_bnds[:, 0] -= margin
+    vol_bnds[:, 1] += margin
+
     return voxel_size, vol_bnds
 
 

@@ -1,0 +1,144 @@
+"""End-to-end pipeline test over a synthetic dataset: runs the full
+background + foreground reconstruction and checks the exported artifacts."""
+
+import json
+import os
+from os.path import join as pjoin
+
+import numpy as np
+import pytest
+
+from hive_tpu.io import HiveDataset
+from hive_tpu.meshing.gltf import load_glb
+from hive_tpu.options import (BackgroundMeshOptions, PipelineOptions, StorageOptions,
+                              WebXROptions)
+from hive_tpu.pipeline import Pipeline
+from tests.helpers import make_synthetic_hive_dataset
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    dataset_path = make_synthetic_hive_dataset(root / "dataset", num_frames=3)
+    output_path = str(root / "output")
+    webxr_path = str(root / "webxr")
+
+    pipeline = Pipeline(
+        options=PipelineOptions(num_frames=-1, log_file=str(root / "logs.log")),
+        storage_options=StorageOptions(dataset_path=dataset_path, output_path=output_path,
+                                       overwrite_ok=True),
+        static_mesh_options=BackgroundMeshOptions(sdf_voxel_size=0.04,
+                                                  sdf_max_voxels=8_000_000,
+                                                  depth_mask_dilation_iterations=2),
+        webxr_options=WebXROptions(webxr_path=webxr_path),
+    )
+
+    dataset = HiveDataset(dataset_path)
+    pipeline.run(dataset=dataset)
+
+    return dict(pipeline=pipeline, dataset_path=dataset_path, output_path=output_path,
+                webxr_path=webxr_path)
+
+
+class TestPipelineEndToEnd:
+    def test_meshes_written(self, pipeline_run):
+        mesh_dir = pjoin(pipeline_run["output_path"], "mesh")
+        assert os.path.isfile(pjoin(mesh_dir, "fg.glb"))
+        assert os.path.isfile(pjoin(mesh_dir, "bg.glb"))
+        assert os.path.isfile(pjoin(mesh_dir, "metadata.json"))
+
+    def test_background_mesh_geometry(self, pipeline_run):
+        scene = load_glb(pjoin(pipeline_run["output_path"], "mesh", "bg.glb"))
+        assert len(scene.geometry) == 1
+
+        mesh = scene.geometry["000000"]
+        assert mesh.num_faces > 100
+        assert mesh.vertex_colors is not None
+        # The wall is 2 m away and ~2.4 m wide at this FOV; after centering the
+        # mesh must stay within a few meters of the origin.
+        assert np.abs(mesh.vertices).max() < 5.0
+
+    def test_foreground_meshes_per_frame(self, pipeline_run):
+        scene = load_glb(pjoin(pipeline_run["output_path"], "mesh", "fg.glb"))
+        # One textured mesh per frame (the moving blob covers >1% of the frame).
+        assert scene.node_names == ["000000", "000001", "000002"]
+
+        for mesh in scene.geometry.values():
+            assert mesh.num_faces > 0
+            assert mesh.texture is not None
+            assert mesh.uv is not None
+            assert (mesh.uv >= -1e-5).all() and (mesh.uv <= 1 + 1e-5).all()
+
+    def test_webxr_export(self, pipeline_run):
+        export_dir = pjoin(pipeline_run["webxr_path"], "dataset")
+        assert os.path.isfile(pjoin(export_dir, "fg.glb"))
+        assert os.path.isfile(pjoin(export_dir, "bg.glb"))
+
+        with open(pjoin(export_dir, "metadata.json")) as f:
+            metadata = json.load(f)
+
+        assert metadata["num_frames"] == 3
+        assert metadata["fps"] == 30.0
+        assert metadata["use_vertex_colour_for_bg"] is True
+        assert "fov_y" in metadata
+
+    def test_profiling_json_schema(self, pipeline_run):
+        with open(pjoin(pipeline_run["dataset_path"], "profiling.json")) as f:
+            profiling = json.load(f)
+
+        # The benchmark contract keys (SURVEY.md §5.1 / BASELINE.md).
+        assert "elapsed_time" in profiling
+        assert {"total", "per_frame"} <= set(profiling["elapsed_time"])
+        assert "timing" in profiling
+        assert "background_reconstruction" in profiling["timing"]
+        assert "foreground_reconstruction" in profiling["timing"]
+        assert "mesh_tri_count" in profiling
+        assert "peak_ram_usage" in profiling
+        assert "peak_vram_usage" in profiling
+        assert "frame_count" in profiling
+
+        # Rolled-up stats have count/total/mean.
+        rollup = profiling["timing"]["foreground_reconstruction"]["face_filtering"]
+        assert {"count", "total", "mean"} <= set(rollup)
+        assert rollup["count"] > 0
+
+    def test_foreground_object_position(self, pipeline_run):
+        """The fg blob sits at z=1.5 in front of the z=2 wall; after the
+        180° flip + centering, it must be inside the scene bounds and closer
+        to the camera side than the wall."""
+        fg = load_glb(pjoin(pipeline_run["output_path"], "mesh", "fg.glb"))
+        bg = load_glb(pjoin(pipeline_run["output_path"], "mesh", "bg.glb"))
+
+        fg_bounds = fg.geometry["000000"].bounds
+        bg_bounds = bg.geometry["000000"].bounds
+
+        assert fg_bounds is not None and bg_bounds is not None
+        # The blob must sit in front of the wall (smaller z after centering),
+        # with the ~0.5 m wall-to-blob gap preserved.
+        assert fg_bounds[1][2] <= bg_bounds[1][2] + 0.1
+        gap = bg_bounds[1][2] - fg_bounds[1][2]
+        assert 0.2 < gap < 0.8
+
+
+class TestBackgroundOnly:
+    def test_background_only_flag(self, tmp_path):
+        dataset_path = make_synthetic_hive_dataset(tmp_path / "ds", num_frames=2)
+        output_path = str(tmp_path / "out")
+
+        pipeline = Pipeline(
+            options=PipelineOptions(background_only=True, log_file=str(tmp_path / "l.log")),
+            storage_options=StorageOptions(dataset_path=dataset_path,
+                                           output_path=output_path, overwrite_ok=True),
+            static_mesh_options=BackgroundMeshOptions(sdf_voxel_size=0.05,
+                                                      sdf_max_voxels=4_000_000,
+                                                      depth_mask_dilation_iterations=2),
+            webxr_options=WebXROptions(webxr_path=str(tmp_path / "webxr")),
+        )
+
+        pipeline.run(dataset=HiveDataset(dataset_path))
+
+        fg = load_glb(pjoin(output_path, "mesh", "fg.glb"))
+        assert len(fg.geometry) == 0
+
+        bg = load_glb(pjoin(output_path, "mesh", "bg.glb"))
+        assert len(bg.geometry) == 1
