@@ -1,0 +1,4 @@
+"""Device-mesh / sharding layer (ICI collectives)."""
+
+from hive_tpu.parallel.mesh import (get_device_mesh, shard_batch, shard_volume,
+                                    replicate)
