@@ -1,0 +1,49 @@
+#!/usr/bin/env python
+"""Compare two images with SSIM, PSNR, LPIPS and MIFD.
+
+CLI parity with reference scripts/compare_image_pair.py:105-146 (same metric
+set and output), backed by hive_tpu.metrics.
+"""
+
+import argparse
+import json
+
+import imageio.v3 as iio
+
+from hive_tpu.metrics import lpips, mifd, psnr, ssim
+
+
+def compare_images(image_a, image_b) -> dict:
+    return {
+        "ssim": ssim(image_a, image_b),
+        "psnr": psnr(image_a, image_b),
+        "lpips": lpips(image_a, image_b),
+        "mifd": mifd(image_a, image_b),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Compare two images with SSIM, PSNR, LPIPS and MIFD.")
+    parser.add_argument("image_a", type=str, help="Path to the first image.")
+    parser.add_argument("image_b", type=str, help="Path to the second image.")
+    parser.add_argument("--json", action="store_true", help="Emit JSON instead of text.")
+    args = parser.parse_args()
+
+    image_a = iio.imread(args.image_a)
+    image_b = iio.imread(args.image_b)
+
+    if image_a.shape != image_b.shape:
+        raise RuntimeError(f"Image shapes differ: {image_a.shape} vs {image_b.shape}")
+
+    results = compare_images(image_a, image_b)
+
+    if args.json:
+        print(json.dumps(results))
+    else:
+        for metric, value in results.items():
+            print(f"{metric.upper():>6}: {value:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Compare two folders of corresponding images and emit per-pair + mean
+metrics (text or LaTeX table).
+
+CLI parity with reference scripts/compare_image_pairs.py:39-99.
+"""
+
+import argparse
+import os
+from os.path import join as pjoin
+
+import imageio.v3 as iio
+import numpy as np
+
+from hive_tpu.metrics import lpips, mifd, psnr, ssim
+
+
+def compare_folders(folder_a: str, folder_b: str) -> dict:
+    filenames_a = sorted(os.listdir(folder_a))
+    filenames_b = sorted(os.listdir(folder_b))
+
+    if len(filenames_a) != len(filenames_b):
+        raise RuntimeError(f"Folders contain different image counts: "
+                           f"{len(filenames_a)} vs {len(filenames_b)}")
+
+    rows = []
+
+    for name_a, name_b in zip(filenames_a, filenames_b):
+        image_a = iio.imread(pjoin(folder_a, name_a))
+        image_b = iio.imread(pjoin(folder_b, name_b))
+
+        rows.append({
+            "name": name_a,
+            "ssim": ssim(image_a, image_b),
+            "psnr": psnr(image_a, image_b),
+            "lpips": lpips(image_a, image_b),
+            "mifd": mifd(image_a, image_b),
+        })
+
+    summary = {metric: float(np.nanmean([row[metric] for row in rows]))
+               for metric in ("ssim", "psnr", "lpips", "mifd")}
+
+    return {"pairs": rows, "mean": summary}
+
+
+def to_latex(results: dict) -> str:
+    lines = [r"\begin{tabular}{lrrrr}",
+             r"Image & SSIM & PSNR & LPIPS & MIFD \\", r"\hline"]
+
+    for row in results["pairs"]:
+        lines.append(f"{row['name']} & {row['ssim']:.3f} & {row['psnr']:.2f} & "
+                     f"{row['lpips']:.3f} & {row['mifd']:.2f} \\\\")
+
+    mean = results["mean"]
+    lines.append(r"\hline")
+    lines.append(f"Mean & {mean['ssim']:.3f} & {mean['psnr']:.2f} & "
+                 f"{mean['lpips']:.3f} & {mean['mifd']:.2f} \\\\")
+    lines.append(r"\end{tabular}")
+
+    return "\n".join(lines)
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="Compare folders of corresponding images.")
+    parser.add_argument("folder_a", type=str)
+    parser.add_argument("folder_b", type=str)
+    parser.add_argument("--latex", action="store_true", help="Emit a LaTeX table.")
+    args = parser.parse_args()
+
+    results = compare_folders(args.folder_a, args.folder_b)
+
+    if args.latex:
+        print(to_latex(results))
+    else:
+        for row in results["pairs"]:
+            print(f"{row['name']}: ssim={row['ssim']:.3f} psnr={row['psnr']:.2f} "
+                  f"lpips={row['lpips']:.3f} mifd={row['mifd']:.2f}")
+
+        mean = results["mean"]
+        print(f"mean: ssim={mean['ssim']:.3f} psnr={mean['psnr']:.2f} "
+              f"lpips={mean['lpips']:.3f} mifd={mean['mifd']:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Fetch/convert model weights into $WEIGHTS_PATH.
+
+Role parity with reference scripts/download_weights.py:22-41 (which
+pre-downloaded Detectron2 + LPIPS weights). This environment has no network
+egress, so this script instead:
+
+* reports which weight files are present/missing;
+* converts any released torch checkpoints found on disk into the framework's
+  .npz layouts (DPT);
+* prints the URLs to fetch on a connected machine.
+"""
+
+import argparse
+import os
+
+WEIGHT_SPECS = [
+    {
+        "filename": "dpt_hybrid_nyu.npz",
+        "source": "dpt_hybrid_nyu.pt",
+        "url": "https://github.com/intel-isl/DPT/releases/download/1_0/"
+               "dpt_hybrid_nyu-2ce69ec7.pt",
+        "converter": "hive_tpu.models.dpt.convert_torch_checkpoint",
+    },
+    {
+        "filename": "big-lama.npz",
+        "source": "big-lama/models/best.ckpt",
+        "url": "https://huggingface.co/smartywu/big-lama (big-lama.zip)",
+        "converter": "hive_tpu.models.lama.convert_torch_checkpoint",
+    },
+    {
+        "filename": "person_unet.npz",
+        "source": None,
+        "url": "(train or distil a person-segmentation U-Net; "
+               "see hive_tpu/models/segmentation.py)",
+        "converter": None,
+    },
+]
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Check/convert model weights.")
+    parser.add_argument("--weights_path", type=str,
+                        default=os.environ.get("WEIGHTS_PATH", "weights"),
+                        help="Folder holding the model weights.")
+    args = parser.parse_args()
+
+    weights_path = args.weights_path
+    os.makedirs(weights_path, exist_ok=True)
+
+    for spec in WEIGHT_SPECS:
+        target = os.path.join(weights_path, spec["filename"])
+
+        if os.path.isfile(target):
+            print(f"[ok]      {spec['filename']}")
+            continue
+
+        source = os.path.join(weights_path, spec["source"]) if spec["source"] else None
+
+        if source and os.path.isfile(source) and spec["converter"]:
+            module_name, func_name = spec["converter"].rsplit(".", 1)
+            module = __import__(module_name, fromlist=[func_name])
+            getattr(module, func_name)(source, target)
+            print(f"[converted] {spec['filename']} (from {spec['source']})")
+        else:
+            print(f"[missing] {spec['filename']} — fetch {spec['url']} "
+                  f"and place it at {source or target}")
+
+
+if __name__ == "__main__":
+    main()

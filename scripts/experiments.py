@@ -1,0 +1,440 @@
+#!/usr/bin/env python
+"""Experiments harness: quantitative evaluation of the pipeline.
+
+Role parity with reference scripts/experiments.py (Experiments:1818,
+run_trajectory_comparisons:66, run_pipeline_experiments:1969,
+export_pipeline_results:2001, compression/inpainting/kid-running experiments,
+Latex helpers :227). Provides:
+
+* the gt/cm/est config matrix per dataset (ground-truth data, COLMAP pose +
+  gt depth, fully estimated);
+* pipeline experiments that run the full pipeline per config and collect each
+  run's ``profiling.json`` (the benchmark contract);
+* trajectory experiments: ATE/RPE of estimated trajectories vs ground truth,
+  plus TSDF reconstructions per trajectory for qualitative comparison;
+* compression experiments (Draco ratios from profiling data);
+* inpainting experiments: mask a region, inpaint, score SSIM/PSNR/LPIPS and
+  depth MAE/RMSE against the original;
+* LaTeX table export for all of the above.
+
+Render-vs-photo experiments (LLFF/HyperNeRF) use the TPU rasterizer
+(hive_tpu.meshing.render) instead of the reference's pyrender+Xvfb stack.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import shutil
+from os.path import join as pjoin
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hive_tpu.fusion import tsdf_fusion
+from hive_tpu.geometric import Trajectory
+from hive_tpu.io import HiveDataset, temporary_trajectory
+from hive_tpu.meshing.ply import save_ply
+from hive_tpu.metrics import depth_mae, depth_rmse, lpips, psnr, ssim
+from hive_tpu.options import (BackgroundMeshOptions, COLMAPOptions, InpaintingMode,
+                              PipelineOptions, StorageOptions, WebXROptions)
+from hive_tpu.utils import setup_logger
+
+
+class Latex:
+    """Small LaTeX formatting helpers (ref experiments.py:227-296)."""
+
+    @staticmethod
+    def format_number(value, precision: int = 2) -> str:
+        if value is None or (isinstance(value, float) and not np.isfinite(value)):
+            return "--"
+
+        return f"{value:,.{precision}f}"
+
+    @staticmethod
+    def to_mean_stddev(values, precision: int = 2) -> str:
+        values = np.asarray(values, dtype=float)
+        return (f"{Latex.format_number(values.mean(), precision)} $\\pm$ "
+                f"{Latex.format_number(values.std(), precision)}")
+
+    @staticmethod
+    def table(header: List[str], rows: List[List[str]], caption: str = "") -> str:
+        cols = "l" + "r" * (len(header) - 1)
+        lines = [f"\\begin{{tabular}}{{{cols}}}",
+                 " & ".join(header) + r" \\", r"\hline"]
+
+        for row in rows:
+            lines.append(" & ".join(str(cell) for cell in row) + r" \\")
+
+        lines.append(r"\end{tabular}")
+
+        if caption:
+            lines.append(f"% {caption}")
+
+        return "\n".join(lines)
+
+
+def run_trajectory_comparisons(dataset: HiveDataset, estimated: Trajectory,
+                               ground_truth: Trajectory, output_folder: str,
+                               mesh_options: Optional[BackgroundMeshOptions] = None) -> dict:
+    """ATE/RPE of an estimated trajectory vs ground truth + TSDF meshes from
+    both trajectories for visual comparison (ref experiments.py:66-104)."""
+    os.makedirs(output_folder, exist_ok=True)
+
+    ate = ground_truth.calculate_ate(estimated)
+    rpe_rotation, rpe_translation = ground_truth.calculate_rpe(estimated)
+
+    results = {
+        "ate_rmse": float(np.sqrt(np.mean(np.sum(ate ** 2, axis=-1)))),
+        "rpe_rotation_deg": float(np.rad2deg(rpe_rotation).mean()),
+        "rpe_translation_m": float(rpe_translation.mean()),
+    }
+
+    with open(pjoin(output_folder, "trajectory_metrics.json"), "w") as fh:
+        json.dump(results, fh)
+
+    ground_truth.plot_comparison(estimated, pjoin(output_folder, "trajectories.png"))
+
+    if mesh_options is not None:
+        logging.info("Reconstructing mesh from ground-truth trajectory...")
+        mesh_gt = tsdf_fusion(dataset, mesh_options)
+        save_ply(pjoin(output_folder, "mesh_gt.ply"), mesh_gt)
+
+        logging.info("Reconstructing mesh from estimated trajectory...")
+        with temporary_trajectory(dataset, estimated):
+            mesh_est = tsdf_fusion(dataset, mesh_options)
+        save_ply(pjoin(output_folder, "mesh_est.ply"), mesh_est)
+
+    return results
+
+
+class InpaintingExperiment:
+    """Mask a crop region, inpaint RGB + depth, score against the original
+    (ref experiments.py:297-420)."""
+
+    def __init__(self, dataset: HiveDataset, output_path: str, crop_fraction: float = 0.25):
+        self.dataset = dataset
+        self.output_path = output_path
+        self.crop_fraction = crop_fraction
+
+    def run(self, num_frames: int = 10) -> dict:
+        import cv2
+
+        os.makedirs(self.output_path, exist_ok=True)
+
+        results = {"ssim": [], "psnr": [], "lpips": [], "depth_mae": [], "depth_rmse": []}
+        num_frames = min(num_frames, self.dataset.num_frames)
+
+        for index in range(num_frames):
+            rgb = self.dataset.rgb_dataset[index]
+            depth = self.dataset.depth_dataset[index]
+
+            h, w = rgb.shape[:2]
+            ch = int(h * self.crop_fraction)
+            cw = int(w * self.crop_fraction)
+            y0 = (h - ch) // 2
+            x0 = (w - cw) // 2
+
+            mask = np.zeros((h, w), dtype=np.uint8)
+            mask[y0:y0 + ch, x0:x0 + cw] = 255
+
+            inpainted_rgb = cv2.inpaint(
+                cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR), mask, 30, cv2.INPAINT_TELEA)
+            inpainted_rgb = cv2.cvtColor(inpainted_rgb, cv2.COLOR_BGR2RGB)
+
+            depth_u8 = np.clip(depth / max(depth.max(), 1e-6) * 255, 0, 255).astype(np.uint8)
+            inpainted_depth_u8 = cv2.inpaint(depth_u8, mask, 30, cv2.INPAINT_TELEA)
+            inpainted_depth = inpainted_depth_u8.astype(np.float32) / 255.0 \
+                * max(depth.max(), 1e-6)
+
+            region = (slice(y0, y0 + ch), slice(x0, x0 + cw))
+            results["ssim"].append(ssim(rgb[region], inpainted_rgb[region]))
+            results["psnr"].append(psnr(rgb[region], inpainted_rgb[region]))
+            results["lpips"].append(lpips(rgb[region], inpainted_rgb[region]))
+            results["depth_mae"].append(depth_mae(inpainted_depth[region], depth[region]))
+            results["depth_rmse"].append(depth_rmse(inpainted_depth[region], depth[region]))
+
+        summary = {metric: float(np.nanmean(values)) for metric, values in results.items()}
+
+        with open(pjoin(self.output_path, "inpainting_metrics.json"), "w") as fh:
+            json.dump({"per_frame": results, "mean": summary}, fh)
+
+        return summary
+
+
+class Experiments:
+    """The gt/cm/est experiment matrix driver (ref experiments.py:1818-2120)."""
+
+    # Config labels (ref :1840-1870): ground-truth everything; COLMAP pose +
+    # ground-truth depth; everything estimated.
+    CONFIGS = {
+        "gt": dict(estimate_pose=False, estimate_depth=False),
+        "cm": dict(estimate_pose=True, estimate_depth=False),
+        "est": dict(estimate_pose=True, estimate_depth=True),
+    }
+
+    def __init__(self, data_path: str, output_path: str, dataset_names: List[str],
+                 num_frames: int = -1, frame_step: int = 15,
+                 colmap_options: COLMAPOptions = COLMAPOptions(),
+                 overwrite_ok: bool = False):
+        self.data_path = data_path
+        self.output_path = output_path
+        self.dataset_names = dataset_names
+        self.num_frames = num_frames
+        self.frame_step = frame_step
+        self.colmap_options = colmap_options
+        self.overwrite_ok = overwrite_ok
+
+        os.makedirs(output_path, exist_ok=True)
+
+    def _run_output_path(self, dataset_name: str, config: str) -> str:
+        return pjoin(self.output_path, dataset_name, config)
+
+    # -- pipeline experiments -------------------------------------------------
+    def run_pipeline_experiments(self, configs: Optional[List[str]] = None) -> dict:
+        """Run the full pipeline per dataset x config; collect profiling.json.
+
+        Skips runs whose profiling.json already exists (the reference's cache
+        behaviour, experiments.py:1981-1990).
+        """
+        from hive_tpu.pipeline import Pipeline
+
+        configs = configs or list(self.CONFIGS)
+        all_profiling: Dict[str, Dict[str, dict]] = {}
+
+        for dataset_name in self.dataset_names:
+            all_profiling[dataset_name] = {}
+
+            for config in configs:
+                run_output = self._run_output_path(dataset_name, config)
+                converted_path = pjoin(run_output, "dataset")
+                profiling_path = pjoin(converted_path, "profiling.json")
+
+                if os.path.isfile(profiling_path) and not self.overwrite_ok:
+                    logging.info(f"Using cached results for {dataset_name}/{config}.")
+                    with open(profiling_path) as fh:
+                        all_profiling[dataset_name][config] = json.load(fh)
+                    continue
+
+                logging.info(f"Running pipeline for {dataset_name}/{config}...")
+
+                pipeline = Pipeline(
+                    options=PipelineOptions(
+                        num_frames=self.num_frames, frame_step=self.frame_step,
+                        log_file=pjoin(run_output, "logs.log"),
+                        **self.CONFIGS[config]),
+                    storage_options=StorageOptions(
+                        dataset_path=pjoin(self.data_path, dataset_name),
+                        output_path=converted_path, overwrite_ok=True),
+                    colmap_options=self.colmap_options,
+                    webxr_options=WebXROptions(webxr_path=pjoin(run_output, "webxr")),
+                )
+
+                os.makedirs(run_output, exist_ok=True)
+
+                try:
+                    pipeline.run()
+                    with open(profiling_path) as fh:
+                        all_profiling[dataset_name][config] = json.load(fh)
+                except Exception:
+                    logging.exception(f"Pipeline failed for {dataset_name}/{config}")
+
+        with open(pjoin(self.output_path, "pipeline_profiling.json"), "w") as fh:
+            json.dump(all_profiling, fh)
+
+        return all_profiling
+
+    def export_pipeline_results(self, profiling: Optional[dict] = None) -> str:
+        """Runtime/memory/compression LaTeX tables from collected profiling
+        data (ref experiments.py:2001-2070)."""
+        if profiling is None:
+            with open(pjoin(self.output_path, "pipeline_profiling.json")) as fh:
+                profiling = json.load(fh)
+
+        rows = []
+
+        for dataset_name, configs in profiling.items():
+            for config, data in configs.items():
+                elapsed = data.get("elapsed_time", {})
+                ram = data.get("peak_ram_usage", 0)
+                vram = data.get("peak_vram_usage", {}).get("allocated", 0)
+                tris = data.get("mesh_tri_count", {}).get("total", 0)
+
+                rows.append([
+                    f"{dataset_name}/{config}",
+                    Latex.format_number(elapsed.get("total")),
+                    Latex.format_number(elapsed.get("per_frame"), 3),
+                    Latex.format_number(ram / 1e9, 2),
+                    Latex.format_number(vram / 1e9, 2),
+                    f"{tris:,.0f}",
+                ])
+
+        table = Latex.table(
+            ["Run", "Total (s)", "Per frame (s)", "RAM (GB)", "Device mem (GB)",
+             "Triangles"],
+            rows, caption="Pipeline runtime and memory")
+
+        output_file = pjoin(self.output_path, "pipeline_results.tex")
+        with open(output_file, "w") as fh:
+            fh.write(table)
+
+        return table
+
+    # -- trajectory experiments -----------------------------------------------
+    def run_trajectory_experiments(self) -> dict:
+        """Per dataset: optimise the trajectory and compare against ground
+        truth with ATE/RPE (ref run_trajectory_experiments)."""
+        from hive_tpu.pose_optimisation import PoseOptimiser
+
+        results = {}
+
+        for dataset_name in self.dataset_names:
+            gt_dataset_path = pjoin(self.output_path, dataset_name, "gt", "dataset")
+
+            if not HiveDataset.is_valid_folder_structure(gt_dataset_path):
+                logging.warning(f"No converted gt dataset for {dataset_name}; "
+                                f"run pipeline experiments first.")
+                continue
+
+            dataset = HiveDataset(gt_dataset_path)
+            ground_truth = dataset.camera_trajectory.copy()
+
+            optimiser = PoseOptimiser(dataset, debug=False)
+            estimated, _, _ = optimiser.run()
+
+            output_folder = pjoin(self.output_path, dataset_name, "trajectory")
+            results[dataset_name] = run_trajectory_comparisons(
+                dataset, estimated, ground_truth, output_folder)
+
+        with open(pjoin(self.output_path, "trajectory_results.json"), "w") as fh:
+            json.dump(results, fh)
+
+        return results
+
+    # -- compression experiments ----------------------------------------------
+    def run_compression_experiments(self, profiling: Optional[dict] = None) -> str:
+        """Draco compression ratio table from profiling data."""
+        if profiling is None:
+            with open(pjoin(self.output_path, "pipeline_profiling.json")) as fh:
+                profiling = json.load(fh)
+
+        rows = []
+
+        for dataset_name, configs in profiling.items():
+            for config, data in configs.items():
+                compression = data.get("mesh_compression", {})
+
+                for part in ("foreground", "background"):
+                    stats = compression.get(part)
+                    if not isinstance(stats, dict) or "compression_ratio" not in stats:
+                        continue
+
+                    rows.append([
+                        f"{dataset_name}/{config}/{part}",
+                        Latex.format_number(stats["uncompressed_file_size"] / 1e6),
+                        Latex.format_number(stats["compressed_file_size"] / 1e6),
+                        Latex.format_number(stats["compression_ratio"]),
+                        Latex.format_number(100 * stats["data_saving"], 1) + r"\%",
+                    ])
+
+        table = Latex.table(["Mesh", "Before (MB)", "After (MB)", "Ratio", "Saving"],
+                            rows, caption="Draco compression")
+
+        with open(pjoin(self.output_path, "compression_results.tex"), "w") as fh:
+            fh.write(table)
+
+        return table
+
+    # -- inpainting experiments -----------------------------------------------
+    def run_inpainting_experiments(self) -> dict:
+        results = {}
+
+        for dataset_name in self.dataset_names:
+            gt_dataset_path = pjoin(self.output_path, dataset_name, "gt", "dataset")
+
+            if not HiveDataset.is_valid_folder_structure(gt_dataset_path):
+                continue
+
+            dataset = HiveDataset(gt_dataset_path)
+            experiment = InpaintingExperiment(
+                dataset, pjoin(self.output_path, dataset_name, "inpainting"))
+            results[dataset_name] = experiment.run()
+
+        with open(pjoin(self.output_path, "inpainting_results.json"), "w") as fh:
+            json.dump(results, fh)
+
+        return results
+
+    # -- canonical single-video experiment -------------------------------------
+    def run_kid_running_experiments(self, video_path: str) -> dict:
+        """The canonical monocular-video experiment (ref :2071): full estimated
+        pipeline on a single RGB video."""
+        from hive_tpu.pipeline import Pipeline
+
+        run_output = pjoin(self.output_path, "kid_running")
+
+        pipeline = Pipeline(
+            options=PipelineOptions(num_frames=self.num_frames, frame_step=self.frame_step,
+                                    estimate_pose=True, estimate_depth=True,
+                                    log_file=pjoin(run_output, "logs.log")),
+            storage_options=StorageOptions(dataset_path=video_path,
+                                           output_path=pjoin(run_output, "dataset"),
+                                           overwrite_ok=True),
+            colmap_options=self.colmap_options,
+            webxr_options=WebXROptions(webxr_path=pjoin(run_output, "webxr")),
+        )
+
+        os.makedirs(run_output, exist_ok=True)
+        pipeline.run()
+
+        with open(pjoin(run_output, "dataset", "profiling.json")) as fh:
+            return json.load(fh)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Run the evaluation experiment suite.")
+    parser.add_argument("--data_path", type=str, required=True,
+                        help="Folder containing the input datasets.")
+    parser.add_argument("--output_path", type=str, required=True,
+                        help="Folder to write experiment outputs to.")
+    parser.add_argument("--dataset_names", type=str, nargs="+", required=True,
+                        help="Names of datasets (folders under data_path) to evaluate.")
+    parser.add_argument("--num_frames", type=int, default=-1)
+    parser.add_argument("--frame_step", type=int, default=15)
+    parser.add_argument("--experiments", type=str, nargs="+",
+                        default=["pipeline", "export"],
+                        choices=["pipeline", "export", "trajectory", "compression",
+                                 "inpainting"],
+                        help="Which experiment groups to run.")
+    parser.add_argument("--overwrite_ok", action="store_true")
+    args = parser.parse_args()
+
+    setup_logger(pjoin(args.output_path, "experiments.log")
+                 if os.path.isdir(args.output_path) else None)
+
+    experiments = Experiments(data_path=args.data_path, output_path=args.output_path,
+                              dataset_names=args.dataset_names,
+                              num_frames=args.num_frames, frame_step=args.frame_step,
+                              overwrite_ok=args.overwrite_ok)
+
+    if "pipeline" in args.experiments:
+        experiments.run_pipeline_experiments()
+
+    if "export" in args.experiments:
+        print(experiments.export_pipeline_results())
+
+    if "trajectory" in args.experiments:
+        experiments.run_trajectory_experiments()
+
+    if "compression" in args.experiments:
+        print(experiments.run_compression_experiments())
+
+    if "inpainting" in args.experiments:
+        experiments.run_inpainting_experiments()
+
+
+if __name__ == "__main__":
+    main()
