@@ -25,6 +25,12 @@ import numpy as np
 BASELINE_VOXELS_PER_SECOND = 1.0e9
 
 
+def jnp_sum(volume):
+    import jax.numpy as jnp
+
+    return jnp.sum(volume.state.weight)
+
+
 def main():
     import jax
 
@@ -50,16 +56,18 @@ def main():
     volume = TSDFVolume(bounds, voxel_size=4.0 / dims[2])
     num_voxels = volume.num_voxels
 
-    # Warmup: compile the scan.
+    # Warmup: compile the scan. A scalar reduction forces true completion
+    # (block_until_ready can return early through remote-device tunnels).
     volume.integrate_frames(colors, depths, K, poses)
-    jax.block_until_ready(volume.state.tsdf)
+    float(jnp_sum(volume))
 
-    # Timed runs.
+    # Timed runs. Successive calls chain through the donated volume state, so
+    # one final forced materialisation sequences the whole run.
     runs = 3
     start = time.perf_counter()
     for _ in range(runs):
         volume.integrate_frames(colors, depths, K, poses)
-    jax.block_until_ready(volume.state.tsdf)
+    float(jnp_sum(volume))
     elapsed = time.perf_counter() - start
 
     voxel_updates_per_second = (num_voxels * num_frames * runs) / elapsed

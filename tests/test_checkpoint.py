@@ -1,0 +1,58 @@
+"""Checkpoint manager tests."""
+
+import numpy as np
+
+from hive_tpu.checkpoint import CheckpointManager
+
+
+class TestCheckpointManager:
+    def test_save_restore_roundtrip(self, tmp_path):
+        manager = CheckpointManager(str(tmp_path))
+
+        tree = {"a": np.arange(5), "nested": {"b": np.eye(3)}}
+        manager.save(10, tree, metadata={"lr": 0.01})
+
+        restored, metadata = manager.restore()
+        np.testing.assert_array_equal(restored["a"], tree["a"])
+        np.testing.assert_array_equal(restored["nested"]["b"], tree["nested"]["b"])
+        assert metadata == {"lr": 0.01}
+
+    def test_latest_step(self, tmp_path):
+        manager = CheckpointManager(str(tmp_path))
+        assert manager.latest_step() is None
+
+        manager.save(1, {"x": np.zeros(2)})
+        manager.save(5, {"x": np.ones(2)})
+
+        assert manager.latest_step() == 5
+        restored, _ = manager.restore()
+        np.testing.assert_array_equal(restored["x"], np.ones(2))
+
+    def test_retention(self, tmp_path):
+        manager = CheckpointManager(str(tmp_path), max_to_keep=2)
+
+        for step in (1, 2, 3, 4):
+            manager.save(step, {"x": np.full(1, step)})
+
+        assert manager.all_steps() == [3, 4]
+
+    def test_restore_specific_step(self, tmp_path):
+        manager = CheckpointManager(str(tmp_path), max_to_keep=5)
+        manager.save(1, {"x": np.full(1, 1.0)})
+        manager.save(2, {"x": np.full(1, 2.0)})
+
+        restored, _ = manager.restore(step=1)
+        assert restored["x"][0] == 1.0
+
+    def test_empty_restore(self, tmp_path):
+        manager = CheckpointManager(str(tmp_path))
+        tree, metadata = manager.restore()
+        assert tree is None and metadata is None
+
+    def test_tuple_flattening(self, tmp_path):
+        manager = CheckpointManager(str(tmp_path))
+        manager.save(0, ({"q": np.zeros(3)}, np.ones(2)))
+
+        restored, _ = manager.restore()
+        np.testing.assert_array_equal(restored["#0"]["q"], np.zeros(3))
+        np.testing.assert_array_equal(restored["#1"], np.ones(2))

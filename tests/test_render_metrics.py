@@ -1,0 +1,113 @@
+"""Tests for the TPU rasterizer and the image metrics."""
+
+import numpy as np
+import pytest
+
+from hive_tpu.meshing.mesh import TriangleMesh
+from hive_tpu.meshing.render import render_mesh
+from hive_tpu.metrics import batch_ssim_psnr, depth_mae, depth_rmse, mifd, psnr, ssim
+
+K = np.array([[100.0, 0, 63.5], [0, 100.0, 47.5], [0, 0, 1.0]])
+WIDTH, HEIGHT = 128, 96
+
+
+def make_quad(z=2.0, half=1.0, color=(255, 0, 0)):
+    """A camera-facing square at depth z."""
+    vertices = np.array([
+        [-half, -half, z], [half, -half, z], [half, half, z], [-half, half, z],
+    ], dtype=np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]])
+    colors = np.tile(np.asarray(color, dtype=np.uint8), (4, 1))
+    return TriangleMesh(vertices=vertices, faces=faces, vertex_colors=colors)
+
+
+class TestRasterizer:
+    def test_quad_renders_centered(self):
+        mesh = make_quad(z=2.0, half=0.5, color=(0, 200, 0))
+        image, depth = render_mesh(mesh, K, np.eye(3), np.zeros((3, 1)), WIDTH, HEIGHT)
+
+        assert image.shape == (HEIGHT, WIDTH, 3)
+        # Centre pixel is covered and green; corners are background.
+        assert image[HEIGHT // 2, WIDTH // 2, 1] > 150
+        assert (image[0, 0] == 0).all()
+        np.testing.assert_allclose(depth[HEIGHT // 2, WIDTH // 2], 2.0, atol=0.01)
+        assert depth[0, 0] == 0.0
+
+    def test_z_buffer_prefers_nearer_triangle(self):
+        near = make_quad(z=1.0, half=0.3, color=(255, 0, 0))
+        far = make_quad(z=3.0, half=0.3, color=(0, 0, 255))
+
+        merged = TriangleMesh(
+            vertices=np.concatenate([far.vertices, near.vertices]),
+            faces=np.concatenate([far.faces, near.faces + 4]),
+            vertex_colors=np.concatenate([far.vertex_colors, near.vertex_colors]))
+
+        image, depth = render_mesh(merged, K, np.eye(3), np.zeros((3, 1)), WIDTH, HEIGHT)
+
+        # The near (red) quad must win at the centre.
+        assert image[HEIGHT // 2, WIDTH // 2, 0] > 150
+        np.testing.assert_allclose(depth[HEIGHT // 2, WIDTH // 2], 1.0, atol=0.01)
+
+    def test_behind_camera_not_rendered(self):
+        mesh = make_quad(z=-2.0)
+        image, depth = render_mesh(mesh, K, np.eye(3), np.zeros((3, 1)), WIDTH, HEIGHT)
+        assert (depth == 0).all()
+
+    def test_empty_mesh(self):
+        image, depth = render_mesh(TriangleMesh(), K, np.eye(3), np.zeros((3, 1)),
+                                   WIDTH, HEIGHT)
+        assert (image == 0).all()
+
+    def test_projected_size_matches_pinhole(self):
+        # A quad of half-extent 0.5 at z=2 spans (2*0.5/2)*fx = 50 px.
+        mesh = make_quad(z=2.0, half=0.5)
+        _, depth = render_mesh(mesh, K, np.eye(3), np.zeros((3, 1)), WIDTH, HEIGHT)
+
+        covered_cols = np.nonzero(depth[HEIGHT // 2] > 0)[0]
+        assert covered_cols.size == pytest.approx(50, abs=3)
+
+
+class TestMetrics:
+    def test_psnr_identity_and_ordering(self, rng):
+        a = rng.integers(0, 255, size=(32, 32, 3)).astype(np.uint8)
+        noisy_small = np.clip(a + rng.normal(0, 2, a.shape), 0, 255).astype(np.uint8)
+        noisy_big = np.clip(a + rng.normal(0, 30, a.shape), 0, 255).astype(np.uint8)
+
+        assert psnr(a, a) == float("inf")
+        assert psnr(a, noisy_small) > psnr(a, noisy_big)
+
+    def test_ssim_identity_and_range(self, rng):
+        a = rng.integers(0, 255, size=(64, 64)).astype(np.uint8)
+        b = np.clip(a.astype(int) + 40, 0, 255).astype(np.uint8)
+
+        assert ssim(a, a) == pytest.approx(1.0)
+        assert -1.0 <= ssim(a, b) < 1.0
+
+    def test_batch_ssim_psnr_matches_host(self, rng):
+        a = rng.integers(0, 255, size=(2, 48, 48, 3)).astype(np.uint8)
+        noise = rng.normal(0, 10, a.shape)
+        b = np.clip(a + noise, 0, 255).astype(np.uint8)
+
+        ssim_batch, psnr_batch = batch_ssim_psnr(a, b)
+
+        for i in range(2):
+            assert psnr_batch[i] == pytest.approx(psnr(a[i], b[i]), abs=0.1)
+            assert ssim_batch[i] == pytest.approx(ssim(a[i], b[i]), abs=0.03)
+
+    def test_mifd_identical_is_zero(self, rng):
+        # A textured image so SIFT finds features.
+        a = (rng.uniform(0, 255, size=(128, 128)) > 127).astype(np.uint8) * 255
+        import cv2
+
+        a = cv2.GaussianBlur(a, (5, 5), 1.0)
+        value = mifd(a, a)
+
+        assert value == pytest.approx(0.0, abs=0.5) or np.isnan(value)
+
+    def test_depth_errors(self):
+        target = np.array([[1.0, 2.0], [0.0, 4.0]])
+        pred = np.array([[1.5, 2.0], [9.0, 3.0]])
+
+        # The zero-target pixel is excluded from the valid mask.
+        assert depth_mae(pred, target) == pytest.approx((0.5 + 0.0 + 1.0) / 3)
+        assert depth_rmse(pred, target) == pytest.approx(np.sqrt((0.25 + 0 + 1) / 3))
