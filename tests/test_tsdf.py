@@ -160,6 +160,21 @@ class TestTSDFVolume:
         # Majority of the surface should be close to the true radius.
         assert np.quantile(np.abs(radii - radius), 0.9) < 0.05
 
+    def test_bfloat16_storage_reconstruction(self):
+        """bf16 voxel storage must reproduce the wall to within a voxel."""
+        depth = np.full((H, W), 2.0, dtype=np.float32)
+        color = np.full((H, W, 3), 100, dtype=np.uint8)
+
+        bounds = np.array([[-1.5, 1.5], [-1.2, 1.2], [0.0, 2.5]])
+        volume = TSDFVolume(bounds, voxel_size=0.04, dtype=jnp.bfloat16)
+        volume.integrate(color, depth, K, np.eye(4))
+
+        verts, faces, norms, colors = volume.get_mesh()
+
+        assert len(verts) > 100
+        np.testing.assert_allclose(verts[:, 2], 2.0, atol=0.08)
+        assert (np.abs(colors.astype(int) - 100) < 10).all()
+
     def test_weight_accumulates(self):
         depth = np.full((H, W), 1.0, dtype=np.float32)
         color = np.zeros((H, W, 3), dtype=np.uint8)
