@@ -234,7 +234,18 @@ class DatasetAdaptor(Dataset, ABC):
                                     metadata: DatasetMetadata,
                                     file_extension: str = "png") -> Tuple[np.ndarray, Trajectory]:
         """Estimate intrinsics + trajectory with COLMAP on a frame subset, then
-        metric-scale and re-densify (ref :339-398)."""
+        metric-scale and re-densify (ref :339-398).
+
+        Falls back to the built-in depth-assisted PnP odometry
+        (:mod:`hive_tpu.sfm`) when the COLMAP binary is unavailable — the
+        reference hard-fails in that case.
+        """
+        if not os.path.isfile(self.colmap_options.binary_path):
+            logging.warning(f"COLMAP binary not found at "
+                            f"{self.colmap_options.binary_path}; using the native "
+                            f"PnP-odometry pose estimator instead.")
+            return self._estimate_camera_parameters_native(output_depth_folder, metadata)
+
         if os.path.exists(output_folder):
             shutil.rmtree(output_folder)
 
@@ -277,6 +288,48 @@ class DatasetAdaptor(Dataset, ABC):
 
         camera_poses_scaled = Trajectory(camera_poses_scaled[:self.num_frames])
         return camera_matrix, camera_poses_scaled.normalise()
+
+    def _estimate_camera_parameters_native(self, output_depth_folder: str,
+                                           metadata: DatasetMetadata) -> Tuple[np.ndarray, Trajectory]:
+        """Pose estimation without external binaries: PnP odometry against the
+        (estimated) depth maps. Intrinsics use the Kinect prior scaled to the
+        frame size — the same prior as the static-camera path (the depth
+        network was trained on Kinect data)."""
+        from hive_tpu.sfm import estimate_camera_poses_native
+
+        camera = KinectSensor.get_camera_matrix()
+
+        if metadata.height > metadata.width:
+            camera = camera.transpose()
+
+        camera_matrix = camera.scale((metadata.height, metadata.width)).matrix
+
+        rgb_folder = pjoin(str(self.output_path), HiveDataset.rgb_folder)
+        mask_folder = pjoin(str(self.output_path), HiveDataset.mask_folder)
+
+        rgb_dataset = ImageFolderDataset(rgb_folder)
+        mask_dataset = ImageFolderDataset(mask_folder)
+
+        def depth_transform(depth_map):
+            meters = HiveDataset.depth_scaling_factor * depth_map.astype(np.float32)
+            meters[meters > metadata.max_depth] = 0.0
+            return meters
+
+        depth_dataset = ImageFolderDataset(output_depth_folder, transform=depth_transform)
+
+        n = min(self.num_frames, len(rgb_dataset), len(depth_dataset))
+
+        from hive_tpu.utils import tqdm_imap
+
+        rgb_frames = tqdm_imap(rgb_dataset.__getitem__, range(n), show_progress=False)
+        depth_maps = tqdm_imap(depth_dataset.__getitem__, range(n), show_progress=False)
+        masks = tqdm_imap(mask_dataset.__getitem__, range(n), show_progress=False)
+
+        trajectory = estimate_camera_poses_native(
+            rgb_frames, depth_maps, camera_matrix, masks=masks,
+            frame_step=self.frame_step)
+
+        return camera_matrix, trajectory.normalise()
 
     def _get_scaled_colmap_camera_params(self, processor: COLMAPProcessor,
                                          output_depth_folder: str,
