@@ -34,6 +34,13 @@ def jnp_sum(volume):
 def main():
     import jax
 
+    # If the environment requests a backend that failed to register (e.g. a
+    # tunnelled accelerator plugin in a stripped env), fall back to auto.
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+
     from hive_tpu.ops.tsdf import TSDFVolume
 
     # Workload shape: VGA frames (the pipeline's default processing

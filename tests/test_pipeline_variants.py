@@ -1,0 +1,151 @@
+"""Pipeline variant tests: RGBD background method, inpainting, billboard,
+estimated depth, coverage constraint."""
+
+import os
+from os.path import join as pjoin
+
+import numpy as np
+import pytest
+
+from hive_tpu.io import HiveDataset
+from hive_tpu.meshing.gltf import load_glb
+from hive_tpu.options import (BackgroundMeshOptions, InpaintingMode,
+                              MeshReconstructionMethod, PipelineOptions, StorageOptions,
+                              WebXROptions)
+from hive_tpu.pipeline import Pipeline
+from tests.helpers import make_synthetic_hive_dataset
+
+
+def run_pipeline(tmp_path, pipeline_options=None, static_mesh_options=None,
+                 num_frames=2, **dataset_kwargs):
+    dataset_path = make_synthetic_hive_dataset(tmp_path / "ds", num_frames=num_frames,
+                                               **dataset_kwargs)
+    output_path = str(tmp_path / "out")
+
+    pipeline = Pipeline(
+        options=pipeline_options or PipelineOptions(log_file=str(tmp_path / "l.log")),
+        storage_options=StorageOptions(dataset_path=dataset_path,
+                                       output_path=output_path, overwrite_ok=True),
+        static_mesh_options=static_mesh_options or BackgroundMeshOptions(
+            sdf_voxel_size=0.05, sdf_max_voxels=4_000_000,
+            depth_mask_dilation_iterations=2),
+        webxr_options=WebXROptions(webxr_path=str(tmp_path / "webxr")),
+    )
+
+    pipeline.run(dataset=HiveDataset(dataset_path))
+    return output_path
+
+
+class TestRGBDBackgroundMethod:
+    def test_rgbd_method_produces_textured_background(self, tmp_path):
+        output = run_pipeline(
+            tmp_path,
+            pipeline_options=PipelineOptions(log_file=str(tmp_path / "l.log")),
+            static_mesh_options=BackgroundMeshOptions(
+                reconstruction_method=MeshReconstructionMethod.RGBD,
+                depth_mask_dilation_iterations=2))
+
+        bg = load_glb(pjoin(output, "mesh", "bg.glb"))
+        assert len(bg.geometry) >= 1
+
+        # RGBD background meshes are textured (per-frame key frames), not
+        # vertex-coloured.
+        first = next(iter(bg.geometry.values()))
+        assert first.texture is not None
+        assert first.num_faces > 0
+
+
+class TestBillboard:
+    def test_billboard_flattens_objects(self, tmp_path):
+        output = run_pipeline(
+            tmp_path,
+            pipeline_options=PipelineOptions(billboard=True,
+                                             log_file=str(tmp_path / "l.log")))
+
+        fg = load_glb(pjoin(output, "mesh", "fg.glb"))
+        mesh = fg.geometry["000000"]
+
+        # All vertices of a billboard share (nearly) one camera-space depth;
+        # with an identity-ish pose that is one z-plane.
+        z_spread = mesh.vertices[:, 2].max() - mesh.vertices[:, 2].min()
+        assert z_spread < 0.02
+
+
+class TestCoverageConstraint:
+    def test_small_objects_skipped_by_default(self, tmp_path):
+        # A tiny blob (below 1% coverage) is dropped unless the constraint is
+        # disabled.
+        dataset_path = make_synthetic_hive_dataset(tmp_path / "small", num_frames=1,
+                                                   width=256, height=192)
+
+        # Shrink the mask to a tiny dot.
+        from PIL import Image
+
+        mask_path = pjoin(dataset_path, "mask", "000000.png")
+        mask = np.asarray(Image.open(mask_path)).copy()
+        mask[:] = 0
+        mask[10:13, 10:13] = 1
+        Image.fromarray(mask).save(mask_path)
+
+        out_default = str(tmp_path / "out1")
+        pipeline = Pipeline(
+            options=PipelineOptions(log_file=str(tmp_path / "l1.log")),
+            storage_options=StorageOptions(dataset_path=dataset_path,
+                                           output_path=out_default, overwrite_ok=True),
+            static_mesh_options=BackgroundMeshOptions(sdf_voxel_size=0.05,
+                                                      sdf_max_voxels=4_000_000,
+                                                      depth_mask_dilation_iterations=2),
+            webxr_options=WebXROptions(webxr_path=str(tmp_path / "w1")),
+        )
+        pipeline.run(dataset=HiveDataset(dataset_path))
+
+        fg = load_glb(pjoin(out_default, "mesh", "fg.glb"))
+        assert len(fg.geometry) == 0  # too small -> skipped
+
+
+class TestInpaintingPipeline:
+    def test_cv2_inpainting_mode_creates_folders(self, tmp_path):
+        from hive_tpu.dataset_adaptors import TUMAdaptor
+        from tests.test_adaptors import make_tum_dataset
+
+        tum_path = make_tum_dataset(tmp_path / "tum", num_frames=2)
+        output = str(tmp_path / "converted")
+
+        adaptor = TUMAdaptor(base_path=tum_path, output_path=output)
+        dataset = adaptor.convert(estimate_pose=False, estimate_depth=False,
+                                  inpainting_mode=InpaintingMode.CV2_Image_Depth)
+
+        assert dataset.has_inpainted_frame_data
+        assert os.path.isdir(pjoin(output, "rgb_inpainted"))
+        assert os.path.isdir(pjoin(output, "depth_inpainted"))
+        assert os.path.isdir(pjoin(output, "mask_inpainted"))
+
+        # Inpainted masks are blacked out (no dynamic objects remain).
+        from PIL import Image
+
+        inpainted_mask = np.asarray(
+            Image.open(pjoin(output, "mask_inpainted", "000000.png")))
+        assert (inpainted_mask == 0).all()
+
+        # Background datasets route to the inpainted data.
+        assert dataset.bg_rgb_dataset is dataset.inpainted_rgb_dataset
+
+
+class TestEstimatedDepthConversion:
+    def test_convert_with_estimated_depth(self, tmp_path):
+        """estimate_depth runs the (randomly initialised) DPT model end to end
+        and writes uint16 mm PNGs."""
+        from hive_tpu.dataset_adaptors import TUMAdaptor
+        from tests.test_adaptors import make_tum_dataset
+
+        tum_path = make_tum_dataset(tmp_path / "tum", num_frames=2, width=64, height=48)
+        output = str(tmp_path / "converted")
+
+        adaptor = TUMAdaptor(base_path=tum_path, output_path=output)
+        dataset = adaptor.convert(estimate_pose=False, estimate_depth=True,
+                                  inpainting_mode=InpaintingMode.Off)
+
+        assert len(dataset.depth_dataset) == 2
+        depth = dataset.depth_dataset[0]
+        assert depth.dtype == np.float32  # scaled from uint16 mm on load
+        assert np.isfinite(depth).all()
