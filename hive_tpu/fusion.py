@@ -67,7 +67,7 @@ def adjust_voxel_size(dataset: HiveDataset, options: BackgroundMeshOptions,
 
 def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = BackgroundMeshOptions(),
                 num_frames: int = -1, frame_set: Optional[List[int]] = None,
-                frames_per_batch: int = 32) -> TriangleMesh:
+                frames_per_batch: int = 32, use_sparse: bool = True) -> TriangleMesh:
     """Reconstruct the static background by fusing masked RGB-D frames into a
     TSDF volume on TPU and extracting the isosurface.
 
@@ -94,7 +94,14 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
                                                   frame_set=frame_set)
 
     logging.info("Initializing voxel volume...")
-    volume = TSDFVolume(volume_bounds, voxel_size=voxel_size)
+
+    if use_sparse:
+        from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
+
+        volume = SparseTSDFVolume(volume_bounds, voxel_size=voxel_size)
+    else:
+        volume = TSDFVolume(volume_bounds, voxel_size=voxel_size)
+
     logging.info(f"Voxel volume dims {volume.dims} "
                  f"({volume.num_voxels:,d} voxels at {voxel_size:.4f} m)")
 

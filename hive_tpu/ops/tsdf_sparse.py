@@ -1,0 +1,459 @@
+"""Sparse (banded) TSDF fusion: per-block classification + compacted updates.
+
+Measured on v5e, XLA lowers the per-voxel depth gather at ~15 ns/element and
+Mosaic's hardware gather is restricted to a single 128-lane register — so the
+dense integrate (hive_tpu.ops.tsdf) is gather-issue-bound at ~0.07 G
+voxel-updates/s regardless of precision. The TPU-native answer is to not
+gather for most voxels:
+
+For every frame, each fixed-size voxel block is classified with conservative
+bounds (block corners projected into the camera + a min/max/validity mip
+pyramid of the depth image):
+
+* **skip** — outside the view, footprint has no valid depth, or entirely
+  behind the surface band (``z_min > d_max + trunc``): no update at all;
+* **free space** — entirely in front of every surface in its footprint
+  (``z_max < d_min - trunc``) with a fully-valid, fully-in-image footprint:
+  the update is uniform (dist = 1, weight += 1) — **no gather**, applied as a
+  masked elementwise pass over the whole volume (bandwidth-bound, fast);
+* **band** — everything else: the exact gather path, compacted to a
+  fixed-capacity block list so only the thin truncation shell pays the
+  serialized gather cost.
+
+TPU-specific implementation notes:
+
+* the depth pyramid builds with reshape-max pooling on a power-of-two padded
+  canvas (``lax.reduce_window`` measured ~5 s/frame on this backend; the
+  reshape forms lower to fast fused reductions);
+* pyramid levels are flattened into one buffer so each classification query
+  is three gathers total (min/max/valid), not per-level loops;
+* the volume is stored block-major ``(nb, Bx, By, Bz)``; band blocks update
+  via whole-block gather/scatter (contiguous copies). If a frame's band
+  overflows the capacity, that frame falls back to the dense path (lax.cond)
+  — correctness never depends on the classification heuristics.
+
+Colour in free-space blocks is not updated (no surface can live strictly
+inside free space; band frames write colour wherever surfaces appear).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SparseTSDFState(NamedTuple):
+    tsdf: jnp.ndarray    # (nb, Bx, By, Bz)
+    weight: jnp.ndarray  # (nb, Bx, By, Bz)
+    color: jnp.ndarray   # (nb, Bx, By, Bz, 3)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def build_flat_pyramid(depth, height: int, width: int):
+    """Min/max/valid mip pyramid, flattened level-major into single buffers.
+
+    The image pads to a power-of-two canvas (min: +inf, max: -inf,
+    valid: False — all conservative), and every level halves both axes via
+    reshape + reduce (fast on TPU, unlike reduce_window here).
+
+    :return: (min_flat, max_flat, valid_flat) device buffers. Level layout is
+        given by :func:`pyramid_layout`.
+    """
+    hp, wp = _next_pow2(height), _next_pow2(width)
+    num_levels = int(math.log2(max(hp, wp))) + 1
+
+    valid = depth > 0.0
+    dmin = jnp.where(valid, depth, jnp.inf)
+    dmax = jnp.where(valid, depth, -jnp.inf)
+
+    dmin = jnp.pad(dmin, ((0, hp - height), (0, wp - width)), constant_values=jnp.inf)
+    dmax = jnp.pad(dmax, ((0, hp - height), (0, wp - width)), constant_values=-jnp.inf)
+    valid = jnp.pad(valid, ((0, hp - height), (0, wp - width)), constant_values=False)
+
+    mins, maxs, valids = [dmin.reshape(-1)], [dmax.reshape(-1)], [valid.reshape(-1)]
+
+    h, w = hp, wp
+    for _ in range(num_levels - 1):
+        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+
+        def pool(a, op):
+            a = a.reshape(h2, h // h2, w2, w // w2)
+            return op(op(a, 3), 1)
+
+        dmin = pool(dmin, jnp.min)
+        dmax = pool(dmax, jnp.max)
+        valid = pool(valid, jnp.all)
+
+        mins.append(dmin.reshape(-1))
+        maxs.append(dmax.reshape(-1))
+        valids.append(valid.reshape(-1))
+        h, w = h2, w2
+
+    return (jnp.concatenate(mins), jnp.concatenate(maxs), jnp.concatenate(valids))
+
+
+def pyramid_layout(height: int, width: int):
+    """Static (offsets, widths, heights) arrays per pyramid level."""
+    hp, wp = _next_pow2(height), _next_pow2(width)
+    num_levels = int(math.log2(max(hp, wp))) + 1
+
+    offsets, widths, heights = [], [], []
+    offset = 0
+    h, w = hp, wp
+
+    for _ in range(num_levels):
+        offsets.append(offset)
+        widths.append(w)
+        heights.append(h)
+        offset += h * w
+        h, w = max(h // 2, 1), max(w // 2, 1)
+
+    return (np.asarray(offsets, np.int32), np.asarray(widths, np.int32),
+            np.asarray(heights, np.int32))
+
+
+def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int):
+    """Conservative (dmin, dmax, all_valid) over per-block AABBs.
+
+    Chooses the level whose cell covers the AABB with <= 2x2 cells, then
+    reduces those four cells — three gathers total across all blocks.
+    """
+    min_flat, max_flat, valid_flat = pyramid
+    num_levels = len(layout[0])
+    offsets, widths, heights = (jnp.asarray(a) for a in layout)
+
+    extent = jnp.maximum(u1 - u0, v1 - v0)
+    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(extent, 1.0))).astype(jnp.int32),
+                     0, num_levels - 1)
+
+    off = offsets[level]
+    w_l = widths[level]
+    h_l = heights[level]
+    shift = level  # cell size = 1 << level
+
+    cu0 = jnp.minimum((jnp.clip(u0, 0, width - 1).astype(jnp.int32)) >> shift, w_l - 1)
+    cu1 = jnp.minimum((jnp.clip(u1, 0, width - 1).astype(jnp.int32)) >> shift, w_l - 1)
+    cv0 = jnp.minimum((jnp.clip(v0, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
+    cv1 = jnp.minimum((jnp.clip(v1, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
+
+    idx = jnp.stack([off + cv0 * w_l + cu0, off + cv0 * w_l + cu1,
+                     off + cv1 * w_l + cu0, off + cv1 * w_l + cu1], axis=-1)
+
+    dmin = jnp.min(jnp.take(min_flat, idx), axis=-1)
+    dmax = jnp.max(jnp.take(max_flat, idx), axis=-1)
+    all_valid = jnp.all(jnp.take(valid_flat, idx), axis=-1)
+
+    return dmin, dmax, all_valid
+
+
+class SparseTSDFVolume:
+    """Block-major TSDF volume with banded integration.
+
+    API mirrors :class:`hive_tpu.ops.tsdf.TSDFVolume` (bounds + voxel size in,
+    ``integrate_frames`` + ``get_mesh`` out); dims round up to block multiples.
+
+    :param block_size: voxels per block along (x, y, z). A thin z extent
+        tracks the truncation band tightly (z is the camera-facing axis in
+        typical captures).
+    """
+
+    SKIP, FREE, BAND = 0, 1, 2
+
+    def __init__(self, volume_bounds, voxel_size: float,
+                 trunc_margin: Optional[float] = None,
+                 block_size: Union[int, Sequence[int]] = (16, 16, 8),
+                 band_capacity_fraction: float = 0.25):
+        volume_bounds = np.asarray(volume_bounds, dtype=np.float32)
+
+        if volume_bounds.shape != (3, 2):
+            raise ValueError(f"volume_bounds must be (3, 2), got {volume_bounds.shape}")
+
+        if isinstance(block_size, int):
+            block_size = (block_size,) * 3
+
+        self.voxel_size = float(voxel_size)
+        self.trunc_margin = float(trunc_margin if trunc_margin is not None
+                                  else 5.0 * voxel_size)
+        self.block_size: Tuple[int, int, int] = tuple(int(b) for b in block_size)
+
+        B = np.asarray(self.block_size)
+        dims = np.ceil((volume_bounds[:, 1] - volume_bounds[:, 0]) / voxel_size)
+        dims = (np.ceil(dims / B) * B).astype(int)
+        self.dims: Tuple[int, int, int] = tuple(int(d) for d in np.maximum(dims, B))
+        self.origin = volume_bounds[:, 0].copy()
+        self.volume_bounds = volume_bounds
+
+        self.grid_blocks = tuple(int(d // b) for d, b in zip(self.dims, self.block_size))
+        nb = int(np.prod(self.grid_blocks))
+        self.num_blocks = nb
+
+        bx, by, bz = np.meshgrid(*[np.arange(g) for g in self.grid_blocks], indexing="ij")
+        block_index = np.stack([bx, by, bz], axis=-1).reshape(nb, 3)
+        self.block_origins = (self.origin
+                              + block_index * B * voxel_size).astype(np.float32)
+
+        self.band_capacity = max(64, int(nb * band_capacity_fraction))
+
+        Bx, By, Bz = self.block_size
+        self.state = SparseTSDFState(
+            tsdf=jnp.ones((nb, Bx, By, Bz), dtype=jnp.float32),
+            weight=jnp.zeros((nb, Bx, By, Bz), dtype=jnp.float32),
+            color=jnp.zeros((nb, Bx, By, Bz, 3), dtype=jnp.float32),
+        )
+
+        self._integrate_one = None  # built lazily per image size
+
+    @property
+    def num_voxels(self) -> int:
+        return int(np.prod(self.dims))
+
+    # -- frame integration ----------------------------------------------------
+    def _build_integrator(self, height: int, width: int):
+        Bx, By, Bz = self.block_size
+        nb = self.num_blocks
+        trunc = self.trunc_margin
+        voxel = self.voxel_size
+        band_capacity = self.band_capacity
+        block_origins = jnp.asarray(self.block_origins)
+        layout = pyramid_layout(height, width)
+
+        corner_offsets = jnp.asarray(
+            [[x * Bx, y * By, z * Bz] for x in (0.0, 1.0) for y in (0.0, 1.0)
+             for z in (0.0, 1.0)], dtype=jnp.float32) * voxel
+
+        iota_axes = [jax.lax.broadcasted_iota(jnp.float32, (Bx, By, Bz), a)
+                     for a in range(3)]
+
+        def classify(depth, R, t, intr):
+            fx, fy, cx, cy = intr
+
+            corners = block_origins[:, None, :] + corner_offsets[None, :, :]
+            cam = jnp.einsum("ij,nkj->nki", R, corners) + t
+
+            z = cam[:, :, 2]
+            z_min = z.min(axis=1)
+            z_max = z.max(axis=1)
+
+            in_front = z_min > 1e-6
+
+            safe_z = jnp.maximum(z, 1e-6)
+            us = fx * cam[:, :, 0] / safe_z + cx
+            vs = fy * cam[:, :, 1] / safe_z + cy
+
+            u0, u1 = us.min(axis=1), us.max(axis=1)
+            v0, v1 = vs.min(axis=1), vs.max(axis=1)
+
+            overlaps = (u1 >= 0) & (u0 < width) & (v1 >= 0) & (v0 < height)
+            fully_inside = (u0 >= 0) & (u1 < width) & (v0 >= 0) & (v1 < height)
+
+            pyramid = build_flat_pyramid(depth, height, width)
+            dmin, dmax, all_valid = query_flat_pyramid(
+                pyramid, layout, u0, u1, v0, v1, height, width)
+
+            classes = jnp.full((nb,), SparseTSDFVolume.BAND, dtype=jnp.int32)
+
+            free = in_front & fully_inside & all_valid & (z_max < dmin - trunc)
+            classes = jnp.where(free, SparseTSDFVolume.FREE, classes)
+
+            no_surface = ~jnp.isfinite(dmax)
+            behind = in_front & (z_min > jnp.where(jnp.isfinite(dmax), dmax, -jnp.inf)
+                                 + trunc)
+            # Projection bounds are only trustworthy when the whole block is in
+            # front of the camera; straddling blocks stay on the band path.
+            skip = (in_front & ~overlaps) | (in_front & no_surface) | behind
+            classes = jnp.where(skip, SparseTSDFVolume.SKIP, classes)
+
+            return classes
+
+        def block_camera_coords(block_ids, R, t):
+            origins = block_origins[block_ids]                       # (K, 3)
+            base = origins @ R.T + t                                 # (K, 3)
+            step = R * voxel                                         # cam delta per index
+
+            def axis_term(axis):
+                return (base[:, axis][:, None, None, None]
+                        + iota_axes[0] * step[axis, 0]
+                        + iota_axes[1] * step[axis, 1]
+                        + iota_axes[2] * step[axis, 2])
+
+            return axis_term(0), axis_term(1), axis_term(2)
+
+        def update_free(state, classes, obs_weight):
+            # Free blocks are fully inside the image with valid depth
+            # everywhere in their footprint: every voxel updates with dist 1.
+            # Masked elementwise pass — no index ops at all.
+            is_free = (classes == SparseTSDFVolume.FREE)[:, None, None, None]
+            w_obs = jnp.where(is_free, obs_weight, 0.0)
+
+            w_new = state.weight + w_obs
+            tsdf_new = jnp.where(is_free,
+                                 (state.tsdf * state.weight + w_obs)
+                                 / jnp.maximum(w_new, 1e-12),
+                                 state.tsdf)
+
+            return SparseTSDFState(tsdf=tsdf_new, weight=w_new, color=state.color)
+
+        def band_update_values(block_tsdf, block_weight, block_color, block_ids,
+                               block_valid, depth, color_im, R, t, intr, obs_weight):
+            fx, fy, cx, cy = intr
+            cam_x, cam_y, cam_z = block_camera_coords(block_ids, R, t)
+
+            safe_z = jnp.where(cam_z > 1e-6, cam_z, 1.0)
+            u = jnp.round(fx * cam_x / safe_z + cx).astype(jnp.int32)
+            v = jnp.round(fy * cam_y / safe_z + cy).astype(jnp.int32)
+
+            in_view = (cam_z > 1e-6) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+
+            flat = jnp.clip(v, 0, height - 1) * width + jnp.clip(u, 0, width - 1)
+            depth_val = jnp.take(depth.reshape(-1), flat)
+            rgb = jnp.take(color_im.reshape(-1, 3), flat.reshape(-1), axis=0) \
+                .reshape(*flat.shape, 3)
+
+            sdf = depth_val - cam_z
+            valid = (in_view & (depth_val > 0.0) & (sdf >= -trunc)
+                     & block_valid[:, None, None, None])
+
+            dist = jnp.minimum(1.0, sdf / trunc)
+            w_obs = jnp.where(valid, obs_weight, 0.0)
+
+            w_new = block_weight + w_obs
+            safe_w = jnp.maximum(w_new, 1e-12)
+
+            tsdf_new = jnp.where(valid, (block_tsdf * block_weight + dist * w_obs)
+                                 / safe_w, block_tsdf)
+            color_new = jnp.where(valid[..., None],
+                                  (block_color * block_weight[..., None]
+                                   + rgb * w_obs[..., None]) / safe_w[..., None],
+                                  block_color)
+
+            return tsdf_new, w_new, color_new
+
+        def update_band(state, band_ids, band_valid, depth, color_im, R, t, intr,
+                        obs_weight):
+            tsdf_new, w_new, color_new = band_update_values(
+                state.tsdf[band_ids], state.weight[band_ids], state.color[band_ids],
+                band_ids, band_valid, depth, color_im, R, t, intr, obs_weight)
+
+            scatter_ids = jnp.where(band_valid, band_ids, nb)
+
+            return SparseTSDFState(
+                tsdf=state.tsdf.at[scatter_ids].set(tsdf_new, mode="drop"),
+                weight=state.weight.at[scatter_ids].set(w_new, mode="drop"),
+                color=state.color.at[scatter_ids].set(color_new, mode="drop"),
+            )
+
+        def update_dense(state, depth, color_im, R, t, intr, obs_weight):
+            all_ids = jnp.arange(nb)
+            all_valid = jnp.ones((nb,), dtype=bool)
+            tsdf_new, w_new, color_new = band_update_values(
+                state.tsdf, state.weight, state.color, all_ids, all_valid,
+                depth, color_im, R, t, intr, obs_weight)
+
+            return SparseTSDFState(tsdf=tsdf_new, weight=w_new, color=color_new)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def integrate_one(state, depth, color_im, world_to_cam, intr, obs_weight):
+            R = world_to_cam[:3, :3]
+            t = world_to_cam[:3, 3]
+
+            classes = classify(depth, R, t, intr)
+            band_count = jnp.sum(classes == SparseTSDFVolume.BAND)
+
+            def sparse_path(state):
+                state = update_free(state, classes, obs_weight)
+
+                band_ids = jnp.nonzero(classes == SparseTSDFVolume.BAND,
+                                       size=band_capacity, fill_value=nb)[0]
+                band_valid = band_ids < nb
+                band_ids = jnp.minimum(band_ids, nb - 1)
+
+                return update_band(state, band_ids, band_valid, depth, color_im,
+                                   R, t, intr, obs_weight)
+
+            def dense_path(state):
+                return update_dense(state, depth, color_im, R, t, intr, obs_weight)
+
+            return jax.lax.cond(band_count <= band_capacity, sparse_path, dense_path,
+                                state)
+
+        # Expose the stages for profiling/testing.
+        integrate_one.classify = jax.jit(classify)
+        integrate_one.update_free = update_free
+        integrate_one.update_band = update_band
+        integrate_one.update_dense = update_dense
+
+        return integrate_one
+
+    def integrate(self, color_image, depth_image, camera_matrix, cam_to_world_pose,
+                  obs_weight: float = 1.0):
+        self.integrate_frames(np.asarray(color_image, dtype=np.float32)[None],
+                              np.asarray(depth_image, dtype=np.float32)[None],
+                              camera_matrix,
+                              np.asarray(cam_to_world_pose, dtype=np.float32)[None],
+                              obs_weights=np.asarray([obs_weight], dtype=np.float32))
+
+    def integrate_frames(self, colors, depths, camera_matrix, cam_to_world_poses,
+                         obs_weights=None):
+        depths = np.asarray(depths, dtype=np.float32)
+        n, height, width = depths.shape
+
+        if self._integrate_one is None:
+            self._integrate_one = self._build_integrator(height, width)
+
+        colors = jnp.asarray(np.asarray(colors, dtype=np.float32)[..., :3])
+        depths = jnp.asarray(depths)
+
+        K = np.asarray(camera_matrix, dtype=np.float32)
+        intr = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], dtype=jnp.float32)
+
+        world_to_cams = jnp.asarray(
+            np.linalg.inv(np.asarray(cam_to_world_poses, dtype=np.float32)))
+
+        if obs_weights is None:
+            obs_weights = np.ones((n,), dtype=np.float32)
+
+        for f in range(n):
+            self.state = self._integrate_one(self.state, depths[f], colors[f],
+                                             world_to_cams[f], intr,
+                                             jnp.float32(obs_weights[f]))
+
+        return self
+
+    # -- extraction -----------------------------------------------------------
+    def _dense(self):
+        nbx, nby, nbz = self.grid_blocks
+        Bx, By, Bz = self.block_size
+
+        def to_dense(blocked, extra=()):
+            a = blocked.reshape(nbx, nby, nbz, Bx, By, Bz, *extra)
+            a = jnp.transpose(a, (0, 3, 1, 4, 2, 5, *range(6, 6 + len(extra))))
+            return a.reshape(*self.dims, *extra)
+
+        return (to_dense(self.state.tsdf), to_dense(self.state.weight),
+                to_dense(self.state.color, extra=(3,)))
+
+    def get_volume(self):
+        tsdf, weight, color = self._dense()
+        return np.asarray(tsdf), np.asarray(weight), np.asarray(color)
+
+    def get_mesh(self):
+        from hive_tpu.meshing.mesh import TriangleMesh
+        from hive_tpu.ops.marching import extract_isosurface
+
+        tsdf, weight, color = self._dense()
+        verts, faces, colors = extract_isosurface(tsdf, weight, color,
+                                                  origin=self.origin,
+                                                  voxel_size=self.voxel_size)
+
+        mesh = TriangleMesh(vertices=verts, faces=faces, vertex_colors=colors)
+        normals = mesh.compute_vertex_normals() if len(faces) else np.zeros_like(verts)
+
+        return verts, faces, normals, colors

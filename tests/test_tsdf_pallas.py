@@ -34,14 +34,15 @@ class TestPallasKernelInterpret:
         world_to_cams = np.linalg.inv(poses)
         params = make_frame_params(K, world_to_cams, volume.origin, volume.voxel_size)
 
-        tsdf_sum, weight, color_sum = integrate_frames_pallas(
+        tsdf_sum, weight, r_sum, g_sum, b_sum = integrate_frames_pallas(
             jnp.asarray(depths), jnp.asarray(pack_colors(colors)),
             jnp.asarray(params), dims=volume.dims, height=H, width=W,
             trunc_margin=volume.trunc_margin, block_x=8, interpret=True)
 
         tsdf_sum = np.asarray(tsdf_sum)
         weight = np.asarray(weight)
-        color_sum = np.asarray(color_sum)
+        color_sum = np.stack([np.asarray(r_sum), np.asarray(g_sum),
+                              np.asarray(b_sum)], axis=-1)
 
         # Finalise: mean where observed, +1 (far) where not.
         safe_w = np.maximum(weight, 1e-12)
@@ -63,7 +64,7 @@ class TestPallasKernelInterpret:
         params = make_frame_params(K, np.linalg.inv(poses), volume.origin,
                                    volume.voxel_size)
 
-        _, weight, _ = integrate_frames_pallas(
+        _, weight, _, _, _ = integrate_frames_pallas(
             jnp.asarray(depths), jnp.asarray(pack_colors(colors)),
             jnp.asarray(params), dims=volume.dims, height=H, width=W,
             trunc_margin=volume.trunc_margin, block_x=8, interpret=True)

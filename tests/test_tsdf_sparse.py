@@ -1,0 +1,122 @@
+"""Sparse (banded) TSDF: equivalence with the dense path + classification."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hive_tpu.ops.tsdf import TSDFVolume
+from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
+from tests.test_tsdf import H, K, W, look_at_pose, render_sphere_depth
+
+
+def _frames(num_frames=3, seed=0):
+    rng = np.random.default_rng(seed)
+    depths = rng.uniform(0.8, 2.5, size=(num_frames, H, W)).astype(np.float32)
+    colors = rng.integers(0, 255, size=(num_frames, H, W, 3)).astype(np.uint8)
+
+    poses = np.tile(np.eye(4, dtype=np.float32), (num_frames, 1, 1))
+    # Irrational-ish offsets keep voxel centres off exact half-pixel
+    # boundaries, where fp32 evaluation-order differences between the dense
+    # and sparse paths legitimately round to different pixels.
+    poses[:, 0, 3] = np.linspace(0.0, 0.3, num_frames) + 0.01237
+    poses[:, 1, 3] = 0.00731
+
+    return depths, colors, poses
+
+
+BOUNDS = np.array([[-1.6, 1.6], [-1.6, 1.6], [0.0, 3.2]], dtype=np.float32)
+
+
+class TestSparseEquivalence:
+    def _run_both(self, depths, colors, poses, voxel=0.05, **sparse_kwargs):
+        dense = TSDFVolume(BOUNDS, voxel_size=voxel)
+        dense.integrate_frames(colors, depths, K, poses)
+
+        sparse = SparseTSDFVolume(BOUNDS, voxel_size=voxel, **sparse_kwargs)
+        sparse.integrate_frames(colors, depths, K, poses)
+
+        return dense, sparse
+
+    def test_matches_dense_random_depth(self):
+        depths, colors, poses = _frames()
+        dense, sparse = self._run_both(depths, colors, poses)
+
+        # Dims match (both 64^3 at these bounds).
+        assert sparse.dims == dense.dims
+
+        tsdf_d, w_d, c_d = dense.get_volume()
+        tsdf_s, w_s, c_s = sparse.get_volume()
+
+        # Allow a tiny fraction of voxels on exact pixel boundaries to differ
+        # (fp32 rounding-order artefacts), everything else matches exactly.
+        weight_mismatch = np.abs(w_s - w_d) > 1e-5
+        assert weight_mismatch.mean() < 1e-3
+
+        tsdf_mismatch = np.abs(tsdf_s - tsdf_d) > 1e-4
+        assert tsdf_mismatch.mean() < 2e-3
+
+        agree = ~weight_mismatch & (w_d > 0)
+        np.testing.assert_allclose(c_s[agree], c_d[agree], atol=1.0)
+
+    def test_matches_dense_with_invalid_depth(self):
+        depths, colors, poses = _frames()
+        depths[:, :, : W // 3] = 0.0  # a third of every image invalid
+
+        dense, sparse = self._run_both(depths, colors, poses)
+
+        tsdf_d, w_d, _ = dense.get_volume()
+        tsdf_s, w_s, _ = sparse.get_volume()
+
+        assert (np.abs(w_s - w_d) > 1e-5).mean() < 1e-3
+        assert (np.abs(tsdf_s - tsdf_d) > 1e-4).mean() < 2e-3
+
+    def test_matches_dense_sphere_views(self):
+        center = np.zeros(3)
+        poses = np.stack([look_at_pose(eye, center) for eye in
+                          [(0, 0, -2.0), (2.0, 0, 0), (0, 2.0, 0.01)]]).astype(np.float32)
+        depths = np.stack([render_sphere_depth(center, 0.5, p) for p in poses])
+        colors = np.full((3, H, W, 3), 90, dtype=np.uint8)
+
+        bounds = np.array([[-0.9, 0.9]] * 3, dtype=np.float32)
+
+        dense = TSDFVolume(bounds, voxel_size=0.03)
+        dense.integrate_frames(colors, depths, K, poses)
+        sparse = SparseTSDFVolume(bounds, voxel_size=0.03)
+        sparse.integrate_frames(colors, depths, K, poses)
+
+        # Grids may differ in size (block rounding); compare meshes instead.
+        verts_d, faces_d, _, _ = dense.get_mesh()
+        verts_s, faces_s, _, _ = sparse.get_mesh()
+
+        assert len(verts_s) > 0.8 * len(verts_d)
+        radii = np.linalg.norm(verts_s, axis=-1)
+        assert np.quantile(np.abs(radii - 0.5), 0.9) < 0.05
+
+    def test_tiny_band_capacity_falls_back_dense(self):
+        depths, colors, poses = _frames(num_frames=1)
+        dense, sparse = self._run_both(depths, colors, poses,
+                                       band_capacity_fraction=0.001)
+
+        tsdf_d, w_d, _ = dense.get_volume()
+        tsdf_s, w_s, _ = sparse.get_volume()
+
+        assert (np.abs(w_s - w_d) > 1e-5).mean() < 1e-3
+        assert (np.abs(tsdf_s - tsdf_d) > 1e-4).mean() < 2e-3
+
+
+class TestSparseProperties:
+    def test_dims_round_to_block_multiple(self):
+        volume = SparseTSDFVolume(np.array([[0.0, 0.9]] * 3), voxel_size=0.05,
+                                  block_size=16)
+        assert all(d % 16 == 0 for d in volume.dims)
+
+    def test_unseen_volume_stays_unobserved(self):
+        depths = np.zeros((1, H, W), dtype=np.float32)
+        colors = np.zeros((1, H, W, 3), dtype=np.uint8)
+        poses = np.eye(4, dtype=np.float32)[None]
+
+        volume = SparseTSDFVolume(BOUNDS, voxel_size=0.1)
+        volume.integrate_frames(colors, depths, K, poses)
+
+        _, weight, _ = volume.get_volume()
+        assert weight.sum() == 0
