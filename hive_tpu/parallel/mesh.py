@@ -30,6 +30,11 @@ def get_device_mesh(n_devices: Optional[int] = None,
     With the default single axis, the same mesh serves both frame-parallel
     (shard batches) and volume-parallel (shard voxel X) work — they reuse the
     axis under different names via :func:`shard_batch`/:func:`shard_volume`.
+
+    When the default backend has fewer than ``n_devices`` devices, falls back
+    to the CPU backend (virtual host devices via
+    ``--xla_force_host_platform_device_count``) so multi-chip code paths stay
+    testable on single-accelerator machines.
     """
     devices = jax.devices()
 
@@ -37,8 +42,16 @@ def get_device_mesh(n_devices: Optional[int] = None,
         n_devices = len(devices)
 
     if n_devices > len(devices):
-        raise ValueError(f"Requested {n_devices} devices but only "
-                         f"{len(devices)} are available.")
+        try:
+            cpu_devices = jax.devices("cpu")
+        except RuntimeError:
+            cpu_devices = []
+
+        if len(cpu_devices) >= n_devices:
+            devices = cpu_devices
+        else:
+            raise ValueError(f"Requested {n_devices} devices but only "
+                             f"{len(devices)} are available.")
 
     mesh_devices = np.array(devices[:n_devices]).reshape(n_devices)
     return Mesh(mesh_devices, axis_names=tuple(axis_names)[:1])

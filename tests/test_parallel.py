@@ -1,0 +1,193 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Covers the mesh helpers, frame-parallel batch sharding, the space-sharded TSDF
+integrate, and the data-sharded pose-optimisation step — the shardings the
+driver's dryrun exercises.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hive_tpu.parallel.mesh import (get_device_mesh, pad_to_multiple, replicate,
+                                    shard_batch, shard_volume)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    return get_device_mesh(8)
+
+
+class TestMeshHelpers:
+    def test_mesh_shape(self, mesh):
+        assert mesh.devices.shape == (8,)
+        assert mesh.axis_names == ("data",)
+
+    def test_shard_batch_places_shards(self, mesh):
+        x = jnp.arange(16 * 4).reshape(16, 4).astype(jnp.float32)
+        sharded = shard_batch(mesh, x)
+
+        assert sharded.sharding.spec == P("data", None)
+        assert len(sharded.addressable_shards) == 8
+        assert sharded.addressable_shards[0].data.shape == (2, 4)
+
+    def test_replicate(self, mesh):
+        x = jnp.eye(3)
+        replicated = replicate(mesh, x)
+        assert replicated.sharding.spec == P()
+
+    def test_pad_to_multiple(self):
+        x = np.ones((13, 4))
+        padded = pad_to_multiple(x, 8, axis=0)
+        assert padded.shape == (16, 4)
+        assert padded[13:].sum() == 0
+
+        same = pad_to_multiple(np.ones((16, 4)), 8, axis=0)
+        assert same.shape == (16, 4)
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            get_device_mesh(10_000)
+
+
+class TestShardedTSDF:
+    def test_space_sharded_integration_matches_single_device(self, mesh):
+        """Voxel-X-sharded integration is voxel-local: results must equal the
+        unsharded run bit-for-bit."""
+        from hive_tpu.ops.tsdf import TSDFState, _integrate_one
+
+        dims = (32, 16, 16)
+        height, width = 24, 32
+
+        rng = np.random.default_rng(0)
+        depth = jnp.asarray(rng.uniform(0.5, 3.0, (height, width)).astype(np.float32))
+        color = jnp.asarray(rng.uniform(0, 255, (height, width, 3)).astype(np.float32))
+        world_to_cam = jnp.eye(4)
+        intr = jnp.asarray([30.0, 30.0, 15.5, 11.5])
+        origin = jnp.asarray([-1.0, -1.0, 0.0])
+
+        def step(state):
+            new_state, _ = _integrate_one(
+                state, (depth, color, world_to_cam, jnp.float32(1.0), intr),
+                origin=origin, voxel_size=2.0 / 16, trunc_margin=0.5,
+                dims=dims, height=height, width=width)
+            return new_state
+
+        def fresh_state(device_put=None):
+            state = TSDFState(tsdf=jnp.ones(dims), weight=jnp.zeros(dims),
+                              color=jnp.zeros((*dims, 3)))
+            if device_put:
+                state = TSDFState(*[device_put(a) for a in state])
+            return state
+
+        expected = jax.jit(step)(fresh_state())
+
+        sharded_state = fresh_state(lambda a: shard_volume(mesh, a))
+        with mesh:
+            result = jax.jit(step)(sharded_state)
+
+        np.testing.assert_array_equal(np.asarray(result.weight),
+                                      np.asarray(expected.weight))
+        np.testing.assert_allclose(np.asarray(result.tsdf),
+                                   np.asarray(expected.tsdf), atol=1e-6)
+
+    def test_sharded_output_keeps_sharding(self, mesh):
+        """The integrate output stays x-sharded (no implicit gather)."""
+        from hive_tpu.ops.tsdf import TSDFState, _integrate_one
+
+        dims = (32, 16, 16)
+        height, width = 24, 32
+
+        state = TSDFState(
+            tsdf=shard_volume(mesh, jnp.ones(dims)),
+            weight=shard_volume(mesh, jnp.zeros(dims)),
+            color=shard_volume(mesh, jnp.zeros((*dims, 3))),
+        )
+
+        depth = jnp.ones((height, width))
+        color = jnp.zeros((height, width, 3))
+
+        def step(state):
+            new_state, _ = _integrate_one(
+                state, (depth, color, jnp.eye(4), jnp.float32(1.0),
+                        jnp.asarray([30.0, 30.0, 15.5, 11.5])),
+                origin=jnp.asarray([-1.0, -1.0, 0.0]), voxel_size=2.0 / 16,
+                trunc_margin=0.5, dims=dims, height=height, width=width)
+            return new_state
+
+        with mesh:
+            result = jax.jit(step)(state)
+
+        assert result.weight.sharding.spec[0] == "data"
+
+
+class TestShardedPoseStep:
+    def test_data_sharded_gradients_match_replicated(self, mesh):
+        """Sharding correspondences over devices must give the same gradients
+        as the replicated computation (XLA inserts the psum)."""
+        from hive_tpu.core import transforms as T
+
+        m = 64
+        num_frames = 4
+
+        rng = np.random.default_rng(1)
+        features = {
+            "idx": rng.integers(0, num_frames, m).astype(np.int32),
+            "points": rng.uniform(0, 32, (m, 2)).astype(np.float32),
+            "depth": rng.uniform(0.5, 3.0, m).astype(np.float32),
+            "target": rng.normal(size=(m, 3)).astype(np.float32),
+        }
+
+        params = {
+            "q": jnp.asarray(np.tile([0.0, 0.0, 0.0, 1.0], (num_frames, 1)),
+                             dtype=jnp.float32),
+            "t": jnp.zeros((num_frames, 3)),
+        }
+
+        def loss_fn(params, features):
+            q = T.quat_normalize(params["q"][features["idx"]])
+            t = params["t"][features["idx"]]
+
+            x = (features["points"][:, 0] - 16.0) * features["depth"] / 30.0
+            y = (features["points"][:, 1] - 12.0) * features["depth"] / 30.0
+            cam = jnp.stack([x, y, features["depth"]], axis=-1)
+
+            world = T.quat_rotate(T.quat_conjugate(q), cam - t)
+            return jnp.mean(jnp.sum((world - features["target"]) ** 2, axis=-1))
+
+        grad_fn = jax.jit(jax.grad(loss_fn))
+
+        expected = grad_fn(params, jax.tree.map(jnp.asarray, features))
+
+        sharded_features = {
+            "idx": shard_batch(mesh, jnp.asarray(features["idx"])),
+            "points": shard_batch(mesh, jnp.asarray(features["points"])),
+            "depth": shard_batch(mesh, jnp.asarray(features["depth"])),
+            "target": shard_batch(mesh, jnp.asarray(features["target"])),
+        }
+        replicated_params = jax.tree.map(lambda a: replicate(mesh, a), params)
+
+        with mesh:
+            result = grad_fn(replicated_params, sharded_features)
+
+        np.testing.assert_allclose(np.asarray(result["q"]),
+                                   np.asarray(expected["q"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(result["t"]),
+                                   np.asarray(expected["t"]), atol=1e-5)
+
+
+class TestDryrunEntry:
+    def test_dryrun_multichip_runs(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
