@@ -302,7 +302,7 @@ class SparseTSDFVolume:
             return SparseTSDFState(tsdf=tsdf_new, weight=w_new, color=state.color)
 
         def band_update_values(block_tsdf, block_weight, block_color, block_ids,
-                               block_valid, depth, color_im, R, t, intr, obs_weight):
+                               block_valid, depth, packed_color, R, t, intr, obs_weight):
             fx, fy, cx, cy = intr
             cam_x, cam_y, cam_z = block_camera_coords(block_ids, R, t)
 
@@ -314,8 +314,13 @@ class SparseTSDFVolume:
 
             flat = jnp.clip(v, 0, height - 1) * width + jnp.clip(u, 0, width - 1)
             depth_val = jnp.take(depth.reshape(-1), flat)
-            rgb = jnp.take(color_im.reshape(-1, 3), flat.reshape(-1), axis=0) \
-                .reshape(*flat.shape, 3)
+
+            # One packed-uint32 gather for colour (r | g<<8 | b<<16): the
+            # serialized gather count per voxel drops from 4 to 2.
+            packed = jnp.take(packed_color.reshape(-1), flat)
+            rgb = jnp.stack([(packed & 0xFF).astype(jnp.float32),
+                             ((packed >> 8) & 0xFF).astype(jnp.float32),
+                             ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=-1)
 
             sdf = depth_val - cam_z
             valid = (in_view & (depth_val > 0.0) & (sdf >= -trunc)
@@ -336,11 +341,11 @@ class SparseTSDFVolume:
 
             return tsdf_new, w_new, color_new
 
-        def update_band(state, band_ids, band_valid, depth, color_im, R, t, intr,
+        def update_band(state, band_ids, band_valid, depth, packed_color, R, t, intr,
                         obs_weight):
             tsdf_new, w_new, color_new = band_update_values(
                 state.tsdf[band_ids], state.weight[band_ids], state.color[band_ids],
-                band_ids, band_valid, depth, color_im, R, t, intr, obs_weight)
+                band_ids, band_valid, depth, packed_color, R, t, intr, obs_weight)
 
             scatter_ids = jnp.where(band_valid, band_ids, nb)
 
@@ -350,19 +355,23 @@ class SparseTSDFVolume:
                 color=state.color.at[scatter_ids].set(color_new, mode="drop"),
             )
 
-        def update_dense(state, depth, color_im, R, t, intr, obs_weight):
+        def update_dense(state, depth, packed_color, R, t, intr, obs_weight):
             all_ids = jnp.arange(nb)
             all_valid = jnp.ones((nb,), dtype=bool)
             tsdf_new, w_new, color_new = band_update_values(
                 state.tsdf, state.weight, state.color, all_ids, all_valid,
-                depth, color_im, R, t, intr, obs_weight)
+                depth, packed_color, R, t, intr, obs_weight)
 
             return SparseTSDFState(tsdf=tsdf_new, weight=w_new, color=color_new)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def integrate_one(state, depth, color_im, world_to_cam, intr, obs_weight):
+        def integrate_body(state, depth, color_im, world_to_cam, intr, obs_weight):
             R = world_to_cam[:3, :3]
             t = world_to_cam[:3, 3]
+
+            # Pack RGB into one uint32 plane so the band path gathers colour
+            # with a single take.
+            c = jnp.clip(color_im, 0.0, 255.0).astype(jnp.uint32)
+            packed_color = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
 
             classes = classify(depth, R, t, intr)
             band_count = jnp.sum(classes == SparseTSDFVolume.BAND)
@@ -375,14 +384,32 @@ class SparseTSDFVolume:
                 band_valid = band_ids < nb
                 band_ids = jnp.minimum(band_ids, nb - 1)
 
-                return update_band(state, band_ids, band_valid, depth, color_im,
+                return update_band(state, band_ids, band_valid, depth, packed_color,
                                    R, t, intr, obs_weight)
 
             def dense_path(state):
-                return update_dense(state, depth, color_im, R, t, intr, obs_weight)
+                return update_dense(state, depth, packed_color, R, t, intr, obs_weight)
 
             return jax.lax.cond(band_count <= band_capacity, sparse_path, dense_path,
                                 state)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def integrate_one(state, depth, color_im, world_to_cam, intr, obs_weight):
+            return integrate_body(state, depth, color_im, world_to_cam, intr,
+                                  obs_weight)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def integrate_scan(state, depths, colors, world_to_cams, intr, obs_weights):
+            def body(state, frame):
+                depth, color_im, world_to_cam, obs_weight = frame
+                return integrate_body(state, depth, color_im, world_to_cam, intr,
+                                      obs_weight), None
+
+            state, _ = jax.lax.scan(body, state,
+                                    (depths, colors, world_to_cams, obs_weights))
+            return state
+
+        integrate_one.scan = integrate_scan
 
         # Expose the stages for profiling/testing.
         integrate_one.classify = jax.jit(classify)
@@ -420,10 +447,12 @@ class SparseTSDFVolume:
         if obs_weights is None:
             obs_weights = np.ones((n,), dtype=np.float32)
 
-        for f in range(n):
-            self.state = self._integrate_one(self.state, depths[f], colors[f],
-                                             world_to_cams[f], intr,
-                                             jnp.float32(obs_weights[f]))
+        obs_weights = jnp.asarray(obs_weights, dtype=jnp.float32)
+
+        # One fused scan over the frame stack: a single dispatch, and XLA
+        # overlaps classification with the previous frame's updates.
+        self.state = self._integrate_one.scan(self.state, depths, colors,
+                                              world_to_cams, intr, obs_weights)
 
         return self
 
