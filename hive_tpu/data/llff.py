@@ -143,7 +143,10 @@ def evaluate_renders(mesh_or_scene, llff: LLFFDataset, view_indices: List[int],
         if output_folder:
             iio_write.imwrite(pjoin(output_folder, f"render_{view:03d}.png"), rendered)
 
-    results["mean"] = {metric: float(np.nanmean(values))
-                       for metric, values in results.items()}
+    def safe_mean(values):
+        finite = [v for v in values if np.isfinite(v)]
+        return float(np.mean(finite)) if finite else float("nan")
+
+    results["mean"] = {metric: safe_mean(values) for metric, values in results.items()}
 
     return results
