@@ -344,13 +344,11 @@ class DPTDepthEstimator:
 
         @jax.jit
         def forward(params, frames_uint8):
-            # uint8 RGB → normalised float, resized to the network size.
-            images = frames_uint8.astype(jnp.float32) / 255.0
-            images = (images - _NORM_MEAN) / _NORM_STD
+            from hive_tpu.ops.resize import prepare_model_input
 
-            b = images.shape[0]
-            images = jax.image.resize(
-                images, (b, self.net_height, self.net_width, 3), method="cubic")
+            images = prepare_model_input(frames_uint8,
+                                         (self.net_height, self.net_width),
+                                         mean=_NORM_MEAN, std=_NORM_STD)
 
             inverse_depth = self.model.apply({"params": params}, images)
 

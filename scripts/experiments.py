@@ -368,6 +368,112 @@ class Experiments:
 
         return results
 
+    # -- BundleFusion experiments ----------------------------------------------
+    def run_bundlefusion_experiments(self) -> dict:
+        """Per dataset: reconstruct the background with BundleFusion instead of
+        TSDF fusion and record its timing (ref run_bundlefusion_experiments).
+
+        Requires the external BundleFusion binary (BUNDLE_FUSION_PATH /
+        BUNDLE_FUSION_BIN); datasets without it are skipped with a warning.
+        """
+        import time
+
+        from hive_tpu.fusion import bundle_fusion
+        from hive_tpu.options import MeshReconstructionMethod
+
+        if "BUNDLE_FUSION_BIN" not in os.environ:
+            logging.warning("BUNDLE_FUSION_BIN not set; skipping BundleFusion "
+                            "experiments.")
+            return {}
+
+        results = {}
+
+        for dataset_name in self.dataset_names:
+            gt_dataset_path = pjoin(self.output_path, dataset_name, "gt", "dataset")
+
+            if not HiveDataset.is_valid_folder_structure(gt_dataset_path):
+                continue
+
+            dataset = HiveDataset(gt_dataset_path)
+
+            start = time.time()
+            mesh = bundle_fusion(
+                "bundle_fusion", dataset,
+                options=BackgroundMeshOptions(
+                    reconstruction_method=MeshReconstructionMethod.BundleFusion))
+            elapsed = time.time() - start
+
+            output_folder = pjoin(self.output_path, dataset_name, "bundlefusion")
+            os.makedirs(output_folder, exist_ok=True)
+            save_ply(pjoin(output_folder, "mesh.ply"), mesh)
+
+            results[dataset_name] = {"elapsed_seconds": elapsed,
+                                     "num_faces": mesh.num_faces}
+
+        with open(pjoin(self.output_path, "bundlefusion_results.json"), "w") as fh:
+            json.dump(results, fh)
+
+        return results
+
+    # -- LLFF render-vs-photo experiments ---------------------------------------
+    def run_llff_experiments(self, llff_path: str, dataset_name: str = "llff") -> dict:
+        """Reconstruct an LLFF capture from its training views and score
+        renders of the held-out views (ref LLFFExperiment:585; rendering via
+        the TPU rasterizer instead of pyrender)."""
+        from hive_tpu.data.llff import LLFFDataset, evaluate_renders
+        from hive_tpu.geometric import Trajectory
+
+        llff = LLFFDataset(llff_path)
+        train, test = llff.train_test_split()
+
+        output_folder = pjoin(self.output_path, dataset_name)
+        os.makedirs(output_folder, exist_ok=True)
+
+        # Build a HiveDataset from the training views with estimated depth.
+        converted = pjoin(output_folder, "dataset")
+        os.makedirs(pjoin(converted, "rgb"), exist_ok=True)
+        os.makedirs(pjoin(converted, "depth"), exist_ok=True)
+        os.makedirs(pjoin(converted, "mask"), exist_ok=True)
+
+        import imageio.v3 as iio
+
+        from hive_tpu.dataset_adaptors import estimate_depth_dpt
+        from hive_tpu.io import DatasetMetadata, ImageFolderDataset
+
+        height, width = int(llff.hwf[0]), int(llff.hwf[1])
+
+        for out_index, view in enumerate(train):
+            image = llff.get_image(view)[:height, :width]
+            iio.imwrite(pjoin(converted, "rgb", f"{out_index:06d}.jpg"), image)
+            iio.imwrite(pjoin(converted, "mask", f"{out_index:06d}.png"),
+                        np.zeros(image.shape[:2], dtype=np.uint8))
+
+        estimate_depth_dpt(ImageFolderDataset(pjoin(converted, "rgb")),
+                           pjoin(converted, "depth"))
+
+        np.savetxt(pjoin(converted, "camera_matrix.txt"), llff.camera_matrix)
+
+        trajectory = llff.get_trajectory()
+        Trajectory(trajectory.values[train]).save(
+            pjoin(converted, "camera_trajectory.txt"))
+
+        DatasetMetadata(num_frames=len(train), fps=30.0, width=width, height=height,
+                        estimate_pose=False, estimate_depth=True,
+                        depth_mask_dilation_iterations=10,
+                        depth_scale=1.0 / 1000.0).save(pjoin(converted, "metadata.json"))
+
+        dataset = HiveDataset(converted)
+        mesh = tsdf_fusion(dataset, BackgroundMeshOptions(sdf_max_voxels=80_000_000))
+        save_ply(pjoin(output_folder, "reconstruction.ply"), mesh)
+
+        results = evaluate_renders(mesh, llff, view_indices=test,
+                                   output_folder=pjoin(output_folder, "renders"))
+
+        with open(pjoin(output_folder, "llff_metrics.json"), "w") as fh:
+            json.dump(results, fh)
+
+        return results
+
     # -- canonical single-video experiment -------------------------------------
     def run_kid_running_experiments(self, video_path: str) -> dict:
         """The canonical monocular-video experiment (ref :2071): full estimated
