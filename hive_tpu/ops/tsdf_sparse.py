@@ -400,14 +400,58 @@ class SparseTSDFVolume:
 
         @partial(jax.jit, donate_argnums=(0,))
         def integrate_scan(state, depths, colors, world_to_cams, intr, obs_weights):
-            def body(state, frame):
+            # Weighted-mean TSDF updates are order-independent, so all frames'
+            # free-space contributions batch into ONE elementwise pass at the
+            # end (free_weights accumulates per-block observation weight);
+            # only band/dense updates run inside the scan.
+            def body(carry, frame):
+                state, free_weights = carry
                 depth, color_im, world_to_cam, obs_weight = frame
-                return integrate_body(state, depth, color_im, world_to_cam, intr,
-                                      obs_weight), None
 
-            state, _ = jax.lax.scan(body, state,
-                                    (depths, colors, world_to_cams, obs_weights))
-            return state
+                R = world_to_cam[:3, :3]
+                t = world_to_cam[:3, 3]
+
+                c = jnp.clip(color_im, 0.0, 255.0).astype(jnp.uint32)
+                packed_color = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+
+                classes = classify(depth, R, t, intr)
+                band_count = jnp.sum(classes == SparseTSDFVolume.BAND)
+                use_sparse = band_count <= band_capacity
+
+                def sparse_path(state):
+                    band_ids = jnp.nonzero(classes == SparseTSDFVolume.BAND,
+                                           size=band_capacity, fill_value=nb)[0]
+                    band_valid = band_ids < nb
+                    band_ids = jnp.minimum(band_ids, nb - 1)
+                    return update_band(state, band_ids, band_valid, depth,
+                                       packed_color, R, t, intr, obs_weight)
+
+                def dense_path(state):
+                    return update_dense(state, depth, packed_color, R, t, intr,
+                                        obs_weight)
+
+                state = jax.lax.cond(use_sparse, sparse_path, dense_path, state)
+
+                # Dense fallback already covered the free blocks exactly.
+                free_weights = free_weights + jnp.where(
+                    use_sparse & (classes == SparseTSDFVolume.FREE), obs_weight, 0.0)
+
+                return (state, free_weights), None
+
+            free_weights0 = jnp.zeros((nb,), dtype=jnp.float32)
+            (state, free_weights), _ = jax.lax.scan(
+                body, (state, free_weights0),
+                (depths, colors, world_to_cams, obs_weights))
+
+            # One batched free-space pass: dist = 1 with total weight k.
+            k = free_weights[:, None, None, None]
+            w_new = state.weight + k
+            tsdf_new = jnp.where(k > 0,
+                                 (state.tsdf * state.weight + k)
+                                 / jnp.maximum(w_new, 1e-12),
+                                 state.tsdf)
+
+            return SparseTSDFState(tsdf=tsdf_new, weight=w_new, color=state.color)
 
         integrate_one.scan = integrate_scan
 
