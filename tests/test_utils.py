@@ -1,0 +1,140 @@
+"""Utility-layer tests (validate_shape, key paths, timers, formatting, UI form)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from hive_tpu.utils import (Domain, Timer, check_domain, format_bytes, get_key_path,
+                            set_key_path, temp_seed, timed_block, tqdm_imap,
+                            validate_shape)
+
+
+class TestValidateShape:
+    def test_accepts_matching(self):
+        validate_shape(np.zeros((3, 4)), "x", (3, 4))
+        validate_shape(np.zeros((7, 3)), "x", (None, 3))
+
+    def test_rejects_wrong_rank(self):
+        with pytest.raises(AssertionError, match="number of dimensions"):
+            validate_shape(np.zeros((3,)), "x", (3, 4))
+
+    def test_rejects_wrong_size(self):
+        with pytest.raises(AssertionError, match="Incorrect shape for x"):
+            validate_shape(np.zeros((3, 5)), "x", (None, 4))
+
+
+class TestCheckDomain:
+    def test_positive(self):
+        check_domain(5, "n", int, Domain.Positive)
+        with pytest.raises(ValueError):
+            check_domain(0, "n", int, Domain.Positive)
+
+    def test_nullable(self):
+        check_domain(None, "n", int, Domain.Positive, nullable=True)
+
+    def test_type_mismatch(self):
+        with pytest.raises(ValueError):
+            check_domain(1.5, "n", int)
+
+
+class TestKeyPaths:
+    def test_set_and_get(self):
+        d = {}
+        set_key_path(d, ["a", "b", "c"], 42)
+        assert d == {"a": {"b": {"c": 42}}}
+        assert get_key_path(d, ["a", "b", "c"]) == 42
+
+    def test_get_missing_raises(self):
+        with pytest.raises(KeyError):
+            get_key_path({}, ["missing", "path"])
+
+    def test_overwrite(self):
+        d = {"a": {"b": 1}}
+        set_key_path(d, ["a", "b"], 2)
+        assert d["a"]["b"] == 2
+
+
+class TestTimedBlock:
+    def test_records_elapsed(self):
+        profiling = {}
+        with timed_block(None, profiling, ["timing", "step"]):
+            time.sleep(0.01)
+        assert profiling["timing"]["step"] >= 0.01
+
+    def test_records_on_exception(self):
+        profiling = {}
+        with pytest.raises(RuntimeError):
+            with timed_block(None, profiling, ["x"]):
+                raise RuntimeError("boom")
+        assert "x" in profiling
+
+    def test_none_profiling_ok(self):
+        with timed_block(None, None, ["unused"]):
+            pass
+
+
+class TestFormatBytes:
+    def test_units(self):
+        assert format_bytes(512) == "512.0 B"
+        assert format_bytes(2048) == "2.0 KiB"
+        assert format_bytes(3 * 1024 ** 3) == "3.0 GiB"
+
+
+class TestTqdmImap:
+    def test_preserves_order(self):
+        result = tqdm_imap(lambda x: x * x, range(10), show_progress=False)
+        assert result == [x * x for x in range(10)]
+
+
+class TestTempSeed:
+    def test_restores_state(self):
+        np.random.seed(123)
+        before = np.random.get_state()[1][:5].copy()
+
+        with temp_seed(7):
+            inner1 = np.random.random()
+
+        with temp_seed(7):
+            inner2 = np.random.random()
+
+        assert inner1 == inner2
+        np.testing.assert_array_equal(np.random.get_state()[1][:5], before)
+
+
+class TestTimer:
+    def test_context_manager(self):
+        with Timer() as timer:
+            time.sleep(0.01)
+        assert timer.elapsed_seconds >= 0.01
+
+
+class TestInterfaceForm:
+    def test_form_fields_cover_cli(self):
+        from hive_tpu.interface import _collect_fields
+
+        names = {f["name"] for f in _collect_fields()}
+        # Spot-check the flag surface.
+        for expected in ("dataset_path", "output_path", "num_frames", "estimate_depth",
+                         "sdf_voxel_size", "webxr_path", "quality", "billboard"):
+            assert expected in names
+
+    def test_render_form_html(self):
+        from hive_tpu.interface import Interface
+
+        html = Interface().render_form()
+        assert "<form" in html
+        assert "dataset_path" in html
+        assert "Start Pipeline" in html
+
+    def test_build_pipeline_from_form(self):
+        from hive_tpu.interface import build_pipeline_from_form
+
+        pipeline = build_pipeline_from_form({
+            "dataset_path": "in", "output_path": "out",
+            "num_frames": "5", "estimate_depth": "on",
+        })
+
+        assert pipeline.options.num_frames == 5
+        assert pipeline.options.estimate_depth is True
+        assert pipeline.storage_options.dataset_path == "in"
