@@ -521,8 +521,13 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
         src = f"scratch.{theirs}"
         dst = f"fusion{ours}"
 
-        conv(f"{src}.resConfUnit1.conv1", f"{dst}/rcu1/conv1")
-        conv(f"{src}.resConfUnit1.conv2", f"{dst}/rcu1/conv2")
+        # The top block (refinenet4) receives no skip connection: its
+        # resConfUnit1 exists in the torch checkpoint but is never applied, and
+        # our module omits it.
+        if ours != 4:
+            conv(f"{src}.resConfUnit1.conv1", f"{dst}/rcu1/conv1")
+            conv(f"{src}.resConfUnit1.conv2", f"{dst}/rcu1/conv2")
+
         conv(f"{src}.resConfUnit2.conv1", f"{dst}/rcu2/conv1")
         conv(f"{src}.resConfUnit2.conv2", f"{dst}/rcu2/conv2")
         conv(f"{src}.out_conv", f"{dst}/out_conv")
