@@ -84,15 +84,16 @@ def main():
     volume.integrate_frames(colors, depths, K, poses)
     force()
 
-    # Timed runs, chained through the donated volume state.
-    runs = 3
-    start = time.perf_counter()
-    for _ in range(runs):
+    # Median of three timed runs (remote-tunnel latency is noisy).
+    samples = []
+    for _ in range(3):
+        start = time.perf_counter()
         volume.integrate_frames(colors, depths, K, poses)
-    force()
-    elapsed = time.perf_counter() - start
+        force()
+        samples.append(time.perf_counter() - start)
 
-    voxel_updates_per_second = (num_voxels * num_frames * runs) / elapsed
+    elapsed = sorted(samples)[1]
+    voxel_updates_per_second = (num_voxels * num_frames) / elapsed
 
     print(json.dumps({
         "metric": "tsdf_voxel_updates_per_second",
