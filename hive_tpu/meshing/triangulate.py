@@ -28,6 +28,63 @@ def triangulate_points(points2d: np.ndarray) -> np.ndarray:
     return np.asarray(simplices)[:, ::-1]
 
 
+def triangulate_grid(valid_mask: np.ndarray, depth: np.ndarray,
+                     options: MeshFilteringOptions):
+    """Triangulate the valid pixels of a mask directly on the pixel grid.
+
+    Each 2x2 quad of valid pixels emits two triangles whose edges satisfy the
+    depth-discontinuity threshold. At the default ``max_pixel_distance=2``
+    this produces the same surface as Delaunay + face filtering (Delaunay
+    edges longer than one pixel step are filtered out anyway) but is fully
+    vectorised — no O(N log N) host triangulation per object.
+
+    :param valid_mask: (H, W) bool pixels to mesh.
+    :param depth: (H, W) float depth map.
+    :return: (points2d (N, 2) int [u, v], faces (M, 3) into points2d,
+        masked_depth (N,)) — same contract as the Delaunay path.
+    """
+    h, w = valid_mask.shape
+
+    v_idx, u_idx = np.nonzero(valid_mask)
+    points2d = np.stack([u_idx, v_idx], axis=-1)
+    masked_depth = depth[valid_mask]
+
+    index_map = np.full((h, w), -1, dtype=np.int64)
+    index_map[v_idx, u_idx] = np.arange(len(v_idx))
+
+    a = index_map[:-1, :-1]
+    b = index_map[:-1, 1:]
+    c = index_map[1:, :-1]
+    d = index_map[1:, 1:]
+
+    quad_ok = (a >= 0) & (b >= 0) & (c >= 0) & (d >= 0)
+
+    da = depth[:-1, :-1]
+    db = depth[:-1, 1:]
+    dc = depth[1:, :-1]
+    dd = depth[1:, 1:]
+
+    t = options.max_depth_distance
+
+    def edge_ok(x, y):
+        return np.abs(x - y) <= t
+
+    # Every triangle uses the quad diagonal (length sqrt(2) pixels): a budget
+    # below that cannot connect anything.
+    if options.max_pixel_distance < np.sqrt(2.0):
+        return points2d, np.zeros((0, 3), dtype=np.int64), masked_depth
+
+    # Triangle 1: (a, d, b); triangle 2: (a, c, d) — winding chosen to match
+    # the reversed-Delaunay convention (front faces toward the camera).
+    tri1_ok = quad_ok & edge_ok(da, dd) & edge_ok(dd, db) & edge_ok(da, db)
+    tri2_ok = quad_ok & edge_ok(da, dc) & edge_ok(dc, dd) & edge_ok(da, dd)
+
+    faces1 = np.stack([a[tri1_ok], d[tri1_ok], b[tri1_ok]], axis=-1)
+    faces2 = np.stack([a[tri2_ok], c[tri2_ok], d[tri2_ok]], axis=-1)
+
+    return points2d, np.concatenate([faces1, faces2]), masked_depth
+
+
 def filter_faces(points2d: np.ndarray, depth: np.ndarray, faces: np.ndarray,
                  options: MeshFilteringOptions) -> np.ndarray:
     """Drop faces that connect distant vertices.

@@ -183,6 +183,7 @@ class MeshFilteringOptions(Options):
     max_pixel_distance: float = 2
     max_depth_distance: float = 0.1
     min_num_components: float = 5
+    triangulation: str = "grid"
 
     @staticmethod
     def add_args(parser: argparse.ArgumentParser):
@@ -196,12 +197,18 @@ class MeshFilteringOptions(Options):
         group.add_argument("--min_num_components", type=float, default=5,
                            help="The minimum number of connected components in a mesh fragment. "
                                 "Fragments with fewer components will be culled.")
+        group.add_argument("--triangulation", type=str, default="grid",
+                           choices=["grid", "delaunay"],
+                           help="Per-frame depth meshing strategy: vectorised pixel-grid "
+                                "quads (default, equivalent to Delaunay + filtering at the "
+                                "default thresholds) or Delaunay triangulation.")
 
     @staticmethod
     def from_args(args) -> "MeshFilteringOptions":
         return MeshFilteringOptions(max_pixel_distance=args.max_pixel_dist,
                                     max_depth_distance=args.max_depth_dist,
-                                    min_num_components=args.min_num_components)
+                                    min_num_components=args.min_num_components,
+                                    triangulation=args.triangulation)
 
 
 class MeshReconstructionMethod(enum.Enum):

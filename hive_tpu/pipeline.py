@@ -38,7 +38,8 @@ from hive_tpu.meshing.decimate import decimate_mesh
 from hive_tpu.meshing.gltf import export_scene
 from hive_tpu.meshing.mesh import Scene, TriangleMesh
 from hive_tpu.meshing.texture import get_mesh_texture_and_uv, pack_textures
-from hive_tpu.meshing.triangulate import filter_faces, triangulate_points
+from hive_tpu.meshing.triangulate import (filter_faces, triangulate_grid,
+                                          triangulate_points)
 from hive_tpu.options import (BackgroundMeshOptions, COLMAPOptions,
                               ForegroundTrajectorySmoothingOptions, MaskDilationOptions,
                               MeshDecimationOptions, MeshFilteringOptions,
@@ -400,19 +401,26 @@ class Pipeline:
                     continue
 
                 valid_pixels = mask & (depth > 0.0)
-                v, u = valid_pixels.nonzero()
-                points2d = np.stack([u, v], axis=-1)
-                masked_depth = depth[valid_pixels]
+                use_grid = self.filtering_options.triangulation == "grid"
 
                 with timed_block(None, profiling,
                                  ["timing", "foreground_reconstruction", "per_object_mesh",
                                   "face_triangulation", index, object_id]):
-                    faces = triangulate_points(points2d)
+                    if use_grid:
+                        points2d, faces, masked_depth = triangulate_grid(
+                            valid_pixels, depth, self.filtering_options)
+                    else:
+                        v, u = valid_pixels.nonzero()
+                        points2d = np.stack([u, v], axis=-1)
+                        masked_depth = depth[valid_pixels]
+                        faces = triangulate_points(points2d)
 
             with timed_block(None, profiling,
                              ["timing", "foreground_reconstruction", "face_filtering",
                               index, object_id]):
-                faces = filter_faces(points2d, masked_depth, faces, self.filtering_options)
+                if not use_grid:
+                    faces = filter_faces(points2d, masked_depth, faces,
+                                         self.filtering_options)
 
                 if len(faces) < 1:
                     logging.debug(f"Skipping object #{object_id} in frame {index + 1} due to "

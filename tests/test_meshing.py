@@ -302,3 +302,79 @@ class TestTriangulation:
         options = MeshFilteringOptions(max_pixel_distance=2, max_depth_distance=10)
         kept = filter_faces(points, depth, faces, options)
         assert not np.isin(kept, 3).any()
+
+
+class TestGridTriangulation:
+    def test_matches_delaunay_on_dense_region(self):
+        """At default thresholds grid == Delaunay + filtering on a flat blob."""
+        from hive_tpu.meshing.triangulate import triangulate_grid
+
+        mask = np.zeros((12, 14), dtype=bool)
+        mask[2:10, 3:12] = True
+        depth = np.full((12, 14), 2.0)
+
+        options = MeshFilteringOptions()
+        points2d, faces, masked_depth = triangulate_grid(mask, depth, options)
+
+        assert len(points2d) == 8 * 9
+        assert len(masked_depth) == len(points2d)
+        # An 8x9 pixel rectangle has 7*8 interior quads, 2 triangles each.
+        assert len(faces) == 2 * 7 * 8
+
+        # Delaunay path on the same region for comparison.
+        v, u = mask.nonzero()
+        dl_points = np.stack([u, v], axis=-1).astype(float)
+        dl_faces = filter_faces(dl_points, depth[mask],
+                                triangulate_points(dl_points), options)
+        assert len(dl_faces) == len(faces)
+
+    def test_depth_discontinuity_splits_mesh(self):
+        from hive_tpu.meshing.triangulate import triangulate_grid
+
+        mask = np.ones((4, 8), dtype=bool)
+        depth = np.full((4, 8), 1.0)
+        depth[:, 4:] = 3.0  # step edge between columns 3 and 4
+
+        options = MeshFilteringOptions(max_depth_distance=0.1)
+        points2d, faces, _ = triangulate_grid(mask, depth, options)
+
+        # No face may straddle the step: u-coords of any face all < 4 or >= 4.
+        u = points2d[faces][:, :, 0]
+        assert (((u < 4).all(axis=1)) | ((u >= 4).all(axis=1))).all()
+        # Both sides still meshed: 3 quad-columns per side x 3 rows x 2 tris.
+        assert len(faces) == 2 * (2 * 3 * 3)
+
+    def test_winding_matches_delaunay_convention(self):
+        from hive_tpu.meshing.triangulate import triangulate_grid
+
+        mask = np.ones((3, 3), dtype=bool)
+        depth = np.ones((3, 3))
+        points2d, faces, _ = triangulate_grid(mask, depth, MeshFilteringOptions())
+
+        tris = points2d[faces].astype(float)
+        e1 = tris[:, 1] - tris[:, 0]
+        e2 = tris[:, 2] - tris[:, 0]
+        signed_area = e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0]
+        assert (signed_area < 0).all()
+
+    def test_sub_diagonal_pixel_budget_yields_no_faces(self):
+        from hive_tpu.meshing.triangulate import triangulate_grid
+
+        mask = np.ones((3, 3), dtype=bool)
+        depth = np.ones((3, 3))
+        options = MeshFilteringOptions(max_pixel_distance=1)
+        points2d, faces, _ = triangulate_grid(mask, depth, options)
+        assert len(faces) == 0
+        assert len(points2d) == 9
+
+    def test_invalid_pixels_excluded(self):
+        from hive_tpu.meshing.triangulate import triangulate_grid
+
+        mask = np.ones((3, 3), dtype=bool)
+        mask[1, 1] = False  # hole in the middle
+        depth = np.ones((3, 3))
+        points2d, faces, _ = triangulate_grid(mask, depth, MeshFilteringOptions())
+
+        assert len(points2d) == 8
+        # Every quad touches the hole, so no faces survive.
+        assert len(faces) == 0
