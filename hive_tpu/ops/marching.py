@@ -111,10 +111,18 @@ def _active_cubes_mask(tsdf: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
 # Pass 2: triangle emission for active cubes (chunked gather + table lookup).
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _pack_rgb(r, g, b):
+    return r | (g << 8) | (b << 16)
+
+
 @partial(jax.jit, static_argnames=("dims",))
-def _emit_triangles(tsdf_flat: jnp.ndarray, color_flat: jnp.ndarray,
+def _emit_triangles(tsdf_flat: jnp.ndarray, packed_color_flat: jnp.ndarray,
                     cube_idx: jnp.ndarray, *, dims):
     """For (M, 3) active cube indices, emit candidate triangles.
+
+    ``packed_color_flat`` is (N,) uint32 ``r | g<<8 | b<<16`` — one gather per
+    corner instead of a row gather from a tile-padded (N, 3) array.
 
     Returns per (cube, tet, tri):
       positions (M, 6, 2, 3, 3) in voxel units,
@@ -130,7 +138,10 @@ def _emit_triangles(tsdf_flat: jnp.ndarray, color_flat: jnp.ndarray,
     corner_lin = (corners[..., 0] * Y + corners[..., 1]) * Z + corners[..., 2]  # (M, 8)
 
     s = jnp.take(tsdf_flat, corner_lin)                      # (M, 8)
-    col = jnp.take(color_flat, corner_lin, axis=0)           # (M, 8, 3)
+    packed = jnp.take(packed_color_flat, corner_lin)         # (M, 8)
+    col = jnp.stack([(packed & 0xFF).astype(jnp.float32),
+                     ((packed >> 8) & 0xFF).astype(jnp.float32),
+                     ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=-1)
 
     tets = jnp.asarray(TETS)                                 # (6, 4)
     tet_s = s[:, tets]                                       # (M, 6, 4)
@@ -219,7 +230,7 @@ def _emit_triangles(tsdf_flat: jnp.ndarray, color_flat: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("dims", "capacity"))
-def _emit_triangles_compact(tsdf_flat, color_flat, cube_idx, valid_count, *,
+def _emit_triangles_compact(tsdf_flat, packed_color_flat, cube_idx, valid_count, *,
                             dims, capacity: int):
     """Emit triangles and compact the valid ones on device.
 
@@ -229,7 +240,7 @@ def _emit_triangles_compact(tsdf_flat, color_flat, cube_idx, valid_count, *,
     overflow (caller falls back to the uncompacted path for that chunk).
     """
     tri_pos, tri_key, tri_col, tri_valid = _emit_triangles(
-        tsdf_flat, color_flat, cube_idx, dims=dims)
+        tsdf_flat, packed_color_flat, cube_idx, dims=dims)
 
     M = cube_idx.shape[0]
     # Padded cube slots (index >= valid_count) carry no triangles.
@@ -251,7 +262,9 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
 
     :param tsdf: (X, Y, Z) signed distances (device or host array).
     :param weight: (X, Y, Z) observation weights (0 = never observed).
-    :param color: (X, Y, Z, 3) RGB values.
+    :param color: RGB values, either channel planes (3, X, Y, Z) — the
+        TPU-friendly layout, a trailing dim of 3 tile-pads 42x — or
+        channel-last (X, Y, Z, 3) for host-side convenience.
     :param origin: (3,) world position of voxel (0, 0, 0).
     :param voxel_size: edge length of a voxel in meters.
     :param chunk_size: active cubes processed per device dispatch.
@@ -271,7 +284,14 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
                 np.zeros((0, 3), np.uint8))
 
     tsdf_flat = tsdf.reshape(-1)
-    color_flat = color.reshape(-1, 3)
+
+    if color.shape == (*dims, 3):
+        r, g, b = (color[..., ch].reshape(-1) for ch in range(3))
+    else:
+        r, g, b = (color[ch].reshape(-1) for ch in range(3))
+
+    to_u32 = lambda c: jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint32)
+    color_flat = _pack_rgb(to_u32(r), to_u32(g), to_u32(b))
 
     all_pos, all_key, all_col = [], [], []
 

@@ -33,7 +33,9 @@ class TSDFState(NamedTuple):
 
     tsdf: jnp.ndarray    # truncated signed distance, in [-1, 1], init 1
     weight: jnp.ndarray  # accumulated observation weight, init 0
-    color: jnp.ndarray   # (X, Y, Z, 3) running-mean RGB in [0, 255]
+    color: jnp.ndarray   # (3, X, Y, Z) running-mean RGB channel planes in
+                         # [0, 255] — channel-last (X, Y, Z, 3) would tile-pad
+                         # the minor dim 3 -> 128 (42x HBM expansion on TPU)
 
 
 def _integrate_one(state: TSDFState, frame, *, origin, voxel_size, trunc_margin,
@@ -93,11 +95,19 @@ def _integrate_one(state: TSDFState, frame, *, origin, voxel_size, trunc_margin,
     tsdf_old = state.tsdf.astype(jnp.float32)
     tsdf_new = jnp.where(valid, (tsdf_old * w_old + dist * w_obs) / safe_w, tsdf_old)
 
-    rgb = jnp.take(color_im.reshape(-1, 3), flat_idx.reshape(-1), axis=0).reshape(X, Y, Z, 3)
+    # One packed-uint32 gather for colour (r | g<<8 | b<<16): 2 serialized
+    # gathers per voxel total (depth + colour) instead of 4.
+    c = jnp.clip(color_im, 0.0, 255.0).astype(jnp.uint32)
+    packed_im = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+    packed = jnp.take(packed_im.reshape(-1), flat_idx)
+    rgb = jnp.stack([(packed & 0xFF).astype(jnp.float32),
+                     ((packed >> 8) & 0xFF).astype(jnp.float32),
+                     ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=0)
+
     color_old = state.color.astype(jnp.float32)
-    color_new = jnp.where(valid[..., None],
-                          (color_old * w_old[..., None] + rgb * w_obs[..., None])
-                          / safe_w[..., None],
+    color_new = jnp.where(valid[None],
+                          (color_old * w_old[None] + rgb * w_obs[None])
+                          / safe_w[None],
                           color_old)
 
     return TSDFState(tsdf=tsdf_new.astype(store_dtype),
@@ -155,7 +165,7 @@ class TSDFVolume:
         self.state = TSDFState(
             tsdf=jnp.ones((X, Y, Z), dtype=dtype),
             weight=jnp.zeros((X, Y, Z), dtype=dtype),
-            color=jnp.zeros((X, Y, Z, 3), dtype=dtype),
+            color=jnp.zeros((3, X, Y, Z), dtype=dtype),
         )
 
         self._use_color = use_color
@@ -212,9 +222,14 @@ class TSDFVolume:
 
     # -- extraction ----------------------------------------------------------
     def get_volume(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(tsdf, weight, color) as host NumPy arrays."""
+        """(tsdf (X,Y,Z), weight (X,Y,Z), color (X,Y,Z,3)) as host arrays.
+
+        Colour assembles channel-last on the host — the device keeps planes.
+        """
+        color = np.stack([np.asarray(self.state.color[ch]) for ch in range(3)],
+                         axis=-1)
         return (np.asarray(self.state.tsdf), np.asarray(self.state.weight),
-                np.asarray(self.state.color))
+                color.astype(np.float32))
 
     def get_mesh(self):
         """Extract the isosurface as (vertices, faces, normals, colors).

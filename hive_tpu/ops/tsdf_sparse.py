@@ -27,10 +27,18 @@ TPU-specific implementation notes:
   reshape forms lower to fast fused reductions);
 * pyramid levels are flattened into one buffer so each classification query
   is three gathers total (min/max/valid), not per-level loops;
-* the volume is stored block-major ``(nb, Bx, By, Bz)``; band blocks update
-  via whole-block gather/scatter (contiguous copies). If a frame's band
-  overflows the capacity, that frame falls back to the dense path (lax.cond)
-  — correctness never depends on the classification heuristics.
+* the volume is stored block-major with a FLAT per-block voxel axis
+  ``(nb, Bx*By*Bz)`` and colour as channel planes ``(3, nb, Bx*By*Bz)``.
+  This is load-bearing on TPU: the physical layout tiles the two minor dims
+  to (8, 128), so a blocked ``(nb, 16, 16, 8)`` array pads its minor dim
+  8 → 128 (a measured **16x** HBM expansion — a 41M-voxel volume OOM'd a
+  16 GB part) while ``(nb, 2048)`` is exactly tile-aligned: zero padding,
+  and every full-state elementwise pass moves 16x less memory. Likewise
+  ``(..., 3)`` colour would pad 3 → 128 (42x); channel planes don't.
+  Band blocks update via whole-block gather/scatter (contiguous rows). If a
+  frame's band overflows the capacity, that frame falls back to the dense
+  path (lax.cond) — correctness never depends on the classification
+  heuristics.
 
 Colour in free-space blocks is not updated (no surface can live strictly
 inside free space; band frames write colour wherever surfaces appear).
@@ -48,9 +56,9 @@ import numpy as np
 
 
 class SparseTSDFState(NamedTuple):
-    tsdf: jnp.ndarray    # (nb, Bx, By, Bz)
-    weight: jnp.ndarray  # (nb, Bx, By, Bz)
-    color: jnp.ndarray   # (nb, Bx, By, Bz, 3)
+    tsdf: jnp.ndarray    # (nb, BV) where BV = Bx * By * Bz (tile-aligned)
+    weight: jnp.ndarray  # (nb, BV)
+    color: jnp.ndarray   # (3, nb, BV) RGB channel planes
 
 
 def _next_pow2(n: int) -> int:
@@ -203,10 +211,11 @@ class SparseTSDFVolume:
         self.band_capacity = max(64, int(nb * band_capacity_fraction))
 
         Bx, By, Bz = self.block_size
+        self.block_voxels = Bx * By * Bz
         self.state = SparseTSDFState(
-            tsdf=jnp.ones((nb, Bx, By, Bz), dtype=jnp.float32),
-            weight=jnp.zeros((nb, Bx, By, Bz), dtype=jnp.float32),
-            color=jnp.zeros((nb, Bx, By, Bz, 3), dtype=jnp.float32),
+            tsdf=jnp.ones((nb, self.block_voxels), dtype=jnp.float32),
+            weight=jnp.zeros((nb, self.block_voxels), dtype=jnp.float32),
+            color=jnp.zeros((3, nb, self.block_voxels), dtype=jnp.float32),
         )
 
         self._integrate_one = None  # built lazily per image size
@@ -229,8 +238,14 @@ class SparseTSDFVolume:
             [[x * Bx, y * By, z * Bz] for x in (0.0, 1.0) for y in (0.0, 1.0)
              for z in (0.0, 1.0)], dtype=jnp.float32) * voxel
 
-        iota_axes = [jax.lax.broadcasted_iota(jnp.float32, (Bx, By, Bz), a)
-                     for a in range(3)]
+        # Flat in-block voxel index i -> (ix, iy, iz), precomputed as (BV,)
+        # constants (row-major: ix = i // (By*Bz), iy = (i // Bz) % By,
+        # iz = i % Bz) so camera coordinates stay elementwise on the flat axis.
+        BV = Bx * By * Bz
+        flat_i = np.arange(BV)
+        iota_axes = [jnp.asarray((flat_i // (By * Bz)).astype(np.float32)),
+                     jnp.asarray(((flat_i // Bz) % By).astype(np.float32)),
+                     jnp.asarray((flat_i % Bz).astype(np.float32))]
 
         def classify(depth, R, t, intr):
             fx, fy, cx, cy = intr
@@ -279,7 +294,7 @@ class SparseTSDFVolume:
             step = R * voxel                                         # cam delta per index
 
             def axis_term(axis):
-                return (base[:, axis][:, None, None, None]
+                return (base[:, axis][:, None]                       # (K, BV)
                         + iota_axes[0] * step[axis, 0]
                         + iota_axes[1] * step[axis, 1]
                         + iota_axes[2] * step[axis, 2])
@@ -290,7 +305,7 @@ class SparseTSDFVolume:
             # Free blocks are fully inside the image with valid depth
             # everywhere in their footprint: every voxel updates with dist 1.
             # Masked elementwise pass — no index ops at all.
-            is_free = (classes == SparseTSDFVolume.FREE)[:, None, None, None]
+            is_free = (classes == SparseTSDFVolume.FREE)[:, None]
             w_obs = jnp.where(is_free, obs_weight, 0.0)
 
             w_new = state.weight + w_obs
@@ -320,11 +335,11 @@ class SparseTSDFVolume:
             packed = jnp.take(packed_color.reshape(-1), flat)
             rgb = jnp.stack([(packed & 0xFF).astype(jnp.float32),
                              ((packed >> 8) & 0xFF).astype(jnp.float32),
-                             ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=-1)
+                             ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=0)
 
             sdf = depth_val - cam_z
             valid = (in_view & (depth_val > 0.0) & (sdf >= -trunc)
-                     & block_valid[:, None, None, None])
+                     & block_valid[:, None])
 
             dist = jnp.minimum(1.0, sdf / trunc)
             w_obs = jnp.where(valid, obs_weight, 0.0)
@@ -334,9 +349,9 @@ class SparseTSDFVolume:
 
             tsdf_new = jnp.where(valid, (block_tsdf * block_weight + dist * w_obs)
                                  / safe_w, block_tsdf)
-            color_new = jnp.where(valid[..., None],
-                                  (block_color * block_weight[..., None]
-                                   + rgb * w_obs[..., None]) / safe_w[..., None],
+            color_new = jnp.where(valid[None],
+                                  (block_color * block_weight[None]
+                                   + rgb * w_obs[None]) / safe_w[None],
                                   block_color)
 
             return tsdf_new, w_new, color_new
@@ -344,15 +359,16 @@ class SparseTSDFVolume:
         def update_band(state, band_ids, band_valid, depth, packed_color, R, t, intr,
                         obs_weight):
             tsdf_new, w_new, color_new = band_update_values(
-                state.tsdf[band_ids], state.weight[band_ids], state.color[band_ids],
-                band_ids, band_valid, depth, packed_color, R, t, intr, obs_weight)
+                state.tsdf[band_ids], state.weight[band_ids],
+                state.color[:, band_ids], band_ids, band_valid, depth,
+                packed_color, R, t, intr, obs_weight)
 
             scatter_ids = jnp.where(band_valid, band_ids, nb)
 
             return SparseTSDFState(
                 tsdf=state.tsdf.at[scatter_ids].set(tsdf_new, mode="drop"),
                 weight=state.weight.at[scatter_ids].set(w_new, mode="drop"),
-                color=state.color.at[scatter_ids].set(color_new, mode="drop"),
+                color=state.color.at[:, scatter_ids].set(color_new, mode="drop"),
             )
 
         def update_dense(state, depth, packed_color, R, t, intr, obs_weight):
@@ -444,7 +460,7 @@ class SparseTSDFVolume:
                 (depths, colors, world_to_cams, obs_weights))
 
             # One batched free-space pass: dist = 1 with total weight k.
-            k = free_weights[:, None, None, None]
+            k = free_weights[:, None]
             w_new = state.weight + k
             tsdf_new = jnp.where(k > 0,
                                  (state.tsdf * state.weight + k)
@@ -502,20 +518,31 @@ class SparseTSDFVolume:
 
     # -- extraction -----------------------------------------------------------
     def _dense(self):
+        """(tsdf (X,Y,Z), weight (X,Y,Z), color planes (3,X,Y,Z)) on device.
+
+        Colour stays as channel planes — a dense ``(X,Y,Z,3)`` array would
+        tile-pad its minor dim 3 -> 128 (42x HBM expansion).
+        """
         nbx, nby, nbz = self.grid_blocks
         Bx, By, Bz = self.block_size
 
-        def to_dense(blocked, extra=()):
-            a = blocked.reshape(nbx, nby, nbz, Bx, By, Bz, *extra)
-            a = jnp.transpose(a, (0, 3, 1, 4, 2, 5, *range(6, 6 + len(extra))))
-            return a.reshape(*self.dims, *extra)
+        def to_dense(blocked):
+            a = blocked.reshape(nbx, nby, nbz, Bx, By, Bz)
+            a = jnp.transpose(a, (0, 3, 1, 4, 2, 5))
+            return a.reshape(*self.dims)
+
+        color_planes = jnp.stack([to_dense(self.state.color[ch])
+                                  for ch in range(3)])
 
         return (to_dense(self.state.tsdf), to_dense(self.state.weight),
-                to_dense(self.state.color, extra=(3,)))
+                color_planes)
 
     def get_volume(self):
-        tsdf, weight, color = self._dense()
-        return np.asarray(tsdf), np.asarray(weight), np.asarray(color)
+        tsdf, weight, color_planes = self._dense()
+        # Host-side channel-last assembly (device (X,Y,Z,3) would tile-pad).
+        color = np.stack([np.asarray(color_planes[ch]) for ch in range(3)],
+                         axis=-1)
+        return np.asarray(tsdf), np.asarray(weight), color
 
     def get_mesh(self):
         from hive_tpu.meshing.mesh import TriangleMesh

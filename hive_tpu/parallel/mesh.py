@@ -64,9 +64,13 @@ def shard_batch(mesh: Mesh, array, axis: int = 0):
     return jax.device_put(array, NamedSharding(mesh, P(*spec)))
 
 
-def shard_volume(mesh: Mesh, volume):
-    """Shard a voxel array over its leading (X) axis."""
-    return shard_batch(mesh, volume, axis=0)
+def shard_volume(mesh: Mesh, volume, axis: int = 0):
+    """Shard a voxel array over its X axis.
+
+    ``axis=0`` for (X, Y, Z) tsdf/weight arrays; pass ``axis=1`` for the
+    channel-plane colour array (3, X, Y, Z).
+    """
+    return shard_batch(mesh, volume, axis=axis)
 
 
 def replicate(mesh: Mesh, array):

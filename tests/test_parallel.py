@@ -78,16 +78,18 @@ class TestShardedTSDF:
                 dims=dims, height=height, width=width)
             return new_state
 
-        def fresh_state(device_put=None):
+        def fresh_state(sharded=False):
             state = TSDFState(tsdf=jnp.ones(dims), weight=jnp.zeros(dims),
-                              color=jnp.zeros((*dims, 3)))
-            if device_put:
-                state = TSDFState(*[device_put(a) for a in state])
+                              color=jnp.zeros((3, *dims)))
+            if sharded:
+                state = TSDFState(tsdf=shard_volume(mesh, state.tsdf),
+                                  weight=shard_volume(mesh, state.weight),
+                                  color=shard_volume(mesh, state.color, axis=1))
             return state
 
         expected = jax.jit(step)(fresh_state())
 
-        sharded_state = fresh_state(lambda a: shard_volume(mesh, a))
+        sharded_state = fresh_state(sharded=True)
         with mesh:
             result = jax.jit(step)(sharded_state)
 
@@ -106,7 +108,7 @@ class TestShardedTSDF:
         state = TSDFState(
             tsdf=shard_volume(mesh, jnp.ones(dims)),
             weight=shard_volume(mesh, jnp.zeros(dims)),
-            color=shard_volume(mesh, jnp.zeros((*dims, 3))),
+            color=shard_volume(mesh, jnp.zeros((3, *dims)), axis=1),
         )
 
         depth = jnp.ones((height, width))
