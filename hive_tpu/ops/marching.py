@@ -252,8 +252,12 @@ def _emit_triangles_compact(tsdf_flat, packed_color_flat, cube_idx, valid_count,
 
     idx = jnp.nonzero(flat_valid, size=capacity, fill_value=0)[0]
 
+    # Colours quantise to uint8 on device: 4x less data over the host link.
+    col_u8 = jnp.clip(jnp.round(tri_col.reshape(-1, 3, 3)[idx]), 0, 255
+                      ).astype(jnp.uint8)
+
     return (tri_pos.reshape(-1, 3, 3)[idx], tri_key.reshape(-1, 3, 2)[idx],
-            tri_col.reshape(-1, 3, 3)[idx], count)
+            col_u8, count)
 
 
 def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
@@ -276,12 +280,20 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
     color = jnp.asarray(color)
     dims = tuple(tsdf.shape)
 
-    mask = np.asarray(_active_cubes_mask(tsdf, weight))
-    active = np.argwhere(mask).astype(np.int32)
+    # Compact active-cube indices on device: only (A,) int32 linear indices
+    # cross to the host, not the (X, Y, Z) bool mask — which is 1 byte/voxel
+    # and dominates extraction wall-clock behind a slow device link.
+    mask_flat = _active_cubes_mask(tsdf, weight).reshape(-1)
+    num_active = int(jnp.sum(mask_flat))
 
-    if len(active) == 0:
+    if num_active == 0:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
                 np.zeros((0, 3), np.uint8))
+
+    lin = np.asarray(jnp.nonzero(mask_flat, size=num_active)[0])
+    cy, cz = (dims[1] - 1), (dims[2] - 1)
+    active = np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
+                      axis=-1).astype(np.int32)
 
     tsdf_flat = tsdf.reshape(-1)
 
