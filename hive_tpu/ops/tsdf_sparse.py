@@ -178,7 +178,13 @@ class SparseTSDFVolume:
     def __init__(self, volume_bounds, voxel_size: float,
                  trunc_margin: Optional[float] = None,
                  block_size: Union[int, Sequence[int]] = (16, 16, 8),
-                 band_capacity_fraction: float = 0.25):
+                 band_capacity_fraction: float = 0.25,
+                 dtype=jnp.float32):
+        """
+        :param dtype: storage dtype for the voxel arrays. ``jnp.bfloat16``
+            halves HBM (a 320M-voxel volume drops to ~3.2 GB); updates always
+            accumulate in float32.
+        """
         volume_bounds = np.asarray(volume_bounds, dtype=np.float32)
 
         if volume_bounds.shape != (3, 2):
@@ -212,10 +218,11 @@ class SparseTSDFVolume:
 
         Bx, By, Bz = self.block_size
         self.block_voxels = Bx * By * Bz
+        self.dtype = dtype
         self.state = SparseTSDFState(
-            tsdf=jnp.ones((nb, self.block_voxels), dtype=jnp.float32),
-            weight=jnp.zeros((nb, self.block_voxels), dtype=jnp.float32),
-            color=jnp.zeros((3, nb, self.block_voxels), dtype=jnp.float32),
+            tsdf=jnp.ones((nb, self.block_voxels), dtype=dtype),
+            weight=jnp.zeros((nb, self.block_voxels), dtype=dtype),
+            color=jnp.zeros((3, nb, self.block_voxels), dtype=dtype),
         )
 
         self._integrate_one = None  # built lazily per image size
@@ -305,19 +312,26 @@ class SparseTSDFVolume:
             # Free blocks are fully inside the image with valid depth
             # everywhere in their footprint: every voxel updates with dist 1.
             # Masked elementwise pass — no index ops at all.
+            store = state.tsdf.dtype
             is_free = (classes == SparseTSDFVolume.FREE)[:, None]
             w_obs = jnp.where(is_free, obs_weight, 0.0)
 
-            w_new = state.weight + w_obs
+            w_old = state.weight.astype(jnp.float32)
+            w_new = w_old + w_obs
             tsdf_new = jnp.where(is_free,
-                                 (state.tsdf * state.weight + w_obs)
+                                 (state.tsdf.astype(jnp.float32) * w_old + w_obs)
                                  / jnp.maximum(w_new, 1e-12),
-                                 state.tsdf)
+                                 state.tsdf.astype(jnp.float32))
 
-            return SparseTSDFState(tsdf=tsdf_new, weight=w_new, color=state.color)
+            return SparseTSDFState(tsdf=tsdf_new.astype(store),
+                                   weight=w_new.astype(store), color=state.color)
 
         def band_update_values(block_tsdf, block_weight, block_color, block_ids,
                                block_valid, depth, packed_color, R, t, intr, obs_weight):
+            # Accumulate in fp32 regardless of storage dtype.
+            block_tsdf = block_tsdf.astype(jnp.float32)
+            block_weight = block_weight.astype(jnp.float32)
+            block_color = block_color.astype(jnp.float32)
             fx, fy, cx, cy = intr
             cam_x, cam_y, cam_z = block_camera_coords(block_ids, R, t)
 
@@ -364,11 +378,15 @@ class SparseTSDFVolume:
                 packed_color, R, t, intr, obs_weight)
 
             scatter_ids = jnp.where(band_valid, band_ids, nb)
+            store = state.tsdf.dtype
 
             return SparseTSDFState(
-                tsdf=state.tsdf.at[scatter_ids].set(tsdf_new, mode="drop"),
-                weight=state.weight.at[scatter_ids].set(w_new, mode="drop"),
-                color=state.color.at[:, scatter_ids].set(color_new, mode="drop"),
+                tsdf=state.tsdf.at[scatter_ids].set(tsdf_new.astype(store),
+                                                    mode="drop"),
+                weight=state.weight.at[scatter_ids].set(w_new.astype(store),
+                                                        mode="drop"),
+                color=state.color.at[:, scatter_ids].set(color_new.astype(store),
+                                                         mode="drop"),
             )
 
         def update_dense(state, depth, packed_color, R, t, intr, obs_weight):
@@ -378,7 +396,10 @@ class SparseTSDFVolume:
                 state.tsdf, state.weight, state.color, all_ids, all_valid,
                 depth, packed_color, R, t, intr, obs_weight)
 
-            return SparseTSDFState(tsdf=tsdf_new, weight=w_new, color=color_new)
+            store = state.tsdf.dtype
+            return SparseTSDFState(tsdf=tsdf_new.astype(store),
+                                   weight=w_new.astype(store),
+                                   color=color_new.astype(store))
 
         def integrate_body(state, depth, color_im, world_to_cam, intr, obs_weight):
             R = world_to_cam[:3, :3]
@@ -460,14 +481,17 @@ class SparseTSDFVolume:
                 (depths, colors, world_to_cams, obs_weights))
 
             # One batched free-space pass: dist = 1 with total weight k.
+            store = state.tsdf.dtype
             k = free_weights[:, None]
-            w_new = state.weight + k
+            w_old = state.weight.astype(jnp.float32)
+            w_new = w_old + k
             tsdf_new = jnp.where(k > 0,
-                                 (state.tsdf * state.weight + k)
+                                 (state.tsdf.astype(jnp.float32) * w_old + k)
                                  / jnp.maximum(w_new, 1e-12),
-                                 state.tsdf)
+                                 state.tsdf.astype(jnp.float32))
 
-            return SparseTSDFState(tsdf=tsdf_new, weight=w_new, color=state.color)
+            return SparseTSDFState(tsdf=tsdf_new.astype(store),
+                                   weight=w_new.astype(store), color=state.color)
 
         integrate_one.scan = integrate_scan
 
@@ -527,7 +551,7 @@ class SparseTSDFVolume:
         Bx, By, Bz = self.block_size
 
         def to_dense(blocked):
-            a = blocked.reshape(nbx, nby, nbz, Bx, By, Bz)
+            a = blocked.astype(jnp.float32).reshape(nbx, nby, nbz, Bx, By, Bz)
             a = jnp.transpose(a, (0, 3, 1, 4, 2, 5))
             return a.reshape(*self.dims)
 

@@ -104,6 +104,37 @@ class TestSparseEquivalence:
         assert (np.abs(tsdf_s - tsdf_d) > 1e-4).mean() < 2e-3
 
 
+class TestBF16Storage:
+    def test_bf16_matches_fp32_closely(self):
+        depths, colors, poses = _frames()
+
+        fp32 = SparseTSDFVolume(BOUNDS, voxel_size=0.05)
+        fp32.integrate_frames(colors, depths, K, poses)
+
+        bf16 = SparseTSDFVolume(BOUNDS, voxel_size=0.05, dtype=jnp.bfloat16)
+        bf16.integrate_frames(colors, depths, K, poses)
+
+        assert bf16.state.tsdf.dtype == jnp.bfloat16
+
+        tsdf_f, w_f, c_f = fp32.get_volume()
+        tsdf_b, w_b, c_b = bf16.get_volume()
+
+        observed = w_f > 0
+        # bf16 has ~8 mantissa bits: |tsdf| <= 1 stores to ~4e-3.
+        assert np.abs(tsdf_b - tsdf_f)[observed].max() < 0.02
+        np.testing.assert_allclose(w_b, w_f, atol=0.05)
+        assert np.abs(c_b - c_f)[observed].max() < 4.0
+
+    def test_bf16_mesh_extraction_works(self):
+        depths, colors, poses = _frames(num_frames=1)
+        volume = SparseTSDFVolume(BOUNDS, voxel_size=0.05, dtype=jnp.bfloat16)
+        volume.integrate_frames(colors, depths, K, poses)
+
+        verts, faces, normals, vcols = volume.get_mesh()
+        assert len(verts) > 0 and len(faces) > 0
+        assert verts.dtype == np.float32
+
+
 class TestSparseProperties:
     def test_dims_round_to_block_multiple(self):
         volume = SparseTSDFVolume(np.array([[0.0, 0.9]] * 3), voxel_size=0.05,
