@@ -95,12 +95,20 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
 
     logging.info("Initializing voxel volume...")
 
+    # Above ~100M voxels switch to bf16 storage (fp32 accumulate): halves HBM
+    # so the reference's default 320M-voxel budget fits a 16 GB part.
+    import jax.numpy as jnp
+
+    est_dims = np.ceil((volume_bounds[:, 1] - volume_bounds[:, 0]) / voxel_size)
+    dtype = jnp.bfloat16 if float(np.prod(est_dims)) > 1e8 else jnp.float32
+
     if use_sparse:
         from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
 
-        volume = SparseTSDFVolume(volume_bounds, voxel_size=voxel_size)
+        volume = SparseTSDFVolume(volume_bounds, voxel_size=voxel_size,
+                                  dtype=dtype)
     else:
-        volume = TSDFVolume(volume_bounds, voxel_size=voxel_size)
+        volume = TSDFVolume(volume_bounds, voxel_size=voxel_size, dtype=dtype)
 
     logging.info(f"Voxel volume dims {volume.dims} "
                  f"({volume.num_voxels:,d} voxels at {voxel_size:.4f} m)")

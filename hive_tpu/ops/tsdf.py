@@ -228,7 +228,8 @@ class TSDFVolume:
         """
         color = np.stack([np.asarray(self.state.color[ch]) for ch in range(3)],
                          axis=-1)
-        return (np.asarray(self.state.tsdf), np.asarray(self.state.weight),
+        return (np.asarray(self.state.tsdf).astype(np.float32),
+                np.asarray(self.state.weight).astype(np.float32),
                 color.astype(np.float32))
 
     def get_mesh(self):
