@@ -261,7 +261,7 @@ def _emit_triangles_compact(tsdf_flat, packed_color_flat, cube_idx, valid_count,
 
 
 def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
-                       chunk_size: int = 1 << 16) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                       chunk_size: int = 1 << 15) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Extract the zero level set of a TSDF volume.
 
     :param tsdf: (X, Y, Z) signed distances (device or host array).
@@ -307,10 +307,12 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
 
     all_pos, all_key, all_col = [], [], []
 
-    # Marching tetrahedra emits at most 12 triangles per cube; active cubes
-    # average ~2, so this capacity overflows rarely (overflow falls back to
-    # transferring the chunk uncompacted).
-    capacity = chunk_size * 4
+    # Marching tetrahedra emits at most 12 triangles per cube (6 tets x 2),
+    # so this capacity can never overflow. (Sizing for an "average" density
+    # instead was a measured trap: dense surface bands hit ~6 triangles/cube,
+    # and an overflow fallback that re-transfers the chunk uncompacted turned
+    # a 3 s extraction into 10 s behind a slow device link.)
+    capacity = chunk_size * 12
 
     for start in range(0, len(active), chunk_size):
         chunk = active[start:start + chunk_size]
@@ -325,22 +327,9 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
             jnp.int32(valid_count), dims=dims, capacity=capacity)
         count = int(count)
 
-        if count <= capacity:
-            all_pos.append(np.asarray(pos[:count]))
-            all_key.append(np.asarray(key[:count]))
-            all_col.append(np.asarray(col[:count]))
-        else:
-            # Rare overflow: transfer the full (uncompacted) chunk output.
-            tri_pos, tri_key, tri_col, tri_valid = _emit_triangles(
-                tsdf_flat, color_flat, jnp.asarray(chunk), dims=dims)
-
-            valid = np.array(tri_valid)
-            valid[valid_count:] = False
-            valid_flat = valid.reshape(-1)
-
-            all_pos.append(np.asarray(tri_pos).reshape(-1, 3, 3)[valid_flat])
-            all_key.append(np.asarray(tri_key).reshape(-1, 3, 2)[valid_flat])
-            all_col.append(np.asarray(tri_col).reshape(-1, 3, 3)[valid_flat])
+        all_pos.append(np.asarray(pos[:count]))
+        all_key.append(np.asarray(key[:count]))
+        all_col.append(np.asarray(col[:count]))
 
     tri_pos = np.concatenate(all_pos)     # (T, 3 verts, 3)
     tri_key = np.concatenate(all_key)     # (T, 3 verts, 2)
