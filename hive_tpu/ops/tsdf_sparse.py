@@ -58,7 +58,9 @@ import numpy as np
 class SparseTSDFState(NamedTuple):
     tsdf: jnp.ndarray    # (nb, BV) where BV = Bx * By * Bz (tile-aligned)
     weight: jnp.ndarray  # (nb, BV)
-    color: jnp.ndarray   # (3, nb, BV) RGB channel planes
+    color: jnp.ndarray   # (nb, 3*BV): per-block R|G|B channel segments —
+                         # row-major so band blocks gather/scatter on the
+                         # leading axis (axis-1 scatter lowers poorly)
 
 
 def _next_pow2(n: int) -> int:
@@ -222,7 +224,7 @@ class SparseTSDFVolume:
         self.state = SparseTSDFState(
             tsdf=jnp.ones((nb, self.block_voxels), dtype=dtype),
             weight=jnp.zeros((nb, self.block_voxels), dtype=dtype),
-            color=jnp.zeros((3, nb, self.block_voxels), dtype=dtype),
+            color=jnp.zeros((nb, 3 * self.block_voxels), dtype=dtype),
         )
 
         self._integrate_one = None  # built lazily per image size
@@ -347,9 +349,11 @@ class SparseTSDFVolume:
             # One packed-uint32 gather for colour (r | g<<8 | b<<16): the
             # serialized gather count per voxel drops from 4 to 2.
             packed = jnp.take(packed_color.reshape(-1), flat)
+            # (K, 3, BV): channel axis in the middle matches the (K, 3*BV)
+            # row-major storage segments.
             rgb = jnp.stack([(packed & 0xFF).astype(jnp.float32),
                              ((packed >> 8) & 0xFF).astype(jnp.float32),
-                             ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=0)
+                             ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=1)
 
             sdf = depth_val - cam_z
             valid = (in_view & (depth_val > 0.0) & (sdf >= -trunc)
@@ -363,18 +367,21 @@ class SparseTSDFVolume:
 
             tsdf_new = jnp.where(valid, (block_tsdf * block_weight + dist * w_obs)
                                  / safe_w, block_tsdf)
-            color_new = jnp.where(valid[None],
-                                  (block_color * block_weight[None]
-                                   + rgb * w_obs[None]) / safe_w[None],
+
+            k = block_tsdf.shape[0]
+            block_color = block_color.reshape(k, 3, -1)
+            color_new = jnp.where(valid[:, None],
+                                  (block_color * block_weight[:, None]
+                                   + rgb * w_obs[:, None]) / safe_w[:, None],
                                   block_color)
 
-            return tsdf_new, w_new, color_new
+            return tsdf_new, w_new, color_new.reshape(k, -1)
 
         def update_band(state, band_ids, band_valid, depth, packed_color, R, t, intr,
                         obs_weight):
             tsdf_new, w_new, color_new = band_update_values(
                 state.tsdf[band_ids], state.weight[band_ids],
-                state.color[:, band_ids], band_ids, band_valid, depth,
+                state.color[band_ids], band_ids, band_valid, depth,
                 packed_color, R, t, intr, obs_weight)
 
             scatter_ids = jnp.where(band_valid, band_ids, nb)
@@ -385,8 +392,8 @@ class SparseTSDFVolume:
                                                     mode="drop"),
                 weight=state.weight.at[scatter_ids].set(w_new.astype(store),
                                                         mode="drop"),
-                color=state.color.at[:, scatter_ids].set(color_new.astype(store),
-                                                         mode="drop"),
+                color=state.color.at[scatter_ids].set(color_new.astype(store),
+                                                      mode="drop"),
             )
 
         def update_dense(state, depth, packed_color, R, t, intr, obs_weight):
@@ -555,8 +562,10 @@ class SparseTSDFVolume:
             a = jnp.transpose(a, (0, 3, 1, 4, 2, 5))
             return a.reshape(*self.dims)
 
-        color_planes = jnp.stack([to_dense(self.state.color[ch])
-                                  for ch in range(3)])
+        BV = self.block_voxels
+        color_planes = jnp.stack(
+            [to_dense(self.state.color[:, ch * BV:(ch + 1) * BV])
+             for ch in range(3)])
 
         return (to_dense(self.state.tsdf), to_dense(self.state.weight),
                 color_planes)
