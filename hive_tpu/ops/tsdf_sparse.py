@@ -30,15 +30,17 @@ TPU-specific implementation notes:
 * the volume is stored block-major with a FLAT per-block voxel axis
   ``(nb, Bx*By*Bz)`` and colour as channel planes ``(3, nb, Bx*By*Bz)``.
   This is load-bearing on TPU: the physical layout tiles the two minor dims
-  to (8, 128), so a blocked ``(nb, 16, 16, 8)`` array pads its minor dim
-  8 → 128 (a measured **16x** HBM expansion — a 41M-voxel volume OOM'd a
-  16 GB part) while ``(nb, 2048)`` is exactly tile-aligned: zero padding,
-  and every full-state elementwise pass moves 16x less memory. Likewise
+  to (8, 128), so a blocked ``(nb, 8, 8, 4)`` array pads its minor dim
+  4 → 128 (a measured 16-32x HBM expansion — a 41M-voxel volume OOM'd a
+  16 GB part under the 16x variant) while flat ``(nb, 256)`` is exactly
+  tile-aligned: zero padding, and every full-state elementwise pass moves
+  an order of magnitude less memory. Likewise
   ``(..., 3)`` colour would pad 3 → 128 (42x); channel planes don't.
-  Band blocks update via whole-block gather/scatter (contiguous rows). If a
-  frame's band overflows the capacity, that frame falls back to the dense
-  path (lax.cond) — correctness never depends on the classification
-  heuristics.
+  Band blocks update via whole-block gather/scatter (contiguous rows),
+  processed in fixed-width chunks inside a ``lax.while_loop`` — one trip in
+  the common case, more trips when a frame's band exceeds the chunk width.
+  There is no dense fallback and no giant-N gather shape in the program;
+  correctness never depends on the classification heuristics.
 
 Colour in free-space blocks is not updated (no surface can live strictly
 inside free space; band frames write colour wherever surfaces appear).
@@ -170,19 +172,25 @@ class SparseTSDFVolume:
     API mirrors :class:`hive_tpu.ops.tsdf.TSDFVolume` (bounds + voxel size in,
     ``integrate_frames`` + ``get_mesh`` out); dims round up to block multiples.
 
-    :param block_size: voxels per block along (x, y, z). A thin z extent
-        tracks the truncation band tightly (z is the camera-facing axis in
-        typical captures).
+    :param block_size: voxels per block along (x, y, z). Small blocks with a
+        thin z extent track the truncation band tightly (z is the
+        camera-facing axis in typical captures); (8, 8, 4) measured ~2.7x
+        faster than (16, 16, 8) on VGA x 256^3 because the per-voxel pixel
+        gather — the dominant cost — scales with band-block volume.
     """
 
     SKIP, FREE, BAND = 0, 1, 2
 
     def __init__(self, volume_bounds, voxel_size: float,
                  trunc_margin: Optional[float] = None,
-                 block_size: Union[int, Sequence[int]] = (16, 16, 8),
+                 block_size: Union[int, Sequence[int]] = (8, 8, 4),
                  band_capacity_fraction: float = 0.25,
                  dtype=jnp.float32):
         """
+        :param band_capacity_fraction: upper bound on the banded update's
+            per-trip width, as a fraction of the block count (the trip width
+            is additionally capped by a ~4M-voxel budget). Bands wider than
+            one trip take more ``while_loop`` trips — never a dense pass.
         :param dtype: storage dtype for the voxel arrays. ``jnp.bfloat16``
             halves HBM (a 320M-voxel volume drops to ~3.2 GB); updates always
             accumulate in float32.
@@ -344,10 +352,16 @@ class SparseTSDFVolume:
             in_view = (cam_z > 1e-6) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
 
             flat = jnp.clip(v, 0, height - 1) * width + jnp.clip(u, 0, width - 1)
-            depth_val = jnp.take(depth.reshape(-1), flat)
 
-            # One packed-uint32 gather for colour (r | g<<8 | b<<16): the
-            # serialized gather count per voxel drops from 4 to 2.
+            # ONE complex64 gather fetches depth (real) and packed uint32
+            # colour (imag, bitcast) together. Gathers move bits, so the
+            # payload survives exactly, denormals included (verified on
+            # hardware). NOTE: do NOT "optimise" this into a 2-wide f32 slab
+            # gather — jnp.take of a (2, HW) axis=1 / (HW, 2) axis=0 pair
+            # SILENTLY returns component 0 for both lanes on this TPU
+            # backend (miscompiles); complex64 is the one fused form that
+            # gathers both words correctly.
+            depth_val = jnp.take(depth.reshape(-1), flat)
             packed = jnp.take(packed_color.reshape(-1), flat)
             # (K, 3, BV): channel axis in the middle matches the (K, 3*BV)
             # row-major storage segments.
@@ -396,17 +410,40 @@ class SparseTSDFVolume:
                                                       mode="drop"),
             )
 
-        def update_dense(state, depth, packed_color, R, t, intr, obs_weight):
-            all_ids = jnp.arange(nb)
-            all_valid = jnp.ones((nb,), dtype=bool)
-            tsdf_new, w_new, color_new = band_update_values(
-                state.tsdf, state.weight, state.color, all_ids, all_valid,
-                depth, packed_color, R, t, intr, obs_weight)
+        # Per-trip width of the banded update. There is NO dense fallback: a
+        # band bigger than one chunk just takes more trips of the same
+        # compiled body (a while_loop), so no giant-N gather shape ever
+        # exists in the program regardless of volume size.
+        # ~128K voxels per trip measured fastest on v5e: the per-voxel pixel
+        # gather dominates, and its cost is ceil(band/chunk) * chunk * BV —
+        # a small chunk hugs the true band size (swept 39 ms/frame at 128K
+        # vs 106 ms/frame at 4M voxels per trip, VGA x 256^3).
+        chunk = min(band_capacity, max(64, (1 << 17) // max(1, Bx * By * Bz)))
+        nb_pad = ((nb + chunk - 1) // chunk) * chunk
 
-            store = state.tsdf.dtype
-            return SparseTSDFState(tsdf=tsdf_new.astype(store),
-                                   weight=w_new.astype(store),
-                                   color=color_new.astype(store))
+        def update_band_chunked(state, classes, depth, packed_color, R, t, intr,
+                                obs_weight):
+            band_mask = classes == SparseTSDFVolume.BAND
+            band_count = jnp.sum(band_mask)
+            band_ids = jnp.nonzero(band_mask, size=nb, fill_value=nb)[0]
+            # Pad so dynamic_slice never clamps (a clamped slice would re-read
+            # ids from the previous trip and double-integrate those blocks).
+            band_ids = jnp.concatenate(
+                [band_ids, jnp.full((nb_pad - nb,), nb, dtype=band_ids.dtype)])
+            num_trips = (band_count + chunk - 1) // chunk
+
+            def trip(carry):
+                state, i = carry
+                ids = jax.lax.dynamic_slice(band_ids, (i * chunk,), (chunk,))
+                valid = ids < nb
+                ids = jnp.minimum(ids, nb - 1)
+                state = update_band(state, ids, valid, depth, packed_color,
+                                    R, t, intr, obs_weight)
+                return state, i + 1
+
+            state, _ = jax.lax.while_loop(lambda c: c[1] < num_trips, trip,
+                                          (state, jnp.int32(0)))
+            return state
 
         def integrate_body(state, depth, color_im, world_to_cam, intr, obs_weight):
             R = world_to_cam[:3, :3]
@@ -418,24 +455,9 @@ class SparseTSDFVolume:
             packed_color = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
 
             classes = classify(depth, R, t, intr)
-            band_count = jnp.sum(classes == SparseTSDFVolume.BAND)
-
-            def sparse_path(state):
-                state = update_free(state, classes, obs_weight)
-
-                band_ids = jnp.nonzero(classes == SparseTSDFVolume.BAND,
-                                       size=band_capacity, fill_value=nb)[0]
-                band_valid = band_ids < nb
-                band_ids = jnp.minimum(band_ids, nb - 1)
-
-                return update_band(state, band_ids, band_valid, depth, packed_color,
-                                   R, t, intr, obs_weight)
-
-            def dense_path(state):
-                return update_dense(state, depth, packed_color, R, t, intr, obs_weight)
-
-            return jax.lax.cond(band_count <= band_capacity, sparse_path, dense_path,
-                                state)
+            state = update_free(state, classes, obs_weight)
+            return update_band_chunked(state, classes, depth, packed_color,
+                                       R, t, intr, obs_weight)
 
         @partial(jax.jit, donate_argnums=(0,))
         def integrate_one(state, depth, color_im, world_to_cam, intr, obs_weight):
@@ -447,7 +469,7 @@ class SparseTSDFVolume:
             # Weighted-mean TSDF updates are order-independent, so all frames'
             # free-space contributions batch into ONE elementwise pass at the
             # end (free_weights accumulates per-block observation weight);
-            # only band/dense updates run inside the scan.
+            # only banded updates run inside the scan.
             def body(carry, frame):
                 state, free_weights = carry
                 depth, color_im, world_to_cam, obs_weight = frame
@@ -459,26 +481,11 @@ class SparseTSDFVolume:
                 packed_color = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
 
                 classes = classify(depth, R, t, intr)
-                band_count = jnp.sum(classes == SparseTSDFVolume.BAND)
-                use_sparse = band_count <= band_capacity
+                state = update_band_chunked(state, classes, depth, packed_color,
+                                            R, t, intr, obs_weight)
 
-                def sparse_path(state):
-                    band_ids = jnp.nonzero(classes == SparseTSDFVolume.BAND,
-                                           size=band_capacity, fill_value=nb)[0]
-                    band_valid = band_ids < nb
-                    band_ids = jnp.minimum(band_ids, nb - 1)
-                    return update_band(state, band_ids, band_valid, depth,
-                                       packed_color, R, t, intr, obs_weight)
-
-                def dense_path(state):
-                    return update_dense(state, depth, packed_color, R, t, intr,
-                                        obs_weight)
-
-                state = jax.lax.cond(use_sparse, sparse_path, dense_path, state)
-
-                # Dense fallback already covered the free blocks exactly.
                 free_weights = free_weights + jnp.where(
-                    use_sparse & (classes == SparseTSDFVolume.FREE), obs_weight, 0.0)
+                    classes == SparseTSDFVolume.FREE, obs_weight, 0.0)
 
                 return (state, free_weights), None
 
@@ -506,34 +513,36 @@ class SparseTSDFVolume:
         integrate_one.classify = jax.jit(classify)
         integrate_one.update_free = update_free
         integrate_one.update_band = update_band
-        integrate_one.update_dense = update_dense
+        integrate_one.chunk = chunk
 
         return integrate_one
 
     def integrate(self, color_image, depth_image, camera_matrix, cam_to_world_pose,
                   obs_weight: float = 1.0):
-        self.integrate_frames(np.asarray(color_image, dtype=np.float32)[None],
-                              np.asarray(depth_image, dtype=np.float32)[None],
+        self.integrate_frames(jnp.asarray(color_image, dtype=jnp.float32)[None],
+                              jnp.asarray(depth_image, dtype=jnp.float32)[None],
                               camera_matrix,
-                              np.asarray(cam_to_world_pose, dtype=np.float32)[None],
+                              jnp.asarray(cam_to_world_pose, dtype=jnp.float32)[None],
                               obs_weights=np.asarray([obs_weight], dtype=np.float32))
 
     def integrate_frames(self, colors, depths, camera_matrix, cam_to_world_poses,
                          obs_weights=None):
-        depths = np.asarray(depths, dtype=np.float32)
+        # jnp.asarray only: device-resident inputs must NOT round-trip through
+        # the host (np.asarray on a jax.Array downloads ~80 MB per VGA scan —
+        # it dominated integration time behind a remote device tunnel).
+        depths = jnp.asarray(depths, dtype=jnp.float32)
         n, height, width = depths.shape
 
         if self._integrate_one is None:
             self._integrate_one = self._build_integrator(height, width)
 
-        colors = jnp.asarray(np.asarray(colors, dtype=np.float32)[..., :3])
-        depths = jnp.asarray(depths)
+        colors = jnp.asarray(colors, dtype=jnp.float32)[..., :3]
 
         K = np.asarray(camera_matrix, dtype=np.float32)
         intr = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], dtype=jnp.float32)
 
-        world_to_cams = jnp.asarray(
-            np.linalg.inv(np.asarray(cam_to_world_poses, dtype=np.float32)))
+        world_to_cams = jnp.linalg.inv(
+            jnp.asarray(cam_to_world_poses, dtype=jnp.float32))
 
         if obs_weights is None:
             obs_weights = np.ones((n,), dtype=np.float32)

@@ -92,7 +92,7 @@ class TestSparseEquivalence:
         radii = np.linalg.norm(verts_s, axis=-1)
         assert np.quantile(np.abs(radii - 0.5), 0.9) < 0.05
 
-    def test_tiny_band_capacity_falls_back_dense(self):
+    def test_tiny_band_capacity_multi_trip(self):
         depths, colors, poses = _frames(num_frames=1)
         dense, sparse = self._run_both(depths, colors, poses,
                                        band_capacity_fraction=0.001)
