@@ -52,7 +52,11 @@ struct Quadric {
                      - a12 * (a12 * a33 - a23 * a13)
                      + a13 * (a12 * a23 - a22 * a13);
 
-    if (std::fabs(det) < 1e-12) return false;
+    // Scale-relative singularity test: quadric entries scale with accumulated
+    // plane count, so an absolute epsilon misclassifies very fine or very
+    // coarse meshes (flat regions are mathematically singular at any scale).
+    const double scale = a11 + a22 + a33;
+    if (std::fabs(det) <= 1e-12 * scale * scale * scale) return false;
 
     const double inv = 1.0 / det;
     out[0] = inv * (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
@@ -117,7 +121,7 @@ class Decimator {
 
       if (!is_current(top)) continue;
       if (max_error > 0 && top.cost > max_error) break;
-      if (!try_collapse(top)) continue;
+      if (!try_collapse(top, max_error)) continue;
     }
   }
 
@@ -265,15 +269,36 @@ class Decimator {
     out[2] = e1[0] * e2[1] - e1[1] * e2[0];
   }
 
-  bool try_collapse(const Candidate& c) {
+  bool try_collapse(const Candidate& c, double max_error) {
     const int v0 = c.v0, v1 = c.v1;
 
-    if (would_flip_normal(v0, v1, c.pos) || would_flip_normal(v1, v0, c.pos)) {
-      return false;
-    }
+    // The flip guard also rejects collapses that create zero-area faces
+    // (dot == 0). On regular tessellations (e.g. marching-tetrahedra output
+    // on a flat surface) the midpoint/optimal position ALWAYS makes some
+    // neighbour collinear, which froze decimation entirely — so when the
+    // preferred position fails, fall back to collapsing onto either
+    // endpoint before giving up.
+    Quadric combined = quadrics_[v0];
+    combined.add(quadrics_[v1]);
 
-    // Move v0 to the optimal position; retire v1.
-    std::memcpy(&positions_[static_cast<size_t>(v0) * 3], c.pos, 3 * sizeof(double));
+    const double* attempts[3] = {c.pos,
+                                 &positions_[static_cast<size_t>(v0) * 3],
+                                 &positions_[static_cast<size_t>(v1) * 3]};
+    const double* pos = nullptr;
+    for (const double* attempt : attempts) {
+      if (max_error > 0 && combined.evaluate(attempt) > max_error) continue;
+      if (would_flip_normal(v0, v1, attempt) || would_flip_normal(v1, v0, attempt)) {
+        continue;
+      }
+      pos = attempt;
+      break;
+    }
+    if (pos == nullptr) return false;
+
+    double chosen[3] = {pos[0], pos[1], pos[2]};
+
+    // Move v0 to the chosen position; retire v1.
+    std::memcpy(&positions_[static_cast<size_t>(v0) * 3], chosen, 3 * sizeof(double));
     quadrics_[v0].add(quadrics_[v1]);
     alive_vertex_[v1] = false;
     ++stamps_[v0];

@@ -116,148 +116,173 @@ def _pack_rgb(r, g, b):
     return r | (g << 8) | (b << 16)
 
 
-@partial(jax.jit, static_argnames=("dims",))
-def _emit_triangles(tsdf_flat: jnp.ndarray, packed_color_flat: jnp.ndarray,
-                    cube_idx: jnp.ndarray, *, dims):
-    """For (M, 3) active cube indices, emit candidate triangles.
+# Lane-flat static index maps. 36 lanes cover BOTH per-tet spaces:
+# edge space  e = tet*6 + edge_slot   (6 tets x 6 edges)
+# vert space  w = tet*6 + tri*3 + vert (6 tets x 2 tris x 3 verts)
+# Keeping every per-cube tensor shaped (M, 36)/(M, 12)/(M, 8) is load-bearing:
+# the earlier (M, 6, 2, 3, 3)-style intermediates tile-pad their tiny minor
+# dims to (8, 128) — ~100x physical HBM — and XLA materialised them, making
+# emission ~40 s per 32K-cube chunk. The flat layout runs the same math in
+# well under a second per chunk.
+_LANE_TET36 = np.repeat(np.arange(6), 6)                       # lane -> tet
+_LANE_J36 = np.tile(np.arange(6), 6)                           # lane -> slot 0..5
+_EDGE_A = TETS[_LANE_TET36, TET_EDGES[_LANE_J36, 0]]           # lane -> corner id
+_EDGE_B = TETS[_LANE_TET36, TET_EDGES[_LANE_J36, 1]]
+_TAB6_FLAT = TET_TRIANGLE_TABLE.reshape(16, 6).reshape(-1)     # (96,)
+_SWAP36 = (np.arange(36) // 3) * 3 + np.array([0, 2, 1])[np.arange(36) % 3]
+_TRI_OF_LANE36 = np.arange(36) // 3                            # vert lane -> tri 0..11
+_TET_OF_TRI12 = np.arange(12) // 2                             # tri -> tet
 
-    ``packed_color_flat`` is (N,) uint32 ``r | g<<8 | b<<16`` — one gather per
-    corner instead of a row gather from a tile-padded (N, 3) array.
-
-    Returns per (cube, tet, tri):
-      positions (M, 6, 2, 3, 3) in voxel units,
-      edge keys (M, 6, 2, 3, 2) int32 global corner ids,
-      colors    (M, 6, 2, 3, 3) float32,
-      valid     (M, 6, 2) bool.
-    """
-    X, Y, Z = dims
-    M = cube_idx.shape[0]
-
-    corner_off = jnp.asarray(CORNER_OFFSETS)                 # (8, 3)
-    corners = cube_idx[:, None, :] + corner_off[None, :, :]  # (M, 8, 3)
-    corner_lin = (corners[..., 0] * Y + corners[..., 1]) * Z + corners[..., 2]  # (M, 8)
-
-    s = jnp.take(tsdf_flat, corner_lin)                      # (M, 8)
-    packed = jnp.take(packed_color_flat, corner_lin)         # (M, 8)
-    col = jnp.stack([(packed & 0xFF).astype(jnp.float32),
-                     ((packed >> 8) & 0xFF).astype(jnp.float32),
-                     ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=-1)
-
-    tets = jnp.asarray(TETS)                                 # (6, 4)
-    tet_s = s[:, tets]                                       # (M, 6, 4)
-    tet_lin = corner_lin[:, tets]                            # (M, 6, 4)
-    tet_col = col[:, tets]                                   # (M, 6, 4, 3)
-    tet_pos = corners[:, tets].astype(jnp.float32)           # (M, 6, 4, 3)
-
-    inside = (tet_s < 0.0).astype(jnp.int32)
-    case = (inside[..., 0] | (inside[..., 1] << 1)
-            | (inside[..., 2] << 2) | (inside[..., 3] << 3))  # (M, 6)
-
-    # Zero-crossing vertex on each of the 6 tet edges.
-    edges = jnp.asarray(TET_EDGES)                            # (6, 2)
-    sa = jnp.take_along_axis(tet_s, jnp.broadcast_to(edges[None, None, :, 0], (M, 6, 6)),
-                             axis=-1)                         # (M, 6 tets, 6 edges)
-    sb = jnp.take_along_axis(tet_s, jnp.broadcast_to(edges[None, None, :, 1], (M, 6, 6)),
-                             axis=-1)
-    denom = sa - sb
-    frac = sa / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)  # t along a→b
-    frac = jnp.clip(frac, 0.0, 1.0)[..., None]                   # (M, 6, 6, 1)
-
-    pa = tet_pos[:, :, edges[:, 0]]                              # (M, 6, 6, 3)
-    pb = tet_pos[:, :, edges[:, 1]]
-    edge_verts = pa + frac * (pb - pa)                           # (M, 6, 6, 3)
-
-    ca = tet_col[:, :, edges[:, 0]]
-    cb = tet_col[:, :, edges[:, 1]]
-    edge_cols = ca + frac * (cb - ca)                            # (M, 6, 6, 3)
-
-    la = tet_lin[:, :, edges[:, 0]]                              # (M, 6, 6)
-    lb = tet_lin[:, :, edges[:, 1]]
-    edge_keys = jnp.stack([jnp.minimum(la, lb), jnp.maximum(la, lb)], axis=-1)  # (M,6,6,2)
-
-    # Triangle table lookup.
-    table = jnp.asarray(TET_TRIANGLE_TABLE)                      # (16, 2, 3)
-    tri_edges = table[case]                                      # (M, 6, 2, 3)
-    tri_valid = tri_edges[..., 0] >= 0                           # (M, 6, 2)
-    safe_edges = jnp.maximum(tri_edges, 0)
-
-    # safe_edges (M, 6, 2, 3) selects among the 6 edge slots of each tet.
-    def pick(data):
-        # data (M, 6, 6, C); result (M, 6, 2, 3, C)
-        C = data.shape[-1]
-        flat = data.reshape(M * 6, 6, C)
-        sel = safe_edges.reshape(M * 6, 2 * 3)
-        out = jnp.take_along_axis(flat, sel[..., None].repeat(C, axis=-1), axis=1)
-        return out.reshape(M, 6, 2, 3, C)
-
-    tri_pos = pick(edge_verts)
-    tri_col = pick(edge_cols)
-    tri_key = pick(edge_keys.astype(jnp.int32))
-
-    # Numeric orientation fix: the linear SDF gradient inside each tet points
-    # from inside (negative) to outside (positive); winding is flipped where
-    # the face normal opposes it.
-    e1 = tet_pos[:, :, 1] - tet_pos[:, :, 0]
-    e2 = tet_pos[:, :, 2] - tet_pos[:, :, 0]
-    e3 = tet_pos[:, :, 3] - tet_pos[:, :, 0]
-    ds = jnp.stack([tet_s[..., 1] - tet_s[..., 0],
-                    tet_s[..., 2] - tet_s[..., 0],
-                    tet_s[..., 3] - tet_s[..., 0]], axis=-1)     # (M, 6, 3)
-
-    # Solve A^T grad = ds for the per-tet linear SDF gradient with the
-    # closed-form adjugate (rows of A are the tet edge vectors). Elementwise
-    # only — jnp.linalg.solve lowers to a memory-hungry batched LU here.
-    c23 = jnp.cross(e2, e3)
-    c31 = jnp.cross(e3, e1)
-    c12 = jnp.cross(e1, e2)
-    det = jnp.sum(e1 * c23, axis=-1, keepdims=True)
-    safe_det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
-
-    grad = (ds[..., 0:1] * c23 + ds[..., 1:2] * c31 + ds[..., 2:3] * c12) / safe_det
-
-    n = jnp.cross(tri_pos[..., 1, :] - tri_pos[..., 0, :],
-                  tri_pos[..., 2, :] - tri_pos[..., 0, :])        # (M, 6, 2, 3)
-    flip = jnp.sum(n * grad[:, :, None, :], axis=-1) < 0.0        # (M, 6, 2)
-
-    tri_pos = jnp.where(flip[..., None, None],
-                        tri_pos[..., [0, 2, 1], :], tri_pos)
-    tri_col = jnp.where(flip[..., None, None],
-                        tri_col[..., [0, 2, 1], :], tri_col)
-    tri_key = jnp.where(flip[..., None, None],
-                        tri_key[..., [0, 2, 1], :], tri_key)
-
-    return tri_pos, tri_key, tri_col, tri_valid
+# Static per-tet SDF-gradient coefficients: tet edge vectors are cube-corner
+# offsets, so the adjugate solve collapses to constant vectors.
+_E1 = (CORNER_OFFSETS[TETS[:, 1]] - CORNER_OFFSETS[TETS[:, 0]]).astype(np.float64)
+_E2 = (CORNER_OFFSETS[TETS[:, 2]] - CORNER_OFFSETS[TETS[:, 0]]).astype(np.float64)
+_E3 = (CORNER_OFFSETS[TETS[:, 3]] - CORNER_OFFSETS[TETS[:, 0]]).astype(np.float64)
+_C23 = np.cross(_E2, _E3)
+_C31 = np.cross(_E3, _E1)
+_C12 = np.cross(_E1, _E2)
+_DET = np.einsum("ij,ij->i", _E1, _C23)
+_GC1 = (_C23 / _DET[:, None]).astype(np.float32)               # (6, 3)
+_GC2 = (_C31 / _DET[:, None]).astype(np.float32)
+_GC3 = (_C12 / _DET[:, None]).astype(np.float32)
 
 
 @partial(jax.jit, static_argnames=("dims", "capacity"))
 def _emit_triangles_compact(tsdf_flat, packed_color_flat, cube_idx, valid_count, *,
                             dims, capacity: int):
-    """Emit triangles and compact the valid ones on device.
+    """Emit + compact triangles for (M, 3) active cube indices, lane-flat.
 
-    Only ``capacity`` compacted triangles (plus a count) cross to the host —
-    a ~10x transfer reduction that matters when the accelerator sits behind a
-    slow link. Returns (pos, key, col, count); count > capacity signals
-    overflow (caller falls back to the uncompacted path for that chunk).
+    Returns 7 values: per-VERTEX flat arrays x, y, z (f32, voxel units),
+    packed colour (uint32 r|g<<8|b<<16), key lo, key hi (int32 global corner
+    ids; lo == hi marks a vertex snapped onto a grid corner), and the valid
+    triangle count. Each array has 3*capacity entries; entries beyond
+    3*count are garbage. Only compacted data crosses to the host.
     """
-    tri_pos, tri_key, tri_col, tri_valid = _emit_triangles(
-        tsdf_flat, packed_color_flat, cube_idx, dims=dims)
-
+    X, Y, Z = dims
     M = cube_idx.shape[0]
-    # Padded cube slots (index >= valid_count) carry no triangles.
-    slot_ok = jax.lax.broadcasted_iota(jnp.int32, (M, 1, 1), 0) < valid_count
-    tri_valid = tri_valid & slot_ok
+    f32 = jnp.float32
+
+    base = (cube_idx[:, 0] * Y + cube_idx[:, 1]) * Z + cube_idx[:, 2]    # (M,)
+    off_lin = jnp.asarray(
+        (CORNER_OFFSETS[:, 0] * Y + CORNER_OFFSETS[:, 1]) * Z
+        + CORNER_OFFSETS[:, 2], jnp.int32)
+    corner_lin = base[:, None] + off_lin[None, :]                        # (M, 8)
+
+    s8 = jnp.take(tsdf_flat, corner_lin)                                 # (M, 8)
+    packed8 = jnp.take(packed_color_flat, corner_lin)                    # (M, 8)
+
+    sa = s8[:, _EDGE_A]                                                  # (M, 36)
+    sb = s8[:, _EDGE_B]
+    la = corner_lin[:, _EDGE_A]
+    lb = corner_lin[:, _EDGE_B]
+
+    denom = sa - sb
+    frac = sa / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)          # t: a -> b
+    frac = jnp.clip(frac, 0.0, 1.0)
+
+    # Snap crossings that land (within eps) on a grid corner onto it exactly,
+    # and canonicalise their weld key to (corner, corner). When the surface
+    # passes exactly through a lattice point (common for axis-aligned depth),
+    # every tet edge incident to that point emits the same position under a
+    # DIFFERENT (lo, hi) edge key — without snapping, those coincident
+    # vertices never weld and up to 75% of emitted faces are zero-area
+    # (measured on a grid-aligned wall), which also froze QEM decimation.
+    snap_a = frac <= 1e-5
+    snap_b = frac >= 1.0 - 1e-5
+    frac = jnp.where(snap_a, 0.0, jnp.where(snap_b, 1.0, frac))
+
+    def lerp_pos(axis):
+        a = jnp.asarray(CORNER_OFFSETS[_EDGE_A, axis].astype(np.float32))
+        b = jnp.asarray(CORNER_OFFSETS[_EDGE_B, axis].astype(np.float32))
+        return (cube_idx[:, axis, None].astype(f32)
+                + a[None, :] + frac * (b - a)[None, :])
+
+    px, py, pz = lerp_pos(0), lerp_pos(1), lerp_pos(2)                   # (M, 36)
+
+    def chan(p, shift):
+        return ((p >> shift) & 0xFF).astype(f32)
+
+    col36 = jnp.uint32(0)
+    for shift in (0, 8, 16):
+        ca = chan(packed8, shift)[:, _EDGE_A]
+        cb = chan(packed8, shift)[:, _EDGE_B]
+        c = jnp.clip(jnp.round(ca + frac * (cb - ca)), 0, 255).astype(jnp.uint32)
+        col36 = col36 | (c << shift)                                     # (M, 36)
+
+    kmin = jnp.minimum(la, lb)
+    kmax = jnp.maximum(la, lb)
+    klo = jnp.where(snap_a, la, jnp.where(snap_b, lb, kmin))
+    khi = jnp.where(snap_a, la, jnp.where(snap_b, lb, kmax))
+
+    # Sign case per tet -> per-vertex edge slot via the flat triangle table.
+    inside8 = (s8 < 0.0).astype(jnp.int32)
+    case = (inside8[:, TETS[:, 0]] | (inside8[:, TETS[:, 1]] << 1)
+            | (inside8[:, TETS[:, 2]] << 2) | (inside8[:, TETS[:, 3]] << 3))  # (M, 6)
+    case_l = case[:, _LANE_TET36]                                        # (M, 36)
+    vert_sel = jnp.take(jnp.asarray(_TAB6_FLAT),
+                        case_l * 6 + jnp.asarray(_LANE_J36)[None, :])    # (M, 36)
+    valid36 = vert_sel >= 0
+    eidx = jnp.asarray(_LANE_TET36)[None, :] * 6 + jnp.maximum(vert_sel, 0)
+
+    def sel(a):
+        return jnp.take_along_axis(a, eidx, axis=1)
+
+    v_px, v_py, v_pz = sel(px), sel(py), sel(pz)                         # (M, 36)
+    v_col = sel(col36)
+    v_klo, v_khi = sel(klo), sel(khi)
+
+    # Orientation: flip triangles whose normal opposes the per-tet SDF
+    # gradient (static adjugate coefficients — inside is negative).
+    ds1 = s8[:, TETS[:, 1]] - s8[:, TETS[:, 0]]                          # (M, 6)
+    ds2 = s8[:, TETS[:, 2]] - s8[:, TETS[:, 0]]
+    ds3 = s8[:, TETS[:, 3]] - s8[:, TETS[:, 0]]
+
+    def grad(axis):
+        return (ds1 * _GC1[None, :, axis] + ds2 * _GC2[None, :, axis]
+                + ds3 * _GC3[None, :, axis])
+
+    gx, gy, gz = grad(0), grad(1), grad(2)                               # (M, 6)
+
+    p0x, p1x, p2x = v_px[:, 0::3], v_px[:, 1::3], v_px[:, 2::3]          # (M, 12)
+    p0y, p1y, p2y = v_py[:, 0::3], v_py[:, 1::3], v_py[:, 2::3]
+    p0z, p1z, p2z = v_pz[:, 0::3], v_pz[:, 1::3], v_pz[:, 2::3]
+    e1x, e1y, e1z = p1x - p0x, p1y - p0y, p1z - p0z
+    e2x, e2y, e2z = p2x - p0x, p2y - p0y, p2z - p0z
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+
+    gxt = gx[:, _TET_OF_TRI12]                                           # (M, 12)
+    gyt = gy[:, _TET_OF_TRI12]
+    gzt = gz[:, _TET_OF_TRI12]
+    flip = (nx * gxt + ny * gyt + nz * gzt) < 0.0                        # (M, 12)
+    flip36 = flip[:, _TRI_OF_LANE36]                                     # (M, 36)
+
+    def unflip(a):
+        return jnp.where(flip36, a[:, _SWAP36], a)
+
+    v_px, v_py, v_pz = unflip(v_px), unflip(v_py), unflip(v_pz)
+    v_col = unflip(v_col)
+    v_klo, v_khi = unflip(v_klo), unflip(v_khi)
+
+    # Compact valid triangles; padded cube slots carry none.
+    slot_ok = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) < valid_count
+    tri_valid = valid36[:, 0::3] & slot_ok                               # (M, 12)
 
     flat_valid = tri_valid.reshape(-1)
     count = jnp.sum(flat_valid)
+    idx_tri = jnp.nonzero(flat_valid, size=capacity, fill_value=0)[0]    # (cap,)
 
-    idx = jnp.nonzero(flat_valid, size=capacity, fill_value=0)[0]
+    # Vertex flat index: lane w = tri*3 + vert within a row of 36, so the
+    # (M, 36) row-major flattening IS the per-vertex order of (M, 12) tris.
+    rep = jnp.arange(3 * capacity, dtype=jnp.int32)
+    idxv = jnp.take(idx_tri, rep // 3) * 3 + rep % 3                     # (3cap,)
 
-    # Colours quantise to uint8 on device: 4x less data over the host link.
-    col_u8 = jnp.clip(jnp.round(tri_col.reshape(-1, 3, 3)[idx]), 0, 255
-                      ).astype(jnp.uint8)
+    def gather_flat(a):
+        return jnp.take(a.reshape(-1), idxv)
 
-    return (tri_pos.reshape(-1, 3, 3)[idx], tri_key.reshape(-1, 3, 2)[idx],
-            col_u8, count)
+    return (gather_flat(v_px), gather_flat(v_py), gather_flat(v_pz),
+            gather_flat(v_col), gather_flat(v_klo), gather_flat(v_khi), count)
 
 
 def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
@@ -305,7 +330,7 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
     to_u32 = lambda c: jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint32)
     color_flat = _pack_rgb(to_u32(r), to_u32(g), to_u32(b))
 
-    all_pos, all_key, all_col = [], [], []
+    parts = {name: [] for name in ("x", "y", "z", "col", "klo", "khi")}
 
     # Marching tetrahedra emits at most 12 triangles per cube (6 tets x 2),
     # so this capacity can never overflow. (Sizing for an "average" density
@@ -322,29 +347,29 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
             chunk = np.concatenate(
                 [chunk, np.zeros((chunk_size - len(chunk), 3), np.int32)])
 
-        pos, key, col, count = _emit_triangles_compact(
+        x, y, z, col, klo, khi, count = _emit_triangles_compact(
             tsdf_flat, color_flat, jnp.asarray(chunk),
             jnp.int32(valid_count), dims=dims, capacity=capacity)
-        count = int(count)
+        nv = 3 * int(count)
 
-        all_pos.append(np.asarray(pos[:count]))
-        all_key.append(np.asarray(key[:count]))
-        all_col.append(np.asarray(col[:count]))
+        for name, arr in zip(("x", "y", "z", "col", "klo", "khi"),
+                             (x, y, z, col, klo, khi)):
+            parts[name].append(np.asarray(arr[:nv]))
 
-    tri_pos = np.concatenate(all_pos)     # (T, 3 verts, 3)
-    tri_key = np.concatenate(all_key)     # (T, 3 verts, 2)
-    tri_col = np.concatenate(all_col)     # (T, 3 verts, 3)
+    flat = {name: np.concatenate(chunks) for name, chunks in parts.items()}
 
-    # Weld: each vertex is uniquely identified by its (lo, hi) grid-edge key.
-    keys = (tri_key[..., 0].astype(np.uint64) * np.uint64(np.prod(dims))
-            + tri_key[..., 1].astype(np.uint64)).reshape(-1)
+    # Weld: each vertex is uniquely identified by its (lo, hi) grid-edge key
+    # (lo == hi for vertices snapped onto a grid corner).
+    keys = (flat["klo"].astype(np.uint64) * np.uint64(np.prod(dims))
+            + flat["khi"].astype(np.uint64))
     unique_keys, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
 
-    flat_pos = tri_pos.reshape(-1, 3)
-    flat_col = tri_col.reshape(-1, 3)
+    flat_pos = np.stack([flat["x"], flat["y"], flat["z"]], axis=-1)
+    packed = flat["col"][first_idx]
+    colors = np.stack([packed & 0xFF, (packed >> 8) & 0xFF,
+                       (packed >> 16) & 0xFF], axis=-1).astype(np.uint8)
 
     vertices = (flat_pos[first_idx] * voxel_size + np.asarray(origin)).astype(np.float32)
-    colors = np.clip(flat_col[first_idx], 0, 255).astype(np.uint8)
     faces = inverse.reshape(-1, 3).astype(np.int64)
 
     # Drop degenerate faces (duplicate welded vertices).
