@@ -244,12 +244,15 @@ class SparseTSDFVolume:
     # -- frame integration ----------------------------------------------------
     def _build_integrator(self, height: int, width: int):
         Bx, By, Bz = self.block_size
-        nb = self.num_blocks
         trunc = self.trunc_margin
         voxel = self.voxel_size
         band_capacity = self.band_capacity
-        block_origins = jnp.asarray(self.block_origins)
         layout = pyramid_layout(height, width)
+
+        # Every stage takes ``block_origins`` as a traced argument and derives
+        # the block count from array shapes, so the same compiled body also
+        # runs inside ``shard_map`` on a per-device slab of blocks (blocks are
+        # independent — integration shards over space with no collectives).
 
         corner_offsets = jnp.asarray(
             [[x * Bx, y * By, z * Bz] for x in (0.0, 1.0) for y in (0.0, 1.0)
@@ -264,7 +267,8 @@ class SparseTSDFVolume:
                      jnp.asarray(((flat_i // Bz) % By).astype(np.float32)),
                      jnp.asarray((flat_i % Bz).astype(np.float32))]
 
-        def classify(depth, R, t, intr):
+        def classify(block_origins, depth, R, t, intr):
+            nb = block_origins.shape[0]
             fx, fy, cx, cy = intr
 
             corners = block_origins[:, None, :] + corner_offsets[None, :, :]
@@ -305,7 +309,7 @@ class SparseTSDFVolume:
 
             return classes
 
-        def block_camera_coords(block_ids, R, t):
+        def block_camera_coords(block_origins, block_ids, R, t):
             origins = block_origins[block_ids]                       # (K, 3)
             base = origins @ R.T + t                                 # (K, 3)
             step = R * voxel                                         # cam delta per index
@@ -336,14 +340,15 @@ class SparseTSDFVolume:
             return SparseTSDFState(tsdf=tsdf_new.astype(store),
                                    weight=w_new.astype(store), color=state.color)
 
-        def band_update_values(block_tsdf, block_weight, block_color, block_ids,
-                               block_valid, depth, packed_color, R, t, intr, obs_weight):
+        def band_update_values(block_origins, block_tsdf, block_weight,
+                               block_color, block_ids, block_valid, depth,
+                               packed_color, R, t, intr, obs_weight):
             # Accumulate in fp32 regardless of storage dtype.
             block_tsdf = block_tsdf.astype(jnp.float32)
             block_weight = block_weight.astype(jnp.float32)
             block_color = block_color.astype(jnp.float32)
             fx, fy, cx, cy = intr
-            cam_x, cam_y, cam_z = block_camera_coords(block_ids, R, t)
+            cam_x, cam_y, cam_z = block_camera_coords(block_origins, block_ids, R, t)
 
             safe_z = jnp.where(cam_z > 1e-6, cam_z, 1.0)
             u = jnp.round(fx * cam_x / safe_z + cx).astype(jnp.int32)
@@ -353,14 +358,13 @@ class SparseTSDFVolume:
 
             flat = jnp.clip(v, 0, height - 1) * width + jnp.clip(u, 0, width - 1)
 
-            # ONE complex64 gather fetches depth (real) and packed uint32
-            # colour (imag, bitcast) together. Gathers move bits, so the
-            # payload survives exactly, denormals included (verified on
-            # hardware). NOTE: do NOT "optimise" this into a 2-wide f32 slab
-            # gather — jnp.take of a (2, HW) axis=1 / (HW, 2) axis=0 pair
-            # SILENTLY returns component 0 for both lanes on this TPU
-            # backend (miscompiles); complex64 is the one fused form that
-            # gathers both words correctly.
+            # Two plain per-voxel gathers (depth, then packed colour — one
+            # take for all 3 channels). NOTE: do NOT "optimise" these into a
+            # 2-wide f32 slab gather — jnp.take of a (2, HW) axis=1 /
+            # (HW, 2) axis=0 pair SILENTLY returns component 0 for both
+            # lanes on this TPU backend (miscompiles). A complex64 pack
+            # gathers both words correctly but measured no faster at the
+            # production chunk width.
             depth_val = jnp.take(depth.reshape(-1), flat)
             packed = jnp.take(packed_color.reshape(-1), flat)
             # (K, 3, BV): channel axis in the middle matches the (K, 3*BV)
@@ -391,10 +395,11 @@ class SparseTSDFVolume:
 
             return tsdf_new, w_new, color_new.reshape(k, -1)
 
-        def update_band(state, band_ids, band_valid, depth, packed_color, R, t, intr,
-                        obs_weight):
+        def update_band(state, block_origins, band_ids, band_valid, depth,
+                        packed_color, R, t, intr, obs_weight):
+            nb = state.tsdf.shape[0]
             tsdf_new, w_new, color_new = band_update_values(
-                state.tsdf[band_ids], state.weight[band_ids],
+                block_origins, state.tsdf[band_ids], state.weight[band_ids],
                 state.color[band_ids], band_ids, band_valid, depth,
                 packed_color, R, t, intr, obs_weight)
 
@@ -419,10 +424,11 @@ class SparseTSDFVolume:
         # a small chunk hugs the true band size (swept 39 ms/frame at 128K
         # vs 106 ms/frame at 4M voxels per trip, VGA x 256^3).
         chunk = min(band_capacity, max(64, (1 << 17) // max(1, Bx * By * Bz)))
-        nb_pad = ((nb + chunk - 1) // chunk) * chunk
 
-        def update_band_chunked(state, classes, depth, packed_color, R, t, intr,
-                                obs_weight):
+        def update_band_chunked(state, block_origins, classes, depth,
+                                packed_color, R, t, intr, obs_weight):
+            nb = state.tsdf.shape[0]
+            nb_pad = ((nb + chunk - 1) // chunk) * chunk
             band_mask = classes == SparseTSDFVolume.BAND
             band_count = jnp.sum(band_mask)
             band_ids = jnp.nonzero(band_mask, size=nb, fill_value=nb)[0]
@@ -437,15 +443,16 @@ class SparseTSDFVolume:
                 ids = jax.lax.dynamic_slice(band_ids, (i * chunk,), (chunk,))
                 valid = ids < nb
                 ids = jnp.minimum(ids, nb - 1)
-                state = update_band(state, ids, valid, depth, packed_color,
-                                    R, t, intr, obs_weight)
+                state = update_band(state, block_origins, ids, valid, depth,
+                                    packed_color, R, t, intr, obs_weight)
                 return state, i + 1
 
             state, _ = jax.lax.while_loop(lambda c: c[1] < num_trips, trip,
                                           (state, jnp.int32(0)))
             return state
 
-        def integrate_body(state, depth, color_im, world_to_cam, intr, obs_weight):
+        def integrate_body(state, block_origins, depth, color_im, world_to_cam,
+                           intr, obs_weight):
             R = world_to_cam[:3, :3]
             t = world_to_cam[:3, 3]
 
@@ -454,18 +461,19 @@ class SparseTSDFVolume:
             c = jnp.clip(color_im, 0.0, 255.0).astype(jnp.uint32)
             packed_color = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
 
-            classes = classify(depth, R, t, intr)
+            classes = classify(block_origins, depth, R, t, intr)
             state = update_free(state, classes, obs_weight)
-            return update_band_chunked(state, classes, depth, packed_color,
-                                       R, t, intr, obs_weight)
+            return update_band_chunked(state, block_origins, classes, depth,
+                                       packed_color, R, t, intr, obs_weight)
 
         @partial(jax.jit, donate_argnums=(0,))
-        def integrate_one(state, depth, color_im, world_to_cam, intr, obs_weight):
-            return integrate_body(state, depth, color_im, world_to_cam, intr,
-                                  obs_weight)
+        def integrate_one(state, block_origins, depth, color_im, world_to_cam,
+                          intr, obs_weight):
+            return integrate_body(state, block_origins, depth, color_im,
+                                  world_to_cam, intr, obs_weight)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def integrate_scan(state, depths, colors, world_to_cams, intr, obs_weights):
+        def integrate_scan_impl(state, block_origins, depths, colors,
+                                world_to_cams, intr, obs_weights):
             # Weighted-mean TSDF updates are order-independent, so all frames'
             # free-space contributions batch into ONE elementwise pass at the
             # end (free_weights accumulates per-block observation weight);
@@ -480,16 +488,17 @@ class SparseTSDFVolume:
                 c = jnp.clip(color_im, 0.0, 255.0).astype(jnp.uint32)
                 packed_color = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
 
-                classes = classify(depth, R, t, intr)
-                state = update_band_chunked(state, classes, depth, packed_color,
-                                            R, t, intr, obs_weight)
+                classes = classify(block_origins, depth, R, t, intr)
+                state = update_band_chunked(state, block_origins, classes,
+                                            depth, packed_color, R, t, intr,
+                                            obs_weight)
 
                 free_weights = free_weights + jnp.where(
                     classes == SparseTSDFVolume.FREE, obs_weight, 0.0)
 
                 return (state, free_weights), None
 
-            free_weights0 = jnp.zeros((nb,), dtype=jnp.float32)
+            free_weights0 = jnp.zeros((state.tsdf.shape[0],), dtype=jnp.float32)
             (state, free_weights), _ = jax.lax.scan(
                 body, (state, free_weights0),
                 (depths, colors, world_to_cams, obs_weights))
@@ -507,7 +516,11 @@ class SparseTSDFVolume:
             return SparseTSDFState(tsdf=tsdf_new.astype(store),
                                    weight=w_new.astype(store), color=state.color)
 
+        integrate_scan = jax.jit(integrate_scan_impl, donate_argnums=(0,))
+
         integrate_one.scan = integrate_scan
+        # Un-jitted body for embedding in shard_map (hive_tpu.parallel.fusion).
+        integrate_one.scan_impl = integrate_scan_impl
 
         # Expose the stages for profiling/testing.
         integrate_one.classify = jax.jit(classify)
@@ -551,10 +564,17 @@ class SparseTSDFVolume:
 
         # One fused scan over the frame stack: a single dispatch, and XLA
         # overlaps classification with the previous frame's updates.
-        self.state = self._integrate_one.scan(self.state, depths, colors,
-                                              world_to_cams, intr, obs_weights)
+        self.state = self._integrate_one.scan(self.state, self.block_origins_device,
+                                              depths, colors, world_to_cams, intr,
+                                              obs_weights)
 
         return self
+
+    @property
+    def block_origins_device(self):
+        if getattr(self, "_block_origins_dev", None) is None:
+            self._block_origins_dev = jnp.asarray(self.block_origins)
+        return self._block_origins_dev
 
     # -- extraction -----------------------------------------------------------
     def _dense(self):

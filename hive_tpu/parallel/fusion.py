@@ -1,0 +1,116 @@
+"""Space-sharded sparse TSDF integration: ``shard_map`` over the block axis.
+
+The reference integrates on a single GPU (SURVEY.md §2.4 — no distributed
+layer); here the production sparse integrator (hive_tpu.ops.tsdf_sparse)
+scales over a device mesh by sharding the block-major voxel state on its
+leading (block) axis. Blocks are independent — every stage (classification,
+free-space update, banded gather/scatter) reads only its own blocks and the
+replicated frame — so the step needs NO collectives: each device classifies
+and updates its slab of blocks, and sharding propagation keeps the state
+resident. Frames, intrinsics and poses replicate (a VGA frame is ~1 MB; the
+volume is GBs).
+
+Load-balance note: blocks shard as contiguous slabs along the leading (x)
+axis; a camera sweeping along x concentrates band blocks on few devices. For
+static scenes the imbalance is bounded by the surface distribution; a
+block-cyclic permutation of block ids would balance it and remains voxel-local
+(left for when multi-chip hardware is available to measure).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hive_tpu.ops.tsdf_sparse import SparseTSDFState, SparseTSDFVolume
+
+try:  # JAX moved shard_map out of experimental in newer releases.
+    from jax.experimental.shard_map import shard_map
+except ImportError:  # pragma: no cover
+    from jax.shard_map import shard_map
+
+
+def shard_sparse_state(volume: SparseTSDFVolume, mesh: Mesh,
+                       axis: str = "data") -> None:
+    """Re-place ``volume.state`` (and block origins) sharded over ``axis``.
+
+    The block count must divide by the mesh axis size (block counts are grid
+    products, so choose grids accordingly; the default 256^3 / (8, 8, 4)
+    grid gives 65536 blocks — divisible by any power-of-two mesh).
+    """
+    n = mesh.shape[axis]
+    nb = volume.num_blocks
+
+    if nb % n != 0:
+        raise ValueError(f"num_blocks={nb} must divide over mesh axis "
+                         f"'{axis}' of size {n}")
+
+    row = NamedSharding(mesh, P(axis, None))
+    volume.state = SparseTSDFState(
+        tsdf=jax.device_put(volume.state.tsdf, row),
+        weight=jax.device_put(volume.state.weight, row),
+        color=jax.device_put(volume.state.color, row),
+    )
+    volume._block_origins_dev = jax.device_put(
+        jnp.asarray(volume.block_origins), row)
+
+
+def build_sharded_integrator(volume: SparseTSDFVolume, mesh: Mesh,
+                             height: int, width: int, axis: str = "data"):
+    """A jitted ``(state, block_origins, depths, colors, world_to_cams, intr,
+    obs_weights) -> state`` over ``mesh``, with the state and block origins
+    sharded on the block axis and everything else replicated.
+
+    The per-device program is the SAME scan body the single-chip path runs —
+    ``_build_integrator`` derives all block counts from array shapes, so
+    inside ``shard_map`` it simply sees the local slab.
+    """
+    integ = volume._build_integrator(height, width)
+
+    state_spec = SparseTSDFState(tsdf=P(axis, None), weight=P(axis, None),
+                                 color=P(axis, None))
+
+    sharded = shard_map(
+        integ.scan_impl, mesh=mesh,
+        in_specs=(state_spec, P(axis, None), P(), P(), P(), P(), P()),
+        out_specs=state_spec,
+        check_rep=False,
+    )
+
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def integrate_frames_sharded(volume: SparseTSDFVolume, mesh: Mesh,
+                             colors, depths, camera_matrix, cam_to_world_poses,
+                             obs_weights=None, axis: str = "data"):
+    """Sharded counterpart of ``SparseTSDFVolume.integrate_frames``.
+
+    Call :func:`shard_sparse_state` once first to place the state; this then
+    runs the space-sharded scan and keeps ``volume.state`` sharded.
+    """
+    depths = jnp.asarray(depths, dtype=jnp.float32)
+    n, height, width = depths.shape
+
+    key = ("sharded", height, width, id(mesh), axis)
+    cache = getattr(volume, "_sharded_integrators", None)
+    if cache is None:
+        cache = volume._sharded_integrators = {}
+    fn = cache.get(key)
+    if fn is None:
+        fn = cache[key] = build_sharded_integrator(volume, mesh, height, width,
+                                                   axis=axis)
+
+    colors = jnp.asarray(colors, dtype=jnp.float32)[..., :3]
+    K = np.asarray(camera_matrix, dtype=np.float32)
+    intr = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], dtype=jnp.float32)
+    world_to_cams = jnp.linalg.inv(jnp.asarray(cam_to_world_poses,
+                                               dtype=jnp.float32))
+    if obs_weights is None:
+        obs_weights = np.ones((n,), dtype=np.float32)
+    obs_weights = jnp.asarray(obs_weights, dtype=jnp.float32)
+
+    volume.state = fn(volume.state, volume.block_origins_device, depths,
+                      colors, world_to_cams, intr, obs_weights)
+    return volume

@@ -55,6 +55,51 @@ class TestMeshHelpers:
             get_device_mesh(10_000)
 
 
+class TestShardedSparseTSDF:
+    def test_block_sharded_sparse_integration_matches_single_device(self, mesh):
+        """The sparse integrator inside shard_map (blocks sharded over the
+        mesh) must reproduce the single-device result exactly — integration
+        is block-local, so no collectives and no tolerance."""
+        from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
+        from hive_tpu.parallel.fusion import (integrate_frames_sharded,
+                                              shard_sparse_state)
+
+        height, width = 24, 32
+        K = np.array([[30.0, 0, 15.5], [0, 30.0, 11.5], [0, 0, 1.0]])
+        rng = np.random.default_rng(0)
+        depths = rng.uniform(0.8, 1.6, (3, height, width)).astype(np.float32)
+        colors = rng.uniform(0, 255, (3, height, width, 3)).astype(np.float32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        poses[:, 0, 3] = [0.0, 0.05, 0.1]
+        bounds = np.array([[-1.0, 1.0], [-1.0, 1.0], [0.0, 2.0]])
+
+        ref = SparseTSDFVolume(bounds, voxel_size=2.0 / 32)
+        ref.integrate_frames(colors, depths, K, poses)
+
+        vol = SparseTSDFVolume(bounds, voxel_size=2.0 / 32)
+        assert vol.num_blocks % 8 == 0
+        shard_sparse_state(vol, mesh)
+        integrate_frames_sharded(vol, mesh, colors, depths, K, poses)
+
+        np.testing.assert_array_equal(np.asarray(vol.state.weight),
+                                      np.asarray(ref.state.weight))
+        np.testing.assert_allclose(np.asarray(vol.state.tsdf),
+                                   np.asarray(ref.state.tsdf), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vol.state.color),
+                                   np.asarray(ref.state.color), atol=1e-4)
+
+    def test_indivisible_blocks_raise(self, mesh):
+        from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
+        from hive_tpu.parallel.fusion import shard_sparse_state
+
+        vol = SparseTSDFVolume(np.array([[-1.0, 1.0]] * 3), voxel_size=2.0 / 24,
+                               block_size=(8, 8, 4))
+        if vol.num_blocks % 8 == 0:
+            pytest.skip("grid unexpectedly divisible")
+        with pytest.raises(ValueError):
+            shard_sparse_state(vol, mesh)
+
+
 class TestShardedTSDF:
     def test_space_sharded_integration_matches_single_device(self, mesh):
         """Voxel-X-sharded integration is voxel-local: results must equal the
