@@ -96,13 +96,20 @@ def build_flat_pyramid(depth, height: int, width: int):
     for _ in range(num_levels - 1):
         h2, w2 = max(h // 2, 1), max(w // 2, 1)
 
+        # 2x2 pooling via strided slices. The reshape form
+        # (h2, 2, w2, 2) -> reduce puts a 2-wide minor dim on every
+        # intermediate, which tile-pads 2 -> 128 (64x HBM) — measured as the
+        # bulk of per-frame classification cost.
         def pool(a, op):
-            a = a.reshape(h2, h // h2, w2, w // w2)
-            return op(op(a, 3), 1)
+            if a.shape[0] > 1:
+                a = op(a[0::2], a[1::2])
+            if a.shape[1] > 1:
+                a = op(a[:, 0::2], a[:, 1::2])
+            return a
 
-        dmin = pool(dmin, jnp.min)
-        dmax = pool(dmax, jnp.max)
-        valid = pool(valid, jnp.all)
+        dmin = pool(dmin, jnp.minimum)
+        dmax = pool(dmax, jnp.maximum)
+        valid = pool(valid, jnp.logical_and)
 
         mins.append(dmin.reshape(-1))
         maxs.append(dmax.reshape(-1))
@@ -156,12 +163,26 @@ def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int)
     cv0 = jnp.minimum((jnp.clip(v0, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
     cv1 = jnp.minimum((jnp.clip(v1, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
 
-    idx = jnp.stack([off + cv0 * w_l + cu0, off + cv0 * w_l + cu1,
-                     off + cv1 * w_l + cu0, off + cv1 * w_l + cu1], axis=-1)
+    cells = [off + cv0 * w_l + cu0, off + cv0 * w_l + cu1,
+             off + cv1 * w_l + cu0, off + cv1 * w_l + cu1]
 
-    dmin = jnp.min(jnp.take(min_flat, idx), axis=-1)
-    dmax = jnp.max(jnp.take(max_flat, idx), axis=-1)
-    all_valid = jnp.all(jnp.take(valid_flat, idx), axis=-1)
+    # Per-cell (nb,) gathers reduced incrementally — a stacked (nb, 4) gather
+    # output tile-pads 4 -> 128 (32x). Min and max ride ONE complex64 gather
+    # per cell (gathers move bits; see the band-update note on why a 2-wide
+    # f32 slab gather is NOT safe here): 8 gathers -> 4 + 4 valid.
+    minmax = jax.lax.complex(min_flat, max_flat)
+
+    dmin = dmax = all_valid = None
+    for cell in cells:
+        g = jnp.take(minmax, cell)
+        cmin, cmax = jnp.real(g), jnp.imag(g)
+        cvalid = jnp.take(valid_flat, cell)
+        if dmin is None:
+            dmin, dmax, all_valid = cmin, cmax, cvalid
+        else:
+            dmin = jnp.minimum(dmin, cmin)
+            dmax = jnp.maximum(dmax, cmax)
+            all_valid = all_valid & cvalid
 
     return dmin, dmax, all_valid
 
@@ -254,9 +275,9 @@ class SparseTSDFVolume:
         # runs inside ``shard_map`` on a per-device slab of blocks (blocks are
         # independent — integration shards over space with no collectives).
 
-        corner_offsets = jnp.asarray(
+        corner_offsets_np = np.asarray(
             [[x * Bx, y * By, z * Bz] for x in (0.0, 1.0) for y in (0.0, 1.0)
-             for z in (0.0, 1.0)], dtype=jnp.float32) * voxel
+             for z in (0.0, 1.0)], dtype=np.float32) * voxel
 
         # Flat in-block voxel index i -> (ix, iy, iz), precomputed as (BV,)
         # constants (row-major: ix = i // (By*Bz), iy = (i // Bz) % By,
@@ -271,21 +292,39 @@ class SparseTSDFVolume:
             nb = block_origins.shape[0]
             fx, fy, cx, cy = intr
 
-            corners = block_origins[:, None, :] + corner_offsets[None, :, :]
-            cam = jnp.einsum("ij,nkj->nki", R, corners) + t
+            # Per-corner camera coordinates as (nb,) arrays, reduced
+            # incrementally over the 8 corners. A stacked (nb, 8, 3) corner
+            # tensor tile-pads its minor dims to (8, 128) — 42x physical HBM,
+            # ~270 MB materialised at 65K blocks, which made classification
+            # cost as much as the banded update it guards.
+            bx_, by_, bz_ = (block_origins[:, a] for a in range(3))
+            z_min = z_max = None
+            u0 = u1 = v0 = v1 = None
 
-            z = cam[:, :, 2]
-            z_min = z.min(axis=1)
-            z_max = z.max(axis=1)
+            for k in range(8):
+                ox, oy, oz = corner_offsets_np[k]
+                cxw, cyw, czw = bx_ + ox, by_ + oy, bz_ + oz
+                x = R[0, 0] * cxw + R[0, 1] * cyw + R[0, 2] * czw + t[0]
+                y = R[1, 0] * cxw + R[1, 1] * cyw + R[1, 2] * czw + t[1]
+                z = R[2, 0] * cxw + R[2, 1] * cyw + R[2, 2] * czw + t[2]
+
+                safe_z = jnp.maximum(z, 1e-6)
+                us = fx * x / safe_z + cx
+                vs = fy * y / safe_z + cy
+
+                if k == 0:
+                    z_min = z_max = z
+                    u0 = u1 = us
+                    v0 = v1 = vs
+                else:
+                    z_min = jnp.minimum(z_min, z)
+                    z_max = jnp.maximum(z_max, z)
+                    u0 = jnp.minimum(u0, us)
+                    u1 = jnp.maximum(u1, us)
+                    v0 = jnp.minimum(v0, vs)
+                    v1 = jnp.maximum(v1, vs)
 
             in_front = z_min > 1e-6
-
-            safe_z = jnp.maximum(z, 1e-6)
-            us = fx * cam[:, :, 0] / safe_z + cx
-            vs = fy * cam[:, :, 1] / safe_z + cy
-
-            u0, u1 = us.min(axis=1), us.max(axis=1)
-            v0, v1 = vs.min(axis=1), vs.max(axis=1)
 
             overlaps = (u1 >= 0) & (u0 < width) & (v1 >= 0) & (v0 < height)
             fully_inside = (u0 >= 0) & (u1 < width) & (v0 >= 0) & (v1 < height)
