@@ -5,6 +5,13 @@ CLI parity with reference scripts/compare_image_pair.py:105-146 (same metric
 set and output), backed by hive_tpu.metrics.
 """
 
+import os
+import sys
+
+# Allow running straight from a checkout: scripts/ is on sys.path, the
+# package root is not.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 
@@ -39,7 +46,9 @@ def main():
     results = compare_images(image_a, image_b)
 
     if args.json:
-        print(json.dumps(results))
+        # Unavailable metrics are NaN internally; strict JSON has no NaN.
+        clean = {k: (None if v != v else v) for k, v in results.items()}
+        print(json.dumps(clean))
     else:
         for metric, value in results.items():
             print(f"{metric.upper():>6}: {value:.4f}")

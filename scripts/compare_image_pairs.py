@@ -5,6 +5,13 @@ metrics (text or LaTeX table).
 CLI parity with reference scripts/compare_image_pairs.py:39-99.
 """
 
+import os
+import sys
+
+# Allow running straight from a checkout: scripts/ is on sys.path, the
+# package root is not.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 from os.path import join as pjoin

@@ -11,6 +11,13 @@ egress, so this script instead:
 * prints the URLs to fetch on a connected machine.
 """
 
+import os
+import sys
+
+# Allow running straight from a checkout: scripts/ is on sys.path, the
+# package root is not.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

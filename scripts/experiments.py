@@ -23,6 +23,14 @@ Render-vs-photo experiments (LLFF/HyperNeRF) use the TPU rasterizer
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Allow running straight from a checkout: scripts/ is on sys.path, the
+# package root is not.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import logging
