@@ -254,6 +254,13 @@ class Decimator {
       cross_of(o[0], o[1], o[2], before);
       cross_of(p[0], p[1], p[2], after);
 
+      // A face that is ALREADY degenerate (zero area) has no orientation to
+      // preserve — skip it, or meshes containing exact slivers can never
+      // collapse anything (every candidate sees dot == 0).
+      const double before_sq = before[0] * before[0] + before[1] * before[1]
+                             + before[2] * before[2];
+      if (before_sq == 0.0) continue;
+
       const double dot = before[0] * after[0] + before[1] * after[1] + before[2] * after[2];
       if (dot <= 0) return true;
     }
@@ -285,15 +292,23 @@ class Decimator {
                                  &positions_[static_cast<size_t>(v0) * 3],
                                  &positions_[static_cast<size_t>(v1) * 3]};
     const double* pos = nullptr;
+    double pos_cost = 0.0;
     for (const double* attempt : attempts) {
-      if (max_error > 0 && combined.evaluate(attempt) > max_error) continue;
+      const double cost = combined.evaluate(attempt);
+      if (max_error > 0 && cost > max_error) continue;
       if (would_flip_normal(v0, v1, attempt) || would_flip_normal(v1, v0, attempt)) {
         continue;
       }
       pos = attempt;
+      pos_cost = cost;
       break;
     }
     if (pos == nullptr) return false;
+    (void)pos_cost;  // Note: an endpoint fallback may execute at a cost above
+    // the heap minimum (a greedy approximation; with max_error > 0 the
+    // per-attempt bound above still applies). Re-queueing at the true cost
+    // was tried and churns pathologically on flat meshes where every
+    // candidate costs ~0.
 
     double chosen[3] = {pos[0], pos[1], pos[2]};
 

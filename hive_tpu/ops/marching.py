@@ -332,13 +332,6 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
 
     parts = {name: [] for name in ("x", "y", "z", "col", "klo", "khi")}
 
-    # Marching tetrahedra emits at most 12 triangles per cube (6 tets x 2),
-    # so this capacity can never overflow. (Sizing for an "average" density
-    # instead was a measured trap: dense surface bands hit ~6 triangles/cube,
-    # and an overflow fallback that re-transfers the chunk uncompacted turned
-    # a 3 s extraction into 10 s behind a slow device link.)
-    capacity = chunk_size * 12
-
     for start in range(0, len(active), chunk_size):
         chunk = active[start:start + chunk_size]
         valid_count = len(chunk)
@@ -346,6 +339,15 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
         if len(chunk) < chunk_size and len(active) > chunk_size:
             chunk = np.concatenate(
                 [chunk, np.zeros((chunk_size - len(chunk), 3), np.int32)])
+
+        # Marching tetrahedra emits at most 12 triangles per cube (6 tets x
+        # 2), so this capacity can never overflow. (Sizing for an "average"
+        # density instead was a measured trap: dense surface bands hit ~6
+        # triangles/cube, and an overflow fallback that re-transfers the
+        # chunk uncompacted turned a 3 s extraction into 10 s behind a slow
+        # device link.) Sized from the actual (possibly final-short) chunk so
+        # small extractions don't pay full-chunk compaction gathers.
+        capacity = len(chunk) * 12
 
         x, y, z, col, klo, khi, count = _emit_triangles_compact(
             tsdf_flat, color_flat, jnp.asarray(chunk),

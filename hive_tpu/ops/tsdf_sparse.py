@@ -22,13 +22,15 @@ pyramid of the depth image):
 
 TPU-specific implementation notes:
 
-* the depth pyramid builds with reshape-max pooling on a power-of-two padded
-  canvas (``lax.reduce_window`` measured ~5 s/frame on this backend; the
-  reshape forms lower to fast fused reductions);
-* pyramid levels are flattened into one buffer so each classification query
-  is three gathers total (min/max/valid), not per-level loops;
+* the depth pyramid builds with strided-slice 2x2 pooling on a power-of-two
+  padded canvas (``lax.reduce_window`` measured ~5 s/frame on this backend,
+  and reshape-reduce forms tile-pad their 2-wide minor dims 64x);
+* pyramid levels are flattened into one buffer and each classification query
+  is eight (nb,)-shaped gathers (4 cells x complex64-packed min/max + valid),
+  not per-level loops;
 * the volume is stored block-major with a FLAT per-block voxel axis
-  ``(nb, Bx*By*Bz)`` and colour as channel planes ``(3, nb, Bx*By*Bz)``.
+  ``(nb, Bx*By*Bz)`` and colour as per-block channel segments
+  ``(nb, 3*Bx*By*Bz)``.
   This is load-bearing on TPU: the physical layout tiles the two minor dims
   to (8, 128), so a blocked ``(nb, 8, 8, 4)`` array pads its minor dim
   4 → 128 (a measured 16-32x HBM expansion — a 41M-voxel volume OOM'd a
@@ -143,7 +145,7 @@ def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int)
     """Conservative (dmin, dmax, all_valid) over per-block AABBs.
 
     Chooses the level whose cell covers the AABB with <= 2x2 cells, then
-    reduces those four cells — three gathers total across all blocks.
+    reduces those four cells — eight (nb,) gathers total across all blocks.
     """
     min_flat, max_flat, valid_flat = pyramid
     num_levels = len(layout[0])
@@ -210,8 +212,9 @@ class SparseTSDFVolume:
         """
         :param band_capacity_fraction: upper bound on the banded update's
             per-trip width, as a fraction of the block count (the trip width
-            is additionally capped by a ~4M-voxel budget). Bands wider than
-            one trip take more ``while_loop`` trips — never a dense pass.
+            is additionally capped by a ~128K-voxel budget — see the
+            ``chunk`` comment in ``_build_integrator``). Bands wider than one
+            trip take more ``while_loop`` trips — never a dense pass.
         :param dtype: storage dtype for the voxel arrays. ``jnp.bfloat16``
             halves HBM (a 320M-voxel volume drops to ~3.2 GB); updates always
             accumulate in float32.
@@ -256,7 +259,7 @@ class SparseTSDFVolume:
             color=jnp.zeros((nb, 3 * self.block_voxels), dtype=dtype),
         )
 
-        self._integrate_one = None  # built lazily per image size
+        self._integrators = {}  # built lazily, keyed on image size
 
     @property
     def num_voxels(self) -> int:
@@ -585,8 +588,10 @@ class SparseTSDFVolume:
         depths = jnp.asarray(depths, dtype=jnp.float32)
         n, height, width = depths.shape
 
-        if self._integrate_one is None:
-            self._integrate_one = self._build_integrator(height, width)
+        integ = self._integrators.get((height, width))
+        if integ is None:
+            integ = self._integrators[(height, width)] = \
+                self._build_integrator(height, width)
 
         colors = jnp.asarray(colors, dtype=jnp.float32)[..., :3]
 
@@ -603,9 +608,9 @@ class SparseTSDFVolume:
 
         # One fused scan over the frame stack: a single dispatch, and XLA
         # overlaps classification with the previous frame's updates.
-        self.state = self._integrate_one.scan(self.state, self.block_origins_device,
-                                              depths, colors, world_to_cams, intr,
-                                              obs_weights)
+        self.state = integ.scan(self.state, self.block_origins_device,
+                                depths, colors, world_to_cams, intr,
+                                obs_weights)
 
         return self
 

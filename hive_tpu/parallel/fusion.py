@@ -26,10 +26,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hive_tpu.ops.tsdf_sparse import SparseTSDFState, SparseTSDFVolume
 
-try:  # JAX moved shard_map out of experimental in newer releases.
-    from jax.experimental.shard_map import shard_map
+try:  # JAX >= 0.8 top-level; fall back for older releases.
+    from jax import shard_map
 except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map
 
 
 def shard_sparse_state(volume: SparseTSDFVolume, mesh: Mesh,
@@ -72,12 +72,18 @@ def build_sharded_integrator(volume: SparseTSDFVolume, mesh: Mesh,
     state_spec = SparseTSDFState(tsdf=P(axis, None), weight=P(axis, None),
                                  color=P(axis, None))
 
-    sharded = shard_map(
-        integ.scan_impl, mesh=mesh,
+    specs = dict(
+        mesh=mesh,
         in_specs=(state_spec, P(axis, None), P(), P(), P(), P(), P()),
         out_specs=state_spec,
-        check_rep=False,
     )
+    # The body creates fresh (unvarying) carries inside the per-shard scan;
+    # disable the varying-manual-axes / replication checker (renamed
+    # check_rep -> check_vma across JAX releases).
+    try:
+        sharded = shard_map(integ.scan_impl, check_vma=False, **specs)
+    except TypeError:  # pragma: no cover — older JAX
+        sharded = shard_map(integ.scan_impl, check_rep=False, **specs)
 
     return jax.jit(sharded, donate_argnums=(0,))
 

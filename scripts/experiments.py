@@ -34,7 +34,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 import logging
-import os
 import shutil
 from os.path import join as pjoin
 from pathlib import Path
