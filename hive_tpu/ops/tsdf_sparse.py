@@ -8,7 +8,11 @@ gather for most voxels:
 
 For every frame, each fixed-size voxel block is classified with conservative
 bounds (block corners projected into the camera + a min/max/validity mip
-pyramid of the depth image):
+pyramid of the depth image), then the surviving band blocks are RE-queried
+with 5x5 cells two pyramid levels finer (the first pass reads bounds from a
+region up to ~3-5x the footprint, which over-widens the depth window ~2.5x
+on sloped surfaces — the refinement pass compacts the band ids and pays 25
+cheap gathers per band block to avoid ~2x that many banded voxel gathers):
 
 * **skip** — outside the view, footprint has no valid depth, or entirely
   behind the surface band (``z_min > d_max + trunc``): no update at all;
@@ -18,16 +22,23 @@ pyramid of the depth image):
   masked elementwise pass over the whole volume (bandwidth-bound, fast);
 * **band** — everything else: the exact gather path, compacted to a
   fixed-capacity block list so only the thin truncation shell pays the
-  serialized gather cost.
+  serialized gather cost. Blocks that straddle or sit behind the camera
+  plane (where projected AABBs are meaningless) are culled by an exact
+  hull-vs-frustum-plane test instead of defaulting to the band path.
 
 TPU-specific implementation notes:
 
 * the depth pyramid builds with strided-slice 2x2 pooling on a power-of-two
   padded canvas (``lax.reduce_window`` measured ~5 s/frame on this backend,
   and reshape-reduce forms tile-pad their 2-wide minor dims 64x);
-* pyramid levels are flattened into one buffer and each classification query
-  is eight (nb,)-shaped gathers (4 cells x complex64-packed min/max + valid),
+* pyramid levels are flattened into ONE complex64 buffer and each
+  classification query is four (nb,)-shaped gathers (one per cell: min in
+  the real part, max in the imag part with the all-valid flag in its sign),
   not per-level loops;
+* the band path fetches per-voxel frame values with a SINGLE u32 gather
+  (u16-mm depth + dithered RGB565, ``color_mode="rgb565d16"``) — gather
+  cost here is ~(11 ns + 2 ns/byte)/element, so one 4-byte take beats the
+  exact two-take mode (``"rgb888"``) by ~30% on the dominant cost;
 * the volume is stored block-major with a FLAT per-block voxel axis
   ``(nb, Bx*By*Bz)`` and colour as per-block channel segments
   ``(nb, 3*Bx*By*Bz)``.
@@ -72,14 +83,22 @@ def _next_pow2(n: int) -> int:
 
 
 def build_flat_pyramid(depth, height: int, width: int):
-    """Min/max/valid mip pyramid, flattened level-major into single buffers.
+    """Min/max/valid mip pyramid, flattened level-major into ONE buffer.
 
     The image pads to a power-of-two canvas (min: +inf, max: -inf,
     valid: False — all conservative), and every level halves both axes via
-    reshape + reduce (fast on TPU, unlike reduce_window here).
+    strided-slice 2x2 pooling (``lax.reduce_window`` measured ~5 s/frame on
+    this backend, and reshape-reduce forms tile-pad their 2-wide minor dims).
 
-    :return: (min_flat, max_flat, valid_flat) device buffers. Level layout is
-        given by :func:`pyramid_layout`.
+    The three per-cell quantities pack into one complex64 word so every
+    classification query is a SINGLE per-cell gather (gathers serialize
+    per element on this part — this halves classification cost vs separate
+    min/max + valid buffers): real = cell depth min; imag = the cell depth
+    max with the all-pixels-valid flag encoded in its SIGN (+max: all valid;
+    -max: some invalid; -inf: no valid pixel). Depths are strictly positive,
+    so the sign is free.
+
+    :return: complex64 flat buffer; level layout per :func:`pyramid_layout`.
     """
     hp, wp = _next_pow2(height), _next_pow2(width)
     num_levels = int(math.log2(max(hp, wp))) + 1
@@ -118,7 +137,16 @@ def build_flat_pyramid(depth, height: int, width: int):
         valids.append(valid.reshape(-1))
         h, w = h2, w2
 
-    return (jnp.concatenate(mins), jnp.concatenate(maxs), jnp.concatenate(valids))
+    min_flat = jnp.concatenate(mins)
+    max_flat = jnp.concatenate(maxs)
+    valid_flat = jnp.concatenate(valids)
+
+    # Sign-encode validity into the max channel (see docstring). Cells with
+    # no valid pixel (max = -inf) must stay -inf, not flip to +inf.
+    max_enc = jnp.where(valid_flat, max_flat,
+                        jnp.where(jnp.isfinite(max_flat), -max_flat, -jnp.inf))
+
+    return jax.lax.complex(min_flat, max_enc)
 
 
 def pyramid_layout(height: int, width: int):
@@ -141,19 +169,27 @@ def pyramid_layout(height: int, width: int):
             np.asarray(heights, np.int32))
 
 
-def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int):
+def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int,
+                       grid: int = 2, level_bias: int = 0):
     """Conservative (dmin, dmax, all_valid) over per-block AABBs.
 
-    Chooses the level whose cell covers the AABB with <= 2x2 cells, then
-    reduces those four cells — eight (nb,) gathers total across all blocks.
+    With ``grid=2, level_bias=0`` (the first classification pass) the level
+    whose cell covers the AABB extent is queried with 2x2 cells; the bounds
+    then come from a region up to ~3x the footprint, which over-widens the
+    depth window on sloped surfaces (measured ~2.5x band inflation on the
+    benchmark scene). ``grid=5, level_bias=-2`` (the band refinement pass)
+    queries 5x5 cells two levels finer — cell size in [extent/4, extent/2),
+    so 5 cells always cover — and tightens the region to <= 1.5x the
+    footprint. Costs grid^2 single-complex-gathers per queried block
+    (validity rides the sign of the max channel, see
+    :func:`build_flat_pyramid`).
     """
-    min_flat, max_flat, valid_flat = pyramid
     num_levels = len(layout[0])
     offsets, widths, heights = (jnp.asarray(a) for a in layout)
 
     extent = jnp.maximum(u1 - u0, v1 - v0)
-    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(extent, 1.0))).astype(jnp.int32),
-                     0, num_levels - 1)
+    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(extent, 1.0))).astype(jnp.int32)
+                     + level_bias, 0, num_levels - 1)
 
     off = offsets[level]
     w_l = widths[level]
@@ -165,26 +201,24 @@ def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int)
     cv0 = jnp.minimum((jnp.clip(v0, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
     cv1 = jnp.minimum((jnp.clip(v1, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
 
-    cells = [off + cv0 * w_l + cu0, off + cv0 * w_l + cu1,
-             off + cv1 * w_l + cu0, off + cv1 * w_l + cu1]
-
-    # Per-cell (nb,) gathers reduced incrementally — a stacked (nb, 4) gather
-    # output tile-pads 4 -> 128 (32x). Min and max ride ONE complex64 gather
-    # per cell (gathers move bits; see the band-update note on why a 2-wide
-    # f32 slab gather is NOT safe here): 8 gathers -> 4 + 4 valid.
-    minmax = jax.lax.complex(min_flat, max_flat)
-
+    # Per-cell (nb,) gathers reduced incrementally — a stacked (nb, grid^2)
+    # gather output would tile-pad its minor dim to 128. Cells past the AABB
+    # clamp onto the last covered cell (duplicate reads are conservative).
     dmin = dmax = all_valid = None
-    for cell in cells:
-        g = jnp.take(minmax, cell)
-        cmin, cmax = jnp.real(g), jnp.imag(g)
-        cvalid = jnp.take(valid_flat, cell)
-        if dmin is None:
-            dmin, dmax, all_valid = cmin, cmax, cvalid
-        else:
-            dmin = jnp.minimum(dmin, cmin)
-            dmax = jnp.maximum(dmax, cmax)
-            all_valid = all_valid & cvalid
+    for i in range(grid):
+        cv = jnp.minimum(cv0 + i, cv1)
+        for j in range(grid):
+            cu = jnp.minimum(cu0 + j, cu1)
+            g = jnp.take(pyramid, off + cv * w_l + cu)
+            cmin, enc = jnp.real(g), jnp.imag(g)
+            cvalid = enc > 0
+            cmax = jnp.where(jnp.isfinite(enc), jnp.abs(enc), -jnp.inf)
+            if dmin is None:
+                dmin, dmax, all_valid = cmin, cmax, cvalid
+            else:
+                dmin = jnp.minimum(dmin, cmin)
+                dmax = jnp.maximum(dmax, cmax)
+                all_valid = all_valid & cvalid
 
     return dmin, dmax, all_valid
 
@@ -195,26 +229,46 @@ class SparseTSDFVolume:
     API mirrors :class:`hive_tpu.ops.tsdf.TSDFVolume` (bounds + voxel size in,
     ``integrate_frames`` + ``get_mesh`` out); dims round up to block multiples.
 
-    :param block_size: voxels per block along (x, y, z). Small blocks with a
-        thin z extent track the truncation band tightly (z is the
-        camera-facing axis in typical captures); (8, 8, 4) measured ~2.7x
-        faster than (16, 16, 8) on VGA x 256^3 because the per-voxel pixel
-        gather — the dominant cost — scales with band-block volume.
+    :param block_size: voxels per block along (x, y, z). Small blocks track
+        the truncation band tightly because the per-voxel pixel gather — the
+        dominant cost — scales with band-block volume, but each block also
+        pays fixed classification-gather cost. With the band-refinement pass
+        (tight depth windows), (8, 8, 8) measured fastest on VGA x 256^3:
+        ~6% over (8, 8, 4) (half the classification), ~25% over (16, 16, 8).
     """
 
     SKIP, FREE, BAND = 0, 1, 2
 
     def __init__(self, volume_bounds, voxel_size: float,
                  trunc_margin: Optional[float] = None,
-                 block_size: Union[int, Sequence[int]] = (8, 8, 4),
+                 block_size: Union[int, Sequence[int]] = (8, 8, 8),
                  band_capacity_fraction: float = 0.25,
+                 chunk_voxels: int = 1 << 16,
+                 color_mode: str = "rgb565d16",
                  dtype=jnp.float32):
         """
         :param band_capacity_fraction: upper bound on the banded update's
             per-trip width, as a fraction of the block count (the trip width
-            is additionally capped by a ~128K-voxel budget — see the
-            ``chunk`` comment in ``_build_integrator``). Bands wider than one
-            trip take more ``while_loop`` trips — never a dense pass.
+            is additionally capped by ``chunk_voxels`` — see the ``chunk``
+            comment in ``_build_integrator``). Bands wider than one trip take
+            more ``while_loop`` trips — never a dense pass.
+        :param chunk_voxels: voxel budget per banded-update trip (~64K
+            measured fastest on v5e; the per-voxel pixel gather dominates and
+            its cost is ceil(band/chunk) * chunk * BV, so a small chunk hugs
+            the true band size).
+        :param color_mode: per-voxel frame sampling layout. Gather cost on
+            this part is ~(11 ns + 2 ns/byte) per element, so ONE u32 take
+            beats the two takes (f32 depth + u32 RGB) by ~30%:
+
+            * ``"rgb565d16"`` (production default): depth quantised to u16
+              millimetres (the native precision of TUM/StrayScanner sensor
+              depth and of the reference's own inputs) and colour to RGB565
+              with a per-pixel 2x2 ordered dither, packed into one u32 word.
+              The dither makes the *running mean* voxel colour converge to
+              the true mean over multiple frames (quantisation error is
+              +-4/255 per frame but alternates sign across the 2x2 pattern).
+            * ``"rgb888"``: bit-exact f32 depth + 8-bit colour, two takes —
+              matches the dense integrator's arithmetic exactly.
         :param dtype: storage dtype for the voxel arrays. ``jnp.bfloat16``
             halves HBM (a 320M-voxel volume drops to ~3.2 GB); updates always
             accumulate in float32.
@@ -249,6 +303,11 @@ class SparseTSDFVolume:
                               + block_index * B * voxel_size).astype(np.float32)
 
         self.band_capacity = max(64, int(nb * band_capacity_fraction))
+        self.chunk_voxels = int(chunk_voxels)
+
+        if color_mode not in ("rgb565d16", "rgb888"):
+            raise ValueError(f"unknown color_mode {color_mode!r}")
+        self.color_mode = color_mode
 
         Bx, By, Bz = self.block_size
         self.block_voxels = Bx * By * Bz
@@ -291,18 +350,28 @@ class SparseTSDFVolume:
                      jnp.asarray(((flat_i // Bz) % By).astype(np.float32)),
                      jnp.asarray((flat_i % Bz).astype(np.float32))]
 
-        def classify(block_origins, depth, R, t, intr):
-            nb = block_origins.shape[0]
-            fx, fy, cx, cy = intr
+        def project_corners(origins, R, t, intr):
+            """Per-block camera-space hull bounds from the 8 block corners.
 
-            # Per-corner camera coordinates as (nb,) arrays, reduced
-            # incrementally over the 8 corners. A stacked (nb, 8, 3) corner
-            # tensor tile-pads its minor dims to (8, 128) — 42x physical HBM,
-            # ~270 MB materialised at 65K blocks, which made classification
-            # cost as much as the banded update it guards.
-            bx_, by_, bz_ = (block_origins[:, a] for a in range(3))
+            Returns (in_front, z_max, z_min, u0, u1, v0, v1,
+            outside_frustum) where ``outside_frustum`` is an exact hull test
+            against the four image-border planes through the camera centre —
+            valid for blocks that straddle or sit behind the camera plane,
+            where the projected AABB (u/v bounds) is meaningless. All
+            quantities stay (nb,)-shaped and reduce incrementally over the 8
+            corners: a stacked (nb, 8, 3) corner tensor tile-pads its minor
+            dims to (8, 128) — 42x physical HBM, ~270 MB at 65K blocks, which
+            made classification cost as much as the banded update it guards.
+            """
+            fx, fy, cx, cy = intr
+            bx_, by_, bz_ = (origins[:, a] for a in range(3))
+
             z_min = z_max = None
             u0 = u1 = v0 = v1 = None
+            # Hull-vs-plane accumulators (2 px conservative margin): a convex
+            # hull entirely outside one border plane contains no voxel that
+            # projects into the image, whatever side of z=0 it is on.
+            l_max = r_min = t_max = b_min = None
 
             for k in range(8):
                 ox, oy, oz = corner_offsets_np[k]
@@ -315,10 +384,16 @@ class SparseTSDFVolume:
                 us = fx * x / safe_z + cx
                 vs = fy * y / safe_z + cy
 
+                lin_l = fx * x + (cx + 2.0) * z
+                lin_r = fx * x + (cx - width - 2.0) * z
+                lin_t = fy * y + (cy + 2.0) * z
+                lin_b = fy * y + (cy - height - 2.0) * z
+
                 if k == 0:
                     z_min = z_max = z
                     u0 = u1 = us
                     v0 = v1 = vs
+                    l_max, r_min, t_max, b_min = lin_l, lin_r, lin_t, lin_b
                 else:
                     z_min = jnp.minimum(z_min, z)
                     z_max = jnp.maximum(z_max, z)
@@ -326,15 +401,22 @@ class SparseTSDFVolume:
                     u1 = jnp.maximum(u1, us)
                     v0 = jnp.minimum(v0, vs)
                     v1 = jnp.maximum(v1, vs)
+                    l_max = jnp.maximum(l_max, lin_l)
+                    r_min = jnp.minimum(r_min, lin_r)
+                    t_max = jnp.maximum(t_max, lin_t)
+                    b_min = jnp.minimum(b_min, lin_b)
 
             in_front = z_min > 1e-6
+            outside_frustum = ((z_max <= 1e-6) | (l_max < 0) | (r_min > 0)
+                               | (t_max < 0) | (b_min > 0))
 
+            return in_front, z_min, z_max, u0, u1, v0, v1, outside_frustum
+
+        def classes_from_bounds(in_front, z_min, z_max, u0, u1, v0, v1,
+                                outside_frustum, dmin, dmax, all_valid):
+            nb = in_front.shape[0]
             overlaps = (u1 >= 0) & (u0 < width) & (v1 >= 0) & (v0 < height)
             fully_inside = (u0 >= 0) & (u1 < width) & (v0 >= 0) & (v1 < height)
-
-            pyramid = build_flat_pyramid(depth, height, width)
-            dmin, dmax, all_valid = query_flat_pyramid(
-                pyramid, layout, u0, u1, v0, v1, height, width)
 
             classes = jnp.full((nb,), SparseTSDFVolume.BAND, dtype=jnp.int32)
 
@@ -344,12 +426,66 @@ class SparseTSDFVolume:
             no_surface = ~jnp.isfinite(dmax)
             behind = in_front & (z_min > jnp.where(jnp.isfinite(dmax), dmax, -jnp.inf)
                                  + trunc)
-            # Projection bounds are only trustworthy when the whole block is in
-            # front of the camera; straddling blocks stay on the band path.
-            skip = (in_front & ~overlaps) | (in_front & no_surface) | behind
-            classes = jnp.where(skip, SparseTSDFVolume.SKIP, classes)
+            # Projected AABBs are only trustworthy when the whole block is in
+            # front of the camera; camera-straddling blocks stay on the band
+            # path unless the exact hull test proves them outside the frustum
+            # (without it, every block cut by the camera plane — e.g. the
+            # whole z=0 layer when the camera sits on the volume boundary —
+            # pays the banded gather path for nothing).
+            skip = ((in_front & ~overlaps) | (in_front & no_surface) | behind
+                    | (~in_front & outside_frustum))
+            return jnp.where(skip, SparseTSDFVolume.SKIP, classes)
 
-            return classes
+        def classify(block_origins, pyramid, R, t, intr):
+            bounds = project_corners(block_origins, R, t, intr)
+            in_front, z_min, z_max, u0, u1, v0, v1, outside = bounds
+            dmin, dmax, all_valid = query_flat_pyramid(
+                pyramid, layout, u0, u1, v0, v1, height, width)
+            return classes_from_bounds(*bounds, dmin, dmax, all_valid)
+
+        # Fixed capacity of the refinement pass: band blocks beyond it simply
+        # stay band (correct, just unrefined). Sized ~2x the typical
+        # band-after-pass-1 fraction.
+        refine_cap = min(self.num_blocks, max(1024, self.num_blocks // 8))
+
+        def refine_band(classes, block_origins, pyramid, R, t, intr):
+            """Re-query band blocks with 5x5 cells two pyramid levels finer.
+
+            Pass 1 reads depth bounds from a region up to ~3x the block
+            footprint (2x2 cells at the covering level), which on sloped
+            surfaces widens the apparent depth window enough to misclassify
+            ~2-3x more blocks as band than a tight query would (measured on
+            the benchmark scene). Re-querying just the compacted band blocks
+            costs 25 single-complex gathers x refine_cap ids — far less than
+            the banded voxel gathers those extra blocks would pay.
+            """
+            nb = classes.shape[0]
+            # nb comes from the traced shape so the same body serves
+            # shard_map slabs (which see a fraction of the global blocks).
+            cap = min(refine_cap, nb)
+            band_ids = jnp.nonzero(classes == SparseTSDFVolume.BAND,
+                                   size=cap, fill_value=nb)[0]
+            id_valid = band_ids < nb
+            safe_ids = jnp.minimum(band_ids, nb - 1)
+
+            origins = block_origins[safe_ids]
+            bounds = project_corners(origins, R, t, intr)
+            in_front, z_min, z_max, u0, u1, v0, v1, outside = bounds
+            dmin, dmax, all_valid = query_flat_pyramid(
+                pyramid, layout, u0, u1, v0, v1, height, width,
+                grid=5, level_bias=-2)
+            refined = classes_from_bounds(*bounds, dmin, dmax, all_valid)
+
+            # Straddling blocks keep their pass-1 class (their AABBs are
+            # meaningless and the frustum test already ran in pass 1).
+            refined = jnp.where(in_front, refined, SparseTSDFVolume.BAND)
+
+            scatter_ids = jnp.where(id_valid, band_ids, nb)
+            return classes.at[scatter_ids].set(refined, mode="drop")
+
+        def classify_refined(block_origins, pyramid, R, t, intr):
+            classes = classify(block_origins, pyramid, R, t, intr)
+            return refine_band(classes, block_origins, pyramid, R, t, intr)
 
         def block_camera_coords(block_origins, block_ids, R, t):
             origins = block_origins[block_ids]                       # (K, 3)
@@ -382,9 +518,69 @@ class SparseTSDFVolume:
             return SparseTSDFState(tsdf=tsdf_new.astype(store),
                                    weight=w_new.astype(store), color=state.color)
 
+        # -- frame sampling ------------------------------------------------
+        # ``pack_frame`` builds the per-frame sampling image(s); the band
+        # path fetches per-voxel values with ``sample_values``. Gathers on
+        # this part cost ~(11 ns + 2 ns/byte) per element, so the packed
+        # single-u32 mode saves ~30% of the dominant band cost vs the exact
+        # two-take mode. NOTE: do NOT "optimise" two f32 takes into a 2-wide
+        # f32 slab gather — jnp.take of a (2, HW) axis=1 / (HW, 2) axis=0
+        # pair SILENTLY returns component 0 for both lanes on this TPU
+        # backend (miscompiles). A complex64 pack gathers both words
+        # correctly but costs the same as two plain takes (cost is
+        # per-byte).
+        if self.color_mode == "rgb565d16":
+
+            def pack_frame(depth, color_im):
+                d_mm = jnp.clip(jnp.round(depth * 1000.0), 0.0, 65535.0)
+                d_mm = d_mm.astype(jnp.uint32)
+
+                # 2x2 ordered dither (0, .5 / .75, .25), computed
+                # arithmetically — a table lookup would be a gather.
+                vv = jax.lax.broadcasted_iota(jnp.int32, depth.shape, 0) & 1
+                uu = jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1) & 1
+                dith = (0.5 * uu + 0.75 * vv - 1.0 * (uu * vv)).astype(
+                    jnp.float32)
+
+                c = jnp.clip(color_im, 0.0, 255.0)
+                r5 = jnp.floor(c[..., 0] * (31.0 / 255.0) + dith)
+                g6 = jnp.floor(c[..., 1] * (63.0 / 255.0) + dith)
+                b5 = jnp.floor(c[..., 2] * (31.0 / 255.0) + dith)
+                r5 = jnp.clip(r5, 0.0, 31.0).astype(jnp.uint32)
+                g6 = jnp.clip(g6, 0.0, 63.0).astype(jnp.uint32)
+                b5 = jnp.clip(b5, 0.0, 31.0).astype(jnp.uint32)
+
+                return (d_mm | (r5 << 16) | (g6 << 21) | (b5 << 27),)
+
+            def sample_values(sample, flat):
+                w = jnp.take(sample[0].reshape(-1), flat)
+                depth_val = (w & 0xFFFF).astype(jnp.float32) * 1e-3
+                rgb = jnp.stack(
+                    [((w >> 16) & 31).astype(jnp.float32) * (255.0 / 31.0),
+                     ((w >> 21) & 63).astype(jnp.float32) * (255.0 / 63.0),
+                     ((w >> 27) & 31).astype(jnp.float32) * (255.0 / 31.0)],
+                    axis=1)
+                return depth_val, rgb
+
+        else:  # rgb888: exact f32 depth + one packed-u32 colour take
+
+            def pack_frame(depth, color_im):
+                c = jnp.clip(color_im, 0.0, 255.0).astype(jnp.uint32)
+                return (depth, c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16))
+
+            def sample_values(sample, flat):
+                depth, packed_color = sample
+                depth_val = jnp.take(depth.reshape(-1), flat)
+                packed = jnp.take(packed_color.reshape(-1), flat)
+                rgb = jnp.stack([(packed & 0xFF).astype(jnp.float32),
+                                 ((packed >> 8) & 0xFF).astype(jnp.float32),
+                                 ((packed >> 16) & 0xFF).astype(jnp.float32)],
+                                axis=1)
+                return depth_val, rgb
+
         def band_update_values(block_origins, block_tsdf, block_weight,
-                               block_color, block_ids, block_valid, depth,
-                               packed_color, R, t, intr, obs_weight):
+                               block_color, block_ids, block_valid, sample,
+                               R, t, intr, obs_weight):
             # Accumulate in fp32 regardless of storage dtype.
             block_tsdf = block_tsdf.astype(jnp.float32)
             block_weight = block_weight.astype(jnp.float32)
@@ -400,20 +596,9 @@ class SparseTSDFVolume:
 
             flat = jnp.clip(v, 0, height - 1) * width + jnp.clip(u, 0, width - 1)
 
-            # Two plain per-voxel gathers (depth, then packed colour — one
-            # take for all 3 channels). NOTE: do NOT "optimise" these into a
-            # 2-wide f32 slab gather — jnp.take of a (2, HW) axis=1 /
-            # (HW, 2) axis=0 pair SILENTLY returns component 0 for both
-            # lanes on this TPU backend (miscompiles). A complex64 pack
-            # gathers both words correctly but measured no faster at the
-            # production chunk width.
-            depth_val = jnp.take(depth.reshape(-1), flat)
-            packed = jnp.take(packed_color.reshape(-1), flat)
-            # (K, 3, BV): channel axis in the middle matches the (K, 3*BV)
-            # row-major storage segments.
-            rgb = jnp.stack([(packed & 0xFF).astype(jnp.float32),
-                             ((packed >> 8) & 0xFF).astype(jnp.float32),
-                             ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=1)
+            # (depth_val (K, BV), rgb (K, 3, BV)) — the channel axis in the
+            # middle matches the (K, 3*BV) row-major storage segments.
+            depth_val, rgb = sample_values(sample, flat)
 
             sdf = depth_val - cam_z
             valid = (in_view & (depth_val > 0.0) & (sdf >= -trunc)
@@ -437,13 +622,13 @@ class SparseTSDFVolume:
 
             return tsdf_new, w_new, color_new.reshape(k, -1)
 
-        def update_band(state, block_origins, band_ids, band_valid, depth,
-                        packed_color, R, t, intr, obs_weight):
+        def update_band(state, block_origins, band_ids, band_valid, sample,
+                        R, t, intr, obs_weight):
             nb = state.tsdf.shape[0]
             tsdf_new, w_new, color_new = band_update_values(
                 block_origins, state.tsdf[band_ids], state.weight[band_ids],
-                state.color[band_ids], band_ids, band_valid, depth,
-                packed_color, R, t, intr, obs_weight)
+                state.color[band_ids], band_ids, band_valid, sample,
+                R, t, intr, obs_weight)
 
             scatter_ids = jnp.where(band_valid, band_ids, nb)
             store = state.tsdf.dtype
@@ -461,14 +646,15 @@ class SparseTSDFVolume:
         # band bigger than one chunk just takes more trips of the same
         # compiled body (a while_loop), so no giant-N gather shape ever
         # exists in the program regardless of volume size.
-        # ~128K voxels per trip measured fastest on v5e: the per-voxel pixel
+        # ~64K voxels per trip measured fastest on v5e: the per-voxel pixel
         # gather dominates, and its cost is ceil(band/chunk) * chunk * BV —
-        # a small chunk hugs the true band size (swept 39 ms/frame at 128K
-        # vs 106 ms/frame at 4M voxels per trip, VGA x 256^3).
-        chunk = min(band_capacity, max(64, (1 << 17) // max(1, Bx * By * Bz)))
+        # a small chunk hugs the true band size (swept 29 ms/frame at 64K
+        # vs 45 ms/frame at 256K voxels per trip, VGA x 256^3, (8,8,8)).
+        chunk = min(band_capacity,
+                    max(64, self.chunk_voxels // max(1, Bx * By * Bz)))
 
-        def update_band_chunked(state, block_origins, classes, depth,
-                                packed_color, R, t, intr, obs_weight):
+        def update_band_chunked(state, block_origins, classes, sample,
+                                R, t, intr, obs_weight):
             nb = state.tsdf.shape[0]
             nb_pad = ((nb + chunk - 1) // chunk) * chunk
             band_mask = classes == SparseTSDFVolume.BAND
@@ -485,8 +671,8 @@ class SparseTSDFVolume:
                 ids = jax.lax.dynamic_slice(band_ids, (i * chunk,), (chunk,))
                 valid = ids < nb
                 ids = jnp.minimum(ids, nb - 1)
-                state = update_band(state, block_origins, ids, valid, depth,
-                                    packed_color, R, t, intr, obs_weight)
+                state = update_band(state, block_origins, ids, valid, sample,
+                                    R, t, intr, obs_weight)
                 return state, i + 1
 
             state, _ = jax.lax.while_loop(lambda c: c[1] < num_trips, trip,
@@ -498,15 +684,12 @@ class SparseTSDFVolume:
             R = world_to_cam[:3, :3]
             t = world_to_cam[:3, 3]
 
-            # Pack RGB into one uint32 plane so the band path gathers colour
-            # with a single take.
-            c = jnp.clip(color_im, 0.0, 255.0).astype(jnp.uint32)
-            packed_color = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
-
-            classes = classify(block_origins, depth, R, t, intr)
+            sample = pack_frame(depth, color_im)
+            pyramid = build_flat_pyramid(depth, height, width)
+            classes = classify_refined(block_origins, pyramid, R, t, intr)
             state = update_free(state, classes, obs_weight)
-            return update_band_chunked(state, block_origins, classes, depth,
-                                       packed_color, R, t, intr, obs_weight)
+            return update_band_chunked(state, block_origins, classes, sample,
+                                       R, t, intr, obs_weight)
 
         @partial(jax.jit, donate_argnums=(0,))
         def integrate_one(state, block_origins, depth, color_im, world_to_cam,
@@ -527,13 +710,11 @@ class SparseTSDFVolume:
                 R = world_to_cam[:3, :3]
                 t = world_to_cam[:3, 3]
 
-                c = jnp.clip(color_im, 0.0, 255.0).astype(jnp.uint32)
-                packed_color = c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
-
-                classes = classify(block_origins, depth, R, t, intr)
+                sample = pack_frame(depth, color_im)
+                pyramid = build_flat_pyramid(depth, height, width)
+                classes = classify_refined(block_origins, pyramid, R, t, intr)
                 state = update_band_chunked(state, block_origins, classes,
-                                            depth, packed_color, R, t, intr,
-                                            obs_weight)
+                                            sample, R, t, intr, obs_weight)
 
                 free_weights = free_weights + jnp.where(
                     classes == SparseTSDFVolume.FREE, obs_weight, 0.0)
@@ -564,11 +745,22 @@ class SparseTSDFVolume:
         # Un-jitted body for embedding in shard_map (hive_tpu.parallel.fusion).
         integrate_one.scan_impl = integrate_scan_impl
 
-        # Expose the stages for profiling/testing.
-        integrate_one.classify = jax.jit(classify)
+        # Expose the stages for profiling/testing. The standalone classify
+        # wrappers take the raw depth image and build the pyramid themselves.
+        def _classify_from_depth(block_origins, depth, R, t, intr):
+            pyramid = build_flat_pyramid(depth, height, width)
+            return classify(block_origins, pyramid, R, t, intr)
+
+        def _classify_refined_from_depth(block_origins, depth, R, t, intr):
+            pyramid = build_flat_pyramid(depth, height, width)
+            return classify_refined(block_origins, pyramid, R, t, intr)
+
+        integrate_one.classify = jax.jit(_classify_from_depth)
+        integrate_one.classify_refined = jax.jit(_classify_refined_from_depth)
         integrate_one.update_free = update_free
         integrate_one.update_band = update_band
         integrate_one.chunk = chunk
+        integrate_one.refine_cap = refine_cap
 
         return integrate_one
 

@@ -32,6 +32,9 @@ class TestSparseEquivalence:
         dense = TSDFVolume(BOUNDS, voxel_size=voxel)
         dense.integrate_frames(colors, depths, K, poses)
 
+        # rgb888 is the bit-exact sampling mode; the packed production mode
+        # (u16-mm depth + dithered RGB565) is covered by TestPackedSampling.
+        sparse_kwargs.setdefault("color_mode", "rgb888")
         sparse = SparseTSDFVolume(BOUNDS, voxel_size=voxel, **sparse_kwargs)
         sparse.integrate_frames(colors, depths, K, poses)
 
@@ -102,6 +105,52 @@ class TestSparseEquivalence:
 
         assert (np.abs(w_s - w_d) > 1e-5).mean() < 1e-3
         assert (np.abs(tsdf_s - tsdf_d) > 1e-4).mean() < 2e-3
+
+
+class TestPackedSampling:
+    """rgb565d16 (one-gather production sampling) vs exact rgb888."""
+
+    def test_packed_close_to_exact(self):
+        depths, colors, poses = _frames()
+
+        exact = SparseTSDFVolume(BOUNDS, voxel_size=0.05, color_mode="rgb888")
+        exact.integrate_frames(colors, depths, K, poses)
+
+        packed = SparseTSDFVolume(BOUNDS, voxel_size=0.05,
+                                  color_mode="rgb565d16")
+        packed.integrate_frames(colors, depths, K, poses)
+
+        tsdf_e, w_e, c_e = exact.get_volume()
+        tsdf_p, w_p, c_p = packed.get_volume()
+
+        # Depth quantises to 0.5 mm -> tsdf moves by <= 0.0005/trunc(0.25)
+        # = 0.002; the 0.5 mm shift can also flip voxels across the
+        # sdf >= -trunc boundary, so allow a tiny weight-mismatch fraction.
+        weight_same = np.abs(w_p - w_e) < 1e-5
+        assert (~weight_same).mean() < 1e-3
+
+        both = weight_same & (w_e > 0)
+        assert np.abs(tsdf_p - tsdf_e)[both].max() < 0.005
+
+        # RGB565 + 2x2 dither: per-channel error bounded by one quantisation
+        # step (255/31 ~ 8.2), and it dithers toward the mean over frames.
+        assert np.abs(c_p - c_e)[both].max() < 9.0
+        assert np.abs(c_p - c_e)[both].mean() < 3.0
+
+    def test_depth_beyond_u16_range_is_invalid_not_wrapped(self):
+        # 70 m depth exceeds the u16 mm range; it must clamp (stay a huge
+        # positive depth -> free-space update), never wrap around to small.
+        depths = np.full((1, H, W), 70.0, dtype=np.float32)
+        colors = np.zeros((1, H, W, 3), dtype=np.uint8)
+        poses = np.eye(4, dtype=np.float32)[None]
+
+        volume = SparseTSDFVolume(BOUNDS, voxel_size=0.05,
+                                  color_mode="rgb565d16")
+        volume.integrate_frames(colors, depths, K, poses)
+
+        tsdf, weight, _ = volume.get_volume()
+        # Everything observed is free space: tsdf stays at +1 there.
+        assert tsdf[weight > 0].min() > 0.99
 
 
 class TestBF16Storage:
