@@ -319,10 +319,40 @@ class SparseTSDFVolume:
         )
 
         self._integrators = {}  # built lazily, keyed on image size
+        # Row r of the state holds block _block_perm[r] of the canonical
+        # x-major block grid (None = identity). Every integration stage is
+        # permutation-invariant (block_origins rides along as data); only
+        # dense extraction needs the inverse. Used for block-cyclic
+        # placement across a device mesh (hive_tpu.parallel.fusion).
+        self._block_perm: Optional[np.ndarray] = None
 
     @property
     def num_voxels(self) -> int:
         return int(np.prod(self.dims))
+
+    def apply_block_permutation(self, perm) -> None:
+        """Reorder the state's block rows so row r holds block ``perm[r]``.
+
+        Integration semantics are unchanged (blocks are independent and
+        carry their origins); the row order only affects how blocks land on
+        devices when the leading axis is sharded — a block-cyclic ``perm``
+        interleaves spatially-adjacent blocks across devices so a surface
+        band concentrated in one region of the grid still spreads evenly.
+        """
+        perm = np.asarray(perm, dtype=np.int64)
+        if perm.shape != (self.num_blocks,) or \
+                not np.array_equal(np.sort(perm), np.arange(self.num_blocks)):
+            raise ValueError("perm must be a permutation of arange(num_blocks)")
+
+        perm_dev = jnp.asarray(perm)
+        self.state = SparseTSDFState(tsdf=self.state.tsdf[perm_dev],
+                                     weight=self.state.weight[perm_dev],
+                                     color=self.state.color[perm_dev])
+        self.block_origins = self.block_origins[perm]
+        self._block_origins_dev = None
+
+        self._block_perm = (perm if self._block_perm is None
+                            else self._block_perm[perm])
 
     # -- frame integration ----------------------------------------------------
     def _build_integrator(self, height: int, width: int):
@@ -822,8 +852,14 @@ class SparseTSDFVolume:
         nbx, nby, nbz = self.grid_blocks
         Bx, By, Bz = self.block_size
 
+        inv_perm = (None if self._block_perm is None
+                    else jnp.asarray(np.argsort(self._block_perm)))
+
         def to_dense(blocked):
-            a = blocked.astype(jnp.float32).reshape(nbx, nby, nbz, Bx, By, Bz)
+            a = blocked.astype(jnp.float32)
+            if inv_perm is not None:  # undo block-cyclic row placement
+                a = a[inv_perm]
+            a = a.reshape(nbx, nby, nbz, Bx, By, Bz)
             a = jnp.transpose(a, (0, 3, 1, 4, 2, 5))
             return a.reshape(*self.dims)
 

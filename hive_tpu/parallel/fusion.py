@@ -10,11 +10,16 @@ and updates its slab of blocks, and sharding propagation keeps the state
 resident. Frames, intrinsics and poses replicate (a VGA frame is ~1 MB; the
 volume is GBs).
 
-Load-balance note: blocks shard as contiguous slabs along the leading (x)
-axis; a camera sweeping along x concentrates band blocks on few devices. For
-static scenes the imbalance is bounded by the surface distribution; a
-block-cyclic permutation of block ids would balance it and remains voxel-local
-(left for when multi-chip hardware is available to measure).
+Load balance: with ``placement="contiguous"`` blocks shard as contiguous
+slabs along the leading (x) axis, so a surface concentrated in one x-range
+(an axis-aligned wall, a camera sweeping along x) lands its band blocks on
+few devices. ``placement="cyclic"`` (the default) applies a block-cyclic row
+permutation first — device d holds blocks d, d+n, d+2n, ... of the x-major
+grid — which interleaves spatially-adjacent blocks across all devices, so
+every device sees ~1/n of the band wherever the surface sits. Integration is
+permutation-invariant (blocks are independent and carry their origins as
+data), so both placements are bit-identical to the single-device result;
+only dense extraction un-permutes.
 """
 
 from __future__ import annotations
@@ -33,12 +38,17 @@ except ImportError:  # pragma: no cover
 
 
 def shard_sparse_state(volume: SparseTSDFVolume, mesh: Mesh,
-                       axis: str = "data") -> None:
+                       axis: str = "data",
+                       placement: str = "cyclic") -> None:
     """Re-place ``volume.state`` (and block origins) sharded over ``axis``.
 
     The block count must divide by the mesh axis size (block counts are grid
-    products, so choose grids accordingly; the default 256^3 / (8, 8, 4)
-    grid gives 65536 blocks — divisible by any power-of-two mesh).
+    products, so choose grids accordingly; the default 256^3 / (8, 8, 8)
+    grid gives 32768 blocks — divisible by any power-of-two mesh).
+
+    :param placement: ``"cyclic"`` (default) round-robins blocks over the
+        devices for load balance; ``"contiguous"`` keeps x-major slabs (see
+        module docstring).
     """
     n = mesh.shape[axis]
     nb = volume.num_blocks
@@ -46,6 +56,14 @@ def shard_sparse_state(volume: SparseTSDFVolume, mesh: Mesh,
     if nb % n != 0:
         raise ValueError(f"num_blocks={nb} must divide over mesh axis "
                          f"'{axis}' of size {n}")
+
+    if placement == "cyclic":
+        # Row order [0, n, 2n, ..., 1, 1+n, ...]: contiguous per-device
+        # slabs of the sharded axis then hold blocks {d, d+n, d+2n, ...}.
+        volume.apply_block_permutation(
+            np.arange(nb).reshape(nb // n, n).T.reshape(-1))
+    elif placement != "contiguous":
+        raise ValueError(f"unknown placement {placement!r}")
 
     row = NamedSharding(mesh, P(axis, None))
     volume.state = SparseTSDFState(

@@ -56,10 +56,14 @@ class TestMeshHelpers:
 
 
 class TestShardedSparseTSDF:
-    def test_block_sharded_sparse_integration_matches_single_device(self, mesh):
+    @pytest.mark.parametrize("placement", ["contiguous", "cyclic"])
+    def test_block_sharded_sparse_integration_matches_single_device(
+            self, mesh, placement):
         """The sparse integrator inside shard_map (blocks sharded over the
         mesh) must reproduce the single-device result exactly — integration
-        is block-local, so no collectives and no tolerance."""
+        is block-local, so no collectives and no tolerance. Cyclic placement
+        additionally permutes the block rows (load balance); extraction must
+        invert it."""
         from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
         from hive_tpu.parallel.fusion import (integrate_frames_sharded,
                                               shard_sparse_state)
@@ -78,15 +82,38 @@ class TestShardedSparseTSDF:
 
         vol = SparseTSDFVolume(bounds, voxel_size=2.0 / 32)
         assert vol.num_blocks % 8 == 0
-        shard_sparse_state(vol, mesh)
+        shard_sparse_state(vol, mesh, placement=placement)
         integrate_frames_sharded(vol, mesh, colors, depths, K, poses)
 
-        np.testing.assert_array_equal(np.asarray(vol.state.weight),
-                                      np.asarray(ref.state.weight))
-        np.testing.assert_allclose(np.asarray(vol.state.tsdf),
-                                   np.asarray(ref.state.tsdf), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(vol.state.color),
-                                   np.asarray(ref.state.color), atol=1e-4)
+        if placement == "contiguous":
+            np.testing.assert_array_equal(np.asarray(vol.state.weight),
+                                          np.asarray(ref.state.weight))
+            np.testing.assert_allclose(np.asarray(vol.state.tsdf),
+                                       np.asarray(ref.state.tsdf), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(vol.state.color),
+                                       np.asarray(ref.state.color), atol=1e-4)
+
+        # Dense extraction un-permutes whatever the placement did.
+        tsdf_r, w_r, c_r = ref.get_volume()
+        tsdf_v, w_v, c_v = vol.get_volume()
+        np.testing.assert_array_equal(w_v, w_r)
+        np.testing.assert_allclose(tsdf_v, tsdf_r, atol=1e-6)
+        np.testing.assert_allclose(c_v, c_r, atol=1e-4)
+
+    def test_cyclic_placement_interleaves_blocks(self, mesh):
+        from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
+        from hive_tpu.parallel.fusion import shard_sparse_state
+
+        vol = SparseTSDFVolume(np.array([[-1.0, 1.0], [-1.0, 1.0], [0.0, 2.0]]),
+                               voxel_size=2.0 / 32)
+        origins_before = vol.block_origins.copy()
+        shard_sparse_state(vol, mesh, placement="cyclic")
+
+        n = vol.num_blocks // 8
+        # Device 0's slab holds canonical blocks 0, 8, 16, ... — its origins
+        # are strided rows of the x-major origin table.
+        np.testing.assert_array_equal(vol.block_origins[:n],
+                                      origins_before[0::8])
 
     def test_indivisible_blocks_raise(self, mesh):
         from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
