@@ -2,14 +2,17 @@
 
 The reference used Detectron2's Mask R-CNN (hive/io.py:163-230) to produce
 per-frame instance masks with the contract: background = 0, person instances =
-1..N. This module provides the same contract through two backends:
+1..N. This module provides the same contract through three backends, picked
+by available weights:
 
+* **Mask R-CNN (Flax)** — the architecture-parity backend
+  (:mod:`hive_tpu.models.maskrcnn`): ResNet-50 FPN + RPN + box/mask heads,
+  loading the released torchvision ``maskrcnn_resnet50_fpn`` COCO checkpoint
+  converted to ``$WEIGHTS_PATH/maskrcnn_coco.npz``. Per-instance masks with
+  scores, ids assigned in score order like Detectron2's output.
 * **U-Net person segmenter (Flax)** — a compact encoder-decoder that runs
-  batched on TPU. Weights load from ``$WEIGHTS_PATH/person_unet.npz`` when
-  present; the architecture is also the target for converted checkpoints.
-  Instances are separated from the semantic mask with connected components
-  (people rarely overlap in the target footage; the reference's mask-ID
-  semantics are preserved).
+  batched on TPU (``$WEIGHTS_PATH/person_unet.npz``). Instances are separated
+  from the semantic mask with connected components.
 * **Motion fallback (cv2)** — MOG2 background subtraction over the frame
   sequence + morphological cleanup + connected components. The functional role
   of the masks in this pipeline is "dynamic objects to exclude from the static
@@ -124,6 +127,35 @@ def _unflatten_params(flat: dict) -> dict:
     return tree
 
 
+class _MaskRCNNBackend:
+    """Per-frame instance masks from the Flax Mask R-CNN.
+
+    Detectors jit to a fixed input size; one is built lazily per frame shape
+    (the pipeline processes a sequence at one resolution, so this compiles
+    once).
+    """
+
+    def __init__(self, weights_path: str, score_threshold: float = 0.5):
+        from hive_tpu.models.maskrcnn import load_params
+
+        self.params = load_params(weights_path)
+        self.score_threshold = score_threshold
+        self._detectors = {}
+
+    def _detector(self, input_hw):
+        det = self._detectors.get(input_hw)
+        if det is None:
+            from hive_tpu.models.maskrcnn import MaskRCNNDetector
+
+            det = self._detectors[input_hw] = MaskRCNNDetector(
+                self.params, input_hw=input_hw,
+                score_threshold=self.score_threshold)
+        return det
+
+    def segment_instances(self, rgb: np.ndarray) -> np.ndarray:
+        return self._detector(rgb.shape[:2]).instance_mask(rgb)
+
+
 # ---------------------------------------------------------------------------
 # Classical fallback: motion segmentation (MOG2 background subtraction).
 # ---------------------------------------------------------------------------
@@ -188,21 +220,32 @@ class PersonSegmenter:
     def __init__(self, weights_path: Optional[str] = None, probability_threshold: float = 0.5):
         self.probability_threshold = probability_threshold
 
+        weights_dir = os.environ.get("WEIGHTS_PATH", "weights")
         if weights_path is None:
-            weights_dir = os.environ.get("WEIGHTS_PATH", "weights")
             weights_path = os.path.join(weights_dir, "person_unet.npz")
 
+        self._maskrcnn: Optional[_MaskRCNNBackend] = None
         self._unet: Optional[_UNetBackend] = None
 
-        if os.path.isfile(weights_path):
+        maskrcnn_path = os.path.join(weights_dir, "maskrcnn_coco.npz")
+        if os.path.isfile(maskrcnn_path):
+            try:
+                self._maskrcnn = _MaskRCNNBackend(maskrcnn_path)
+                logging.info(f"Person segmentation: Mask R-CNN backend "
+                             f"({maskrcnn_path}).")
+            except Exception as exc:  # pragma: no cover - depends on weights
+                logging.warning(f"Could not load Mask R-CNN weights ({exc}); "
+                                f"trying the U-Net backend.")
+
+        if self._maskrcnn is None and os.path.isfile(weights_path):
             try:
                 self._unet = _UNetBackend(weights_path)
                 logging.info(f"Person segmentation: U-Net backend ({weights_path}).")
             except Exception as exc:  # pragma: no cover - depends on weight files
                 logging.warning(f"Could not load U-Net weights ({exc}); "
-                                f"falling back to HOG+GrabCut.")
+                                f"falling back to motion masks.")
 
-        if self._unet is None:
+        if self._maskrcnn is None and self._unet is None:
             logging.info("Person segmentation: motion (MOG2) fallback backend "
                          "(no model weights found).")
 
@@ -213,6 +256,9 @@ class PersonSegmenter:
 
         With the motion backend, batches must arrive in video order.
         """
+        if self._maskrcnn is not None:
+            return [self._maskrcnn.segment_instances(frame) for frame in batch]
+
         if self._unet is not None:
             probabilities = self._unet.person_probabilities(batch)
             return [self._instances_from_probability(p) for p in probabilities]

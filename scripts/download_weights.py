@@ -35,10 +35,17 @@ WEIGHT_SPECS = [
         "converter": "hive_tpu.models.lama.convert_torch_checkpoint",
     },
     {
+        "filename": "maskrcnn_coco.npz",
+        "source": "maskrcnn_resnet50_fpn_coco-bf2d0c1e.pth",
+        "url": "https://download.pytorch.org/models/"
+               "maskrcnn_resnet50_fpn_coco-bf2d0c1e.pth",
+        "converter": "hive_tpu.models.maskrcnn.convert_torch_checkpoint",
+    },
+    {
         "filename": "person_unet.npz",
         "source": None,
-        "url": "(train or distil a person-segmentation U-Net; "
-               "see hive_tpu/models/segmentation.py)",
+        "url": "(optional lightweight fallback: train or distil a "
+               "person-segmentation U-Net; see hive_tpu/models/segmentation.py)",
         "converter": None,
     },
 ]
