@@ -82,29 +82,50 @@ TET_TRIANGLE_TABLE = np.array([
 # Pass 1: active-cube detection (full volume, fused elementwise).
 # ---------------------------------------------------------------------------
 
+def _cube_corner_reduce(observed, inside):
+    """(X, Y, Z) observed/inside planes -> (X-1, Y-1, Z-1) active-cube mask.
+
+    The 8-corner AND/OR reductions factor separably over the three axes
+    (9 shifted boolean ops instead of 24 corner slices — the shifted slices
+    on a big volume's misaligned minor dim are the measured cost here).
+    """
+    all_observed = observed
+    any_inside = inside
+    all_inside = inside
+
+    for axis in range(3):
+        lo = tuple(slice(0, -1) if a == axis else slice(None) for a in range(3))
+        hi = tuple(slice(1, None) if a == axis else slice(None) for a in range(3))
+        all_observed = all_observed[lo] & all_observed[hi]
+        any_inside = any_inside[lo] | any_inside[hi]
+        all_inside = all_inside[lo] & all_inside[hi]
+
+    return all_observed & any_inside & (~all_inside)
+
+
 @jax.jit
 def _active_cubes_mask(tsdf: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
     """(X-1, Y-1, Z-1) bool: cube has all corners observed and a sign change."""
-    observed = weight > 0.0
-    inside = tsdf < 0.0
+    return _cube_corner_reduce(weight > 0.0, tsdf < 0.0)
 
-    def corners(a):
-        return [a[x:a.shape[0] - 1 + x, y:a.shape[1] - 1 + y, z:a.shape[2] - 1 + z]
-                for x, y, z in CORNER_OFFSETS]
 
-    obs = corners(observed)
-    all_observed = obs[0]
-    for o in obs[1:]:
-        all_observed = all_observed & o
+@partial(jax.jit, static_argnames=("grid_blocks", "block_size"))
+def _active_cubes_mask_blocked(tsdf_b, weight_b, *, grid_blocks, block_size):
+    """Active-cube mask straight from the block-major sparse state.
 
-    ins = corners(inside)
-    any_inside = ins[0]
-    all_inside = ins[0]
-    for i in ins[1:]:
-        any_inside = any_inside | i
-        all_inside = all_inside & i
+    Assembles ONE dense plane (tsdf with unobserved voxels encoded as NaN —
+    NaN < 0 is False and isfinite is the observed test) instead of the five
+    dense arrays the generic path would build.
+    """
+    nbx, nby, nbz = grid_blocks
+    bx, by, bz = block_size
 
-    return all_observed & any_inside & (~all_inside)
+    val = jnp.where(weight_b > 0, tsdf_b.astype(jnp.float32), jnp.nan)
+    val = val.reshape(nbx, nby, nbz, bx, by, bz)
+    val = jnp.transpose(val, (0, 3, 1, 4, 2, 5))
+    val = val.reshape(nbx * bx, nby * by, nbz * bz)
+
+    return _cube_corner_reduce(jnp.isfinite(val), val < 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -147,29 +168,74 @@ _GC2 = (_C31 / _DET[:, None]).astype(np.float32)
 _GC3 = (_C12 / _DET[:, None]).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("dims", "capacity"))
-def _emit_triangles_compact(tsdf_flat, packed_color_flat, cube_idx, valid_count, *,
-                            dims, capacity: int):
-    """Emit + compact triangles for (M, 3) active cube indices, lane-flat.
-
-    Returns 7 values: per-VERTEX flat arrays x, y, z (f32, voxel units),
-    packed colour (uint32 r|g<<8|b<<16), key lo, key hi (int32 global corner
-    ids; lo == hi marks a vertex snapped onto a grid corner), and the valid
-    triangle count. Each array has 3*capacity entries; entries beyond
-    3*count are garbage. Only compacted data crosses to the host.
-    """
-    X, Y, Z = dims
-    M = cube_idx.shape[0]
-    f32 = jnp.float32
-
+def _corner_lin(cube_idx, dims):
+    """(M, 3) cube base indices -> (M, 8) global dense corner ids."""
+    _, Y, Z = dims
     base = (cube_idx[:, 0] * Y + cube_idx[:, 1]) * Z + cube_idx[:, 2]    # (M,)
     off_lin = jnp.asarray(
         (CORNER_OFFSETS[:, 0] * Y + CORNER_OFFSETS[:, 1]) * Z
         + CORNER_OFFSETS[:, 2], jnp.int32)
-    corner_lin = base[:, None] + off_lin[None, :]                        # (M, 8)
+    return base[:, None] + off_lin[None, :]                              # (M, 8)
 
+
+@partial(jax.jit, static_argnames=("dims", "capacity"))
+def _emit_triangles_compact(tsdf_flat, packed_color_flat, cube_idx, valid_count, *,
+                            dims, capacity: int):
+    """Triangle emission from DENSE flat tsdf/colour arrays (see _emit_core)."""
+    corner_lin = _corner_lin(cube_idx, dims)
     s8 = jnp.take(tsdf_flat, corner_lin)                                 # (M, 8)
     packed8 = jnp.take(packed_color_flat, corner_lin)                    # (M, 8)
+    return _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity)
+
+
+@partial(jax.jit, static_argnames=("dims", "grid_blocks", "block_size",
+                                   "capacity"))
+def _emit_triangles_blocked(tsdf_b_flat, color_b_flat, cube_idx, valid_count, *,
+                            dims, grid_blocks, block_size, capacity: int):
+    """Triangle emission gathering corners straight from the BLOCK-MAJOR
+    sparse state — no dense tsdf/colour assembly (which cost more than the
+    whole emission pass at 76M voxels: the (nb, BV) -> (X, Y, Z) transpose
+    is a layout change XLA executes far below HBM bandwidth).
+
+    ``tsdf_b_flat`` is state.tsdf.reshape(-1); ``color_b_flat`` is
+    state.color.reshape(-1) with per-block R|G|B channel segments
+    (hive_tpu.ops.tsdf_sparse storage layout).
+    """
+    _, nby, nbz = grid_blocks
+    bx, by, bz = block_size
+    bv = bx * by * bz
+
+    xyz = cube_idx[:, :, None] + jnp.asarray(CORNER_OFFSETS.T)[None]     # (M,3,8)
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]                            # (M,8)
+
+    block = ((x // bx) * nby + (y // by)) * nbz + (z // bz)
+    off = ((x % bx) * by + (y % by)) * bz + (z % bz)
+
+    s8 = jnp.take(tsdf_b_flat, block * bv + off).astype(jnp.float32)
+
+    packed8 = jnp.uint32(0)
+    for ch, shift in enumerate((0, 8, 16)):
+        c = jnp.take(color_b_flat, (block * 3 + ch) * bv + off)
+        c = jnp.clip(jnp.round(c.astype(jnp.float32)), 0, 255).astype(jnp.uint32)
+        packed8 = packed8 | (c << shift)
+
+    return _emit_core(s8, packed8, _corner_lin(cube_idx, dims), cube_idx,
+                      valid_count, capacity)
+
+
+def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
+    """Emit + compact triangles for (M, 3) active cube indices, lane-flat.
+
+    Inputs are the per-cube corner values: s8 (M, 8) signed distances,
+    packed8 (M, 8) uint32 colours, corner_lin (M, 8) global corner ids (the
+    weld keys). Returns 7 values: per-VERTEX flat arrays x, y, z (f32, voxel
+    units), packed colour (uint32 r|g<<8|b<<16), key lo, key hi (int32
+    global corner ids; lo == hi marks a vertex snapped onto a grid corner),
+    and the valid triangle count. Each array has 3*capacity entries; entries
+    beyond 3*count are garbage. Only compacted data crosses to the host.
+    """
+    M = cube_idx.shape[0]
+    f32 = jnp.float32
 
     sa = s8[:, _EDGE_A]                                                  # (M, 36)
     sb = s8[:, _EDGE_B]
@@ -330,6 +396,17 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
     to_u32 = lambda c: jnp.clip(jnp.round(c), 0, 255).astype(jnp.uint32)
     color_flat = _pack_rgb(to_u32(r), to_u32(g), to_u32(b))
 
+    def emit(chunk, valid_count, capacity):
+        return _emit_triangles_compact(tsdf_flat, color_flat, chunk,
+                                       valid_count, dims=dims,
+                                       capacity=capacity)
+
+    return _chunked_extract_and_weld(active, emit, dims, origin, voxel_size,
+                                     chunk_size)
+
+
+def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
+                              chunk_size: int):
     parts = {name: [] for name in ("x", "y", "z", "col", "klo", "khi")}
 
     for start in range(0, len(active), chunk_size):
@@ -349,9 +426,8 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
         # small extractions don't pay full-chunk compaction gathers.
         capacity = len(chunk) * 12
 
-        x, y, z, col, klo, khi, count = _emit_triangles_compact(
-            tsdf_flat, color_flat, jnp.asarray(chunk),
-            jnp.int32(valid_count), dims=dims, capacity=capacity)
+        x, y, z, col, klo, khi, count = emit(jnp.asarray(chunk),
+                                             jnp.int32(valid_count), capacity)
         nv = 3 * int(count)
 
         for name, arr in zip(("x", "y", "z", "col", "klo", "khi"),
@@ -380,3 +456,50 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
     faces = faces[ok]
 
     return vertices, faces, colors
+
+
+def extract_isosurface_blocked(tsdf_b, weight_b, color_b, *, grid_blocks,
+                               block_size, origin, voxel_size: float,
+                               chunk_size: int = 1 << 15):
+    """Extract the zero level set straight from block-major sparse state.
+
+    Skips the dense volume assembly entirely (measured 5.8 s of a 17 s
+    extraction at 76M voxels): the active-cube mask builds from ONE
+    NaN-encoded dense plane, and triangle emission gathers its cube corners
+    from the blocked arrays (hive_tpu.ops.tsdf_sparse layout: tsdf/weight
+    (nb, BV), colour (nb, 3*BV) channel segments, canonical x-major block
+    order — un-permute block-cyclic state first).
+
+    :return: (vertices (V, 3) f32 world coords, faces (F, 3) int64,
+        vertex colors (V, 3) uint8).
+    """
+    grid_blocks = tuple(int(g) for g in grid_blocks)
+    block_size = tuple(int(b) for b in block_size)
+    dims = tuple(g * b for g, b in zip(grid_blocks, block_size))
+
+    mask_flat = _active_cubes_mask_blocked(
+        tsdf_b, weight_b, grid_blocks=grid_blocks,
+        block_size=block_size).reshape(-1)
+    num_active = int(jnp.sum(mask_flat))
+
+    if num_active == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+                np.zeros((0, 3), np.uint8))
+
+    lin = np.asarray(jnp.nonzero(mask_flat, size=num_active)[0])
+    cy, cz = (dims[1] - 1), (dims[2] - 1)
+    active = np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
+                      axis=-1).astype(np.int32)
+
+    tsdf_b_flat = tsdf_b.reshape(-1)
+    color_b_flat = color_b.reshape(-1)
+
+    def emit(chunk, valid_count, capacity):
+        return _emit_triangles_blocked(tsdf_b_flat, color_b_flat, chunk,
+                                       valid_count, dims=dims,
+                                       grid_blocks=grid_blocks,
+                                       block_size=block_size,
+                                       capacity=capacity)
+
+    return _chunked_extract_and_weld(active, emit, dims, origin, voxel_size,
+                                     chunk_size)

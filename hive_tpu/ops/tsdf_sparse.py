@@ -880,12 +880,20 @@ class SparseTSDFVolume:
 
     def get_mesh(self):
         from hive_tpu.meshing.mesh import TriangleMesh
-        from hive_tpu.ops.marching import extract_isosurface
+        from hive_tpu.ops.marching import extract_isosurface_blocked
 
-        tsdf, weight, color = self._dense()
-        verts, faces, colors = extract_isosurface(tsdf, weight, color,
-                                                  origin=self.origin,
-                                                  voxel_size=self.voxel_size)
+        # Extraction reads the block-major state directly (no dense volume
+        # assembly — see extract_isosurface_blocked); it expects canonical
+        # x-major block order, so un-permute block-cyclic placements first.
+        tsdf_b, weight_b, color_b = self.state
+        if self._block_perm is not None:
+            inv = jnp.asarray(np.argsort(self._block_perm))
+            tsdf_b, weight_b, color_b = tsdf_b[inv], weight_b[inv], color_b[inv]
+
+        verts, faces, colors = extract_isosurface_blocked(
+            tsdf_b, weight_b, color_b, grid_blocks=self.grid_blocks,
+            block_size=self.block_size, origin=self.origin,
+            voxel_size=self.voxel_size)
 
         mesh = TriangleMesh(vertices=verts, faces=faces, vertex_colors=colors)
         normals = mesh.compute_vertex_normals() if len(faces) else np.zeros_like(verts)

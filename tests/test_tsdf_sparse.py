@@ -184,6 +184,44 @@ class TestBF16Storage:
         assert verts.dtype == np.float32
 
 
+class TestBlockedExtraction:
+    """get_mesh reads the block-major state directly; it must match the
+    generic dense-volume extraction path bit-for-bit."""
+
+    def _volume(self):
+        depths, colors, poses = _frames(num_frames=2)
+        vol = SparseTSDFVolume(BOUNDS, voxel_size=0.05, color_mode="rgb888")
+        vol.integrate_frames(colors, depths, K, poses)
+        return vol
+
+    def test_matches_dense_extraction(self):
+        from hive_tpu.ops.marching import extract_isosurface
+
+        vol = self._volume()
+        verts_b, faces_b, _, cols_b = vol.get_mesh()
+
+        tsdf, weight, color = vol._dense()
+        verts_d, faces_d, cols_d = extract_isosurface(
+            tsdf, weight, color, origin=vol.origin,
+            voxel_size=vol.voxel_size)
+
+        assert len(verts_b) > 0
+        np.testing.assert_allclose(verts_b, verts_d, atol=1e-5)
+        np.testing.assert_array_equal(faces_b, faces_d)
+        np.testing.assert_array_equal(cols_b, cols_d)
+
+    def test_permuted_blocks_extract_identically(self):
+        vol = self._volume()
+        verts_ref, faces_ref, _, _ = vol.get_mesh()
+
+        perm = np.random.default_rng(3).permutation(vol.num_blocks)
+        vol.apply_block_permutation(perm)
+        verts_p, faces_p, _, _ = vol.get_mesh()
+
+        np.testing.assert_allclose(verts_p, verts_ref, atol=1e-5)
+        np.testing.assert_array_equal(faces_p, faces_ref)
+
+
 class TestSparseProperties:
     def test_dims_round_to_block_multiple(self):
         volume = SparseTSDFVolume(np.array([[0.0, 0.9]] * 3), voxel_size=0.05,
