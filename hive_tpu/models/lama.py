@@ -7,6 +7,23 @@ Inpainting with Fourier Convolutions" (Suvorov et al. 2022) — is a natural fit
 for XLA: the spectral branch is rfft2 → 1x1 conv on stacked real/imag →
 irfft2, all fused by the compiler.
 
+The generator mirrors the released **big-lama** configuration exactly so the
+released checkpoint converts 1:1 (``FFCResNetGenerator``: ngf 64, 3
+downsamples, 18 FFC residual blocks at a 0.75 global ratio, ``enable_lfu``
+off, reflect padding, sigmoid output):
+
+* all convolutions reflect-pad (torch ``padding_mode='reflect'``) and carry
+  no bias; every BatchNorm is folded into a per-channel scale/bias at
+  conversion time (inference-only, like the Mask R-CNN port);
+* the Fourier unit stores its spectral tensor as ``[all-real | all-imag]``
+  channel blocks (torch interleaves re/im per channel — the converter
+  permutes the 1x1 conv weights and BN stats, see
+  :func:`_fourier_conv_from_torch`);
+* the decoder's ``ConvTranspose2d(k=3, s=2, p=1, output_padding=1)`` is
+  computed as zero-interleaved upsampling + a VALID 3x3 conv with the
+  spatially-flipped kernel (exact; validated against torch in
+  tests/test_weight_conversion.py).
+
 Weights load from ``$WEIGHTS_PATH/big-lama.npz`` (convert the released
 checkpoint with :func:`convert_torch_checkpoint`); without weights,
 :func:`lama_inpaint_folder` transparently falls back to cv2 TELEA inpainting
@@ -26,13 +43,51 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+try:  # torch only needed for checkpoint conversion
+    import torch
+except Exception:  # pragma: no cover
+    torch = None
+
+from hive_tpu.models.maskrcnn import FoldedBN
+
 
 # ---------------------------------------------------------------------------
-# FFC building blocks.
+# FFC building blocks (faithful to saic-mdal/lama ffc.py, inference form).
 # ---------------------------------------------------------------------------
+
+def _reflect_pad(x, p: int):
+    if p == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+
+
+class FourierUnit(nn.Module):
+    """rfft2 → 1x1 conv + folded-BN + relu over [re | im] blocks → irfft2."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        freq = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="ortho")
+        stacked = jnp.concatenate([freq.real, freq.imag], axis=-1)
+
+        y = nn.Conv(2 * self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv")(stacked.astype(self.dtype))
+        y = FoldedBN(2 * self.features, name="bn")(y)
+        y = nn.relu(y).astype(jnp.float32)
+
+        freq = jax.lax.complex(y[..., :self.features], y[..., self.features:])
+        out = jnp.fft.irfft2(freq, s=(h, w), axes=(1, 2), norm="ortho")
+        return out.astype(x.dtype)
+
 
 class SpectralTransform(nn.Module):
-    """Global branch: conv → (rfft2 → 1x1 conv over stacked re/im → irfft2) → conv."""
+    """Global-branch transform: 1x1 bottleneck → Fourier unit → 1x1 expand.
+
+    big-lama runs with ``enable_lfu: false`` — no local Fourier unit.
+    """
 
     features: int
     dtype: jnp.dtype = jnp.float32
@@ -41,137 +96,147 @@ class SpectralTransform(nn.Module):
     def __call__(self, x):
         half = self.features // 2
 
-        y = nn.Conv(half, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.GroupNorm(num_groups=min(32, half), name="gn1")(y)
+        y = nn.Conv(half, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = FoldedBN(half, name="bn1")(y)
         y = nn.relu(y)
 
-        # Fourier unit. FFT in fp32 for accuracy regardless of compute dtype.
-        b, h, w, c = y.shape
-        freq = jnp.fft.rfft2(y.astype(jnp.float32), axes=(1, 2), norm="ortho")
-        stacked = jnp.concatenate([freq.real, freq.imag], axis=-1)
+        out = FourierUnit(half, dtype=self.dtype, name="fu")(y)
 
-        stacked = nn.Conv(2 * c, (1, 1), use_bias=False, dtype=self.dtype,
-                          name="fourier_conv")(stacked.astype(self.dtype))
-        stacked = nn.GroupNorm(num_groups=min(32, 2 * c), name="fourier_gn")(stacked)
-        stacked = nn.relu(stacked).astype(jnp.float32)
-
-        freq = jax.lax.complex(stacked[..., :c], stacked[..., c:])
-        spatial = jnp.fft.irfft2(freq, s=(h, w), axes=(1, 2), norm="ortho")
-
-        y = y + spatial.astype(y.dtype)
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv2")(y)
-        return y
+        return nn.Conv(self.features, (1, 1), use_bias=False,
+                       dtype=self.dtype, name="conv2")(y + out)
 
 
-class FFC(nn.Module):
-    """Fast Fourier Convolution: cross-connected local (spatial conv) and
-    global (spectral) branches."""
+class FFCBnAct(nn.Module):
+    """torch ``FFC_BN_ACT``: cross-connected local/global convs + BN + ReLU.
+
+    Input/output channel splits are implicit in the (x_local, x_global)
+    pair; ``ratio_gout`` sets the output split. Global-to-global runs
+    through the spectral transform.
+    """
 
     features: int
-    ratio_gout: float = 0.5
-    kernel_size: Tuple[int, int] = (3, 3)
-    strides: Tuple[int, int] = (1, 1)
+    ratio_gout: float
+    kernel: int = 3
+    stride: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_local, x_global):
-        global_features = int(self.features * self.ratio_gout)
-        local_features = self.features - global_features
+        out_g = int(self.features * self.ratio_gout)
+        out_l = self.features - out_g
+        p = self.kernel // 2
 
-        def conv(name, features):
-            return nn.Conv(features, self.kernel_size, strides=self.strides,
-                           padding="SAME", use_bias=False, dtype=self.dtype, name=name)
+        def conv(name, feats, x):
+            return nn.Conv(feats, (self.kernel,) * 2,
+                           strides=(self.stride,) * 2, padding="VALID",
+                           use_bias=False, dtype=self.dtype,
+                           name=name)(_reflect_pad(x, p))
 
-        out_local = 0.0
-        out_global = 0.0
+        y_local = y_global = None
 
-        if local_features > 0:
-            out_local = conv("l2l", local_features)(x_local)
+        if out_l > 0:
+            y_local = conv("convl2l", out_l, x_local)
             if x_global is not None:
-                out_local = out_local + conv("g2l", local_features)(x_global)
+                y_local = y_local + conv("convg2l", out_l, x_global)
+            y_local = nn.relu(FoldedBN(out_l, name="bn_l")(y_local))
 
-        if global_features > 0:
-            out_global = conv("l2g", global_features)(x_local)
+        if out_g > 0:
+            y_global = conv("convl2g", out_g, x_local)
             if x_global is not None:
-                out_global = out_global + SpectralTransform(
-                    global_features, dtype=self.dtype, name="g2g")(x_global)
+                y_global = y_global + SpectralTransform(
+                    out_g, dtype=self.dtype, name="convg2g")(x_global)
+            y_global = nn.relu(FoldedBN(out_g, name="bn_g")(y_global))
 
-        if local_features > 0:
-            out_local = nn.GroupNorm(num_groups=min(32, local_features),
-                                     name="gn_l")(out_local)
-            out_local = nn.relu(out_local)
-
-        if global_features > 0:
-            out_global = nn.GroupNorm(num_groups=min(32, global_features),
-                                      name="gn_g")(out_global)
-            out_global = nn.relu(out_global)
-
-        return (out_local if local_features > 0 else None,
-                out_global if global_features > 0 else None)
+        return y_local, y_global
 
 
 class FFCResNetBlock(nn.Module):
     features: int
+    ratio: float
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_local, x_global):
-        y_local, y_global = FFC(self.features, dtype=self.dtype, name="ffc1")(
+        y_local, y_global = FFCBnAct(self.features, self.ratio,
+                                     dtype=self.dtype, name="conv1")(
             x_local, x_global)
-        y_local, y_global = FFC(self.features, dtype=self.dtype, name="ffc2")(
+        y_local, y_global = FFCBnAct(self.features, self.ratio,
+                                     dtype=self.dtype, name="conv2")(
             y_local, y_global)
 
         return x_local + y_local, x_global + y_global
 
 
-class LamaGenerator(nn.Module):
-    """The LaMa inpainting generator: conv encoder → FFC ResNet → conv decoder.
+class DeconvBN(nn.Module):
+    """Exact torch ``ConvTranspose2d(k=3, s=2, p=1, output_padding=1)`` + BN
+    + ReLU: zero-interleave upsample, then a VALID 3x3 conv whose kernel the
+    converter stores pre-flipped/transposed; the deconv bias folds into the
+    BN scale/bias."""
 
-    Input is RGB (masked) + binary mask, output is the inpainted RGB.
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+
+        zeros = jnp.zeros_like(x)
+        up = jnp.stack([x, zeros], axis=2).reshape(b, 2 * h, w, c)
+        up = jnp.stack([up, jnp.zeros_like(up)], axis=3).reshape(b, 2 * h,
+                                                                 2 * w, c)
+        up = up[:, :2 * h - 1, :2 * w - 1]
+        up = jnp.pad(up, ((0, 0), (1, 2), (1, 2), (0, 0)))
+
+        y = nn.Conv(self.features, (3, 3), padding="VALID", use_bias=False,
+                    dtype=self.dtype, name="conv")(up)
+        return nn.relu(FoldedBN(self.features, name="bn")(y))
+
+
+class LamaGenerator(nn.Module):
+    """big-lama's ``FFCResNetGenerator`` (defaults = the released config).
+
+    Input is RGB + binary mask; output composites the prediction into the
+    hole (the reference's predict driver keeps known pixels too).
     """
 
     base_features: int = 64
     num_downsamples: int = 3
-    num_blocks: int = 9
+    num_blocks: int = 18
+    global_ratio: float = 0.75
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, image, mask):
-        x = jnp.concatenate([image * (1.0 - mask), mask], axis=-1)
+        x = jnp.concatenate([image * (1.0 - mask), mask],
+                            axis=-1).astype(self.dtype)
 
-        y = nn.Conv(self.base_features, (7, 7), padding="SAME", dtype=self.dtype,
-                    name="stem")(x)
-        y = nn.GroupNorm(num_groups=min(32, self.base_features), name="stem_gn")(y)
-        y = nn.relu(y)
+        y_local, _ = FFCBnAct(self.base_features, 0.0, kernel=7,
+                              dtype=self.dtype, name="stem")(x, None)
+        y_global = None
 
         features = self.base_features
         for i in range(self.num_downsamples):
             features *= 2
-            y = nn.Conv(features, (3, 3), strides=(2, 2), padding="SAME",
-                        dtype=self.dtype, name=f"down{i}")(y)
-            y = nn.GroupNorm(num_groups=min(32, features), name=f"down{i}_gn")(y)
-            y = nn.relu(y)
-
-        half = features // 2
-        y_local, y_global = y[..., :half], y[..., half:]
+            gout = self.global_ratio if i == self.num_downsamples - 1 else 0.0
+            y_local, y_global = FFCBnAct(features, gout, stride=2,
+                                         dtype=self.dtype,
+                                         name=f"down{i}")(y_local, y_global)
 
         for i in range(self.num_blocks):
-            y_local, y_global = FFCResNetBlock(features, dtype=self.dtype,
-                                               name=f"block{i}")(y_local, y_global)
+            y_local, y_global = FFCResNetBlock(
+                features, self.global_ratio, dtype=self.dtype,
+                name=f"block{i}")(y_local, y_global)
 
         y = jnp.concatenate([y_local, y_global], axis=-1)
 
         for i in range(self.num_downsamples):
             features //= 2
-            b, h, w, c = y.shape
-            y = jax.image.resize(y, (b, h * 2, w * 2, c), method="nearest")
-            y = nn.Conv(features, (3, 3), padding="SAME", dtype=self.dtype,
-                        name=f"up{i}")(y)
-            y = nn.GroupNorm(num_groups=min(32, features), name=f"up{i}_gn")(y)
-            y = nn.relu(y)
+            y = DeconvBN(features, dtype=self.dtype, name=f"up{i}")(y)
 
-        y = nn.Conv(3, (7, 7), padding="SAME", dtype=self.dtype, name="head")(y)
+        y = _reflect_pad(y, 3)
+        y = nn.Conv(3, (7, 7), padding="VALID", dtype=self.dtype,
+                    name="head")(y)
         y = jax.nn.sigmoid(y.astype(jnp.float32))
 
         # Composite: keep known pixels, fill the hole with the prediction.
@@ -284,14 +349,147 @@ def lama_inpaint_folder(image_dir: str, mask_dir: str, output_dir: str,
     tqdm_imap(process, filenames)
 
 
-def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str):
-    """Convert a released big-lama torch checkpoint to our parameter layout.
+# ---------------------------------------------------------------------------
+# Checkpoint conversion (released big-lama -> our .npz layout).
+# ---------------------------------------------------------------------------
 
-    Note: the released big-lama uses BatchNorm and a (9-block, ratio 0.75)
-    configuration; converted parameters are folded where layouts differ. This
-    converter maps the subset that corresponds 1:1 (convs of both branches);
-    exact numerical parity requires the matching generator configuration.
+def _fold_bn_arrays(gamma, beta, mean, var, conv_bias=None, eps=1e-5):
+    scale = gamma / np.sqrt(var + eps)
+    bias = beta - mean * scale
+    if conv_bias is not None:
+        bias = bias + conv_bias * scale
+    return scale.astype(np.float32), bias.astype(np.float32)
+
+
+def _deinterleave(n: int) -> np.ndarray:
+    """Channel permutation: ours [re_0..re_{n-1} | im_0..im_{n-1}] index j ->
+    torch interleaved index (2j for re, 2(j-n)+1 for im)."""
+    idx = np.empty(2 * n, np.int64)
+    idx[:n] = 2 * np.arange(n)
+    idx[n:] = 2 * np.arange(n) + 1
+    return idx
+
+
+def _fourier_conv_from_torch(weight: np.ndarray):
+    """torch FourierUnit ``conv_layer`` (2co, 2ci, 1, 1) interleaved-re/im ->
+    our HWIO kernel over [re | im] channel blocks."""
+    co2, ci2 = weight.shape[:2]
+    w = weight[np.ix_(_deinterleave(co2 // 2), _deinterleave(ci2 // 2))]
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _fourier_bn_from_torch(arr: np.ndarray):
+    """Permute torch FourierUnit BN stats (interleaved) to [re | im] blocks."""
+    return arr[_deinterleave(arr.shape[0] // 2)]
+
+
+def _deconv_kernel_from_torch(weight: np.ndarray):
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> the HWIO kernel of
+    the equivalent zero-interleave + VALID conv (spatially flipped)."""
+    return np.transpose(weight[:, :, ::-1, ::-1], (2, 3, 0, 1))
+
+
+def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
+                             base_features: int = 64,
+                             num_downsamples: int = 3, num_blocks: int = 18,
+                             global_ratio: float = 0.75):
+    """Convert a released big-lama checkpoint (pytorch-lightning ``best.ckpt``
+    or a bare generator state dict) into :class:`LamaGenerator`'s flat
+    ``.npz`` layout. All BatchNorms fold into scale/bias; the Fourier-unit
+    conv/BN channels de-interleave to [re | im] blocks; deconv kernels
+    pre-flip for the zero-interleave formulation.
+
+    The generator ``nn.Sequential`` index layout (saic-mdal/lama
+    ``FFCResNetGenerator``): pad, stem FFC, ``num_downsamples`` downsampling
+    FFCs, ``num_blocks`` residual blocks, concat, 3 x (deconv, bn, relu) per
+    upsample, pad, head conv, sigmoid.
     """
-    raise NotImplementedError(
-        "big-lama checkpoint conversion requires the released weights file; "
-        "run this once the checkpoint is available on disk.")
+    if torch is None:  # pragma: no cover
+        raise RuntimeError("torch is required for checkpoint conversion")
+
+    raw = torch.load(torch_checkpoint_path, map_location="cpu",
+                     weights_only=False)
+    if isinstance(raw, dict) and "state_dict" in raw:
+        raw = raw["state_dict"]
+
+    sd = {}
+    for key, value in raw.items():
+        if key.startswith("generator."):
+            key = key[len("generator."):]
+        if key.startswith("model."):
+            sd[key] = np.asarray(value.detach().numpy() if hasattr(value, "detach")
+                                 else value)
+
+    out = {}
+
+    def put_conv(src, dst):
+        out[f"{dst}/kernel"] = np.transpose(sd[src], (2, 3, 1, 0))
+
+    def put_bn(src_prefix, dst, conv_bias=None):
+        scale, bias = _fold_bn_arrays(
+            sd[f"{src_prefix}.weight"], sd[f"{src_prefix}.bias"],
+            sd[f"{src_prefix}.running_mean"], sd[f"{src_prefix}.running_var"],
+            conv_bias=conv_bias)
+        out[f"{dst}/scale"] = scale
+        out[f"{dst}/bias"] = bias
+
+    def put_spectral(src, dst):
+        put_conv(f"{src}.conv1.0.weight", f"{dst}/conv1")
+        put_bn(f"{src}.conv1.1", f"{dst}/bn1")
+        out[f"{dst}/fu/conv/kernel"] = _fourier_conv_from_torch(
+            sd[f"{src}.fu.conv_layer.weight"])
+        scale, bias = _fold_bn_arrays(
+            _fourier_bn_from_torch(sd[f"{src}.fu.bn.weight"]),
+            _fourier_bn_from_torch(sd[f"{src}.fu.bn.bias"]),
+            _fourier_bn_from_torch(sd[f"{src}.fu.bn.running_mean"]),
+            _fourier_bn_from_torch(sd[f"{src}.fu.bn.running_var"]))
+        out[f"{dst}/fu/bn/scale"] = scale
+        out[f"{dst}/fu/bn/bias"] = bias
+        put_conv(f"{src}.conv2.weight", f"{dst}/conv2")
+
+    def put_ffc_bn_act(idx, dst, has_global_in, has_global_out):
+        src = f"model.{idx}"
+        put_conv(f"{src}.ffc.convl2l.weight", f"{dst}/convl2l")
+        if has_global_in:
+            put_conv(f"{src}.ffc.convg2l.weight", f"{dst}/convg2l")
+        put_bn(f"{src}.bn_l", f"{dst}/bn_l")
+        if has_global_out:
+            put_conv(f"{src}.ffc.convl2g.weight", f"{dst}/convl2g")
+            if has_global_in:
+                put_spectral(f"{src}.ffc.convg2g", f"{dst}/convg2g")
+            put_bn(f"{src}.bn_g", f"{dst}/bn_g")
+
+    put_ffc_bn_act(1, "stem", False, False)
+
+    idx = 2
+    for i in range(num_downsamples):
+        last = i == num_downsamples - 1
+        put_ffc_bn_act(idx, f"down{i}", False, last)
+        idx += 1
+
+    for i in range(num_blocks):
+        src = f"model.{idx}"
+        for conv_name in ("conv1", "conv2"):
+            dst = f"block{i}/{conv_name}"
+            put_conv(f"{src}.{conv_name}.ffc.convl2l.weight", f"{dst}/convl2l")
+            put_conv(f"{src}.{conv_name}.ffc.convg2l.weight", f"{dst}/convg2l")
+            put_conv(f"{src}.{conv_name}.ffc.convl2g.weight", f"{dst}/convl2g")
+            put_spectral(f"{src}.{conv_name}.ffc.convg2g", f"{dst}/convg2g")
+            put_bn(f"{src}.{conv_name}.bn_l", f"{dst}/bn_l")
+            put_bn(f"{src}.{conv_name}.bn_g", f"{dst}/bn_g")
+        idx += 1
+
+    idx += 1  # ConcatTupleLayer
+    for i in range(num_downsamples):
+        out[f"up{i}/conv/kernel"] = _deconv_kernel_from_torch(
+            sd[f"model.{idx}.weight"])
+        put_bn(f"model.{idx + 1}", f"up{i}/bn",
+               conv_bias=sd.get(f"model.{idx}.bias"))
+        idx += 3  # deconv, bn, relu
+
+    idx += 1  # ReflectionPad2d
+    put_conv(f"model.{idx}.weight", "head")
+    out["head/bias"] = sd[f"model.{idx}.bias"]
+
+    np.savez(output_path, **out)
+    return out

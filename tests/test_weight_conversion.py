@@ -167,3 +167,237 @@ class TestDPTConversion:
         not_converted = set(reference_flat) - set(converted)
         assert not not_converted, \
             f"model params the converter missed: {sorted(not_converted)[:8]}"
+
+
+# ---------------------------------------------------------------------------
+# LaMa (big-lama FFCResNetGenerator) conversion.
+# ---------------------------------------------------------------------------
+
+def make_fake_biglama_state_dict(ngf=8, num_downsamples=2, num_blocks=2,
+                                 ratio=0.75):
+    """Random tensors with the exact saic-mdal/lama FFCResNetGenerator
+    sequential layout (scaled-down config), wrapped like the released
+    pytorch-lightning checkpoint (``state_dict`` with a ``generator.``
+    prefix)."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    sd = {}
+
+    def t(name, *shape, positive=False):
+        arr = rng.normal(scale=0.1, size=shape).astype(np.float32)
+        if positive:
+            arr = np.abs(arr) + 0.5
+        sd[f"generator.model.{name}"] = torch.from_numpy(arr)
+
+    def bn(idx_prefix, c):
+        t(f"{idx_prefix}.weight", c)
+        t(f"{idx_prefix}.bias", c)
+        t(f"{idx_prefix}.running_mean", c)
+        t(f"{idx_prefix}.running_var", c, positive=True)
+
+    def spectral(prefix, cin, cout):
+        half = cout // 2
+        t(f"{prefix}.conv1.0.weight", half, cin, 1, 1)
+        bn(f"{prefix}.conv1.1", half)
+        t(f"{prefix}.fu.conv_layer.weight", 2 * half, 2 * half, 1, 1)
+        bn(f"{prefix}.fu.bn", 2 * half)
+        t(f"{prefix}.conv2.weight", cout, half, 1, 1)
+
+    # stem (model.1): 4 -> ngf, kernel 7, no global branch.
+    t("1.ffc.convl2l.weight", ngf, 4, 7, 7)
+    bn("1.bn_l", ngf)
+
+    idx = 2
+    feats = ngf
+    for i in range(num_downsamples):
+        last = i == num_downsamples - 1
+        out = feats * 2
+        out_g = int(out * ratio) if last else 0
+        out_l = out - out_g
+        t(f"{idx}.ffc.convl2l.weight", out_l, feats, 3, 3)
+        bn(f"{idx}.bn_l", out_l)
+        if last:
+            t(f"{idx}.ffc.convl2g.weight", out_g, feats, 3, 3)
+            bn(f"{idx}.bn_g", out_g)
+        feats = out
+        idx += 1
+
+    cg = int(feats * ratio)
+    cl = feats - cg
+    for _ in range(num_blocks):
+        for conv in ("conv1", "conv2"):
+            p = f"{idx}.{conv}"
+            t(f"{p}.ffc.convl2l.weight", cl, cl, 3, 3)
+            t(f"{p}.ffc.convg2l.weight", cl, cg, 3, 3)
+            t(f"{p}.ffc.convl2g.weight", cg, cl, 3, 3)
+            spectral(f"{p}.ffc.convg2g", cg, cg)
+            bn(f"{p}.bn_l", cl)
+            bn(f"{p}.bn_g", cg)
+        idx += 1
+
+    idx += 1  # ConcatTupleLayer
+    for _ in range(num_downsamples):
+        t(f"{idx}.weight", feats, feats // 2, 3, 3)  # ConvTranspose2d (in,out)
+        t(f"{idx}.bias", feats // 2)
+        bn(f"{idx + 1}", feats // 2)
+        feats //= 2
+        idx += 3
+
+    idx += 1  # ReflectionPad2d
+    t(f"{idx}.weight", 3, feats, 7, 7)
+    t(f"{idx}.bias", 3)
+
+    return {"state_dict": sd, "epoch": 40}
+
+
+class TestLamaConversion:
+    @pytest.fixture(scope="class")
+    def converted(self, tmp_path_factory):
+        import torch
+
+        from hive_tpu.models.lama import convert_torch_checkpoint
+
+        tmp = tmp_path_factory.mktemp("lama")
+        torch.save(make_fake_biglama_state_dict(), tmp / "best.ckpt")
+        convert_torch_checkpoint(str(tmp / "best.ckpt"),
+                                 str(tmp / "big-lama.npz"), base_features=8,
+                                 num_downsamples=2, num_blocks=2)
+        from hive_tpu.models.segmentation import _unflatten_params
+
+        data = np.load(tmp / "big-lama.npz", allow_pickle=True)
+        return _unflatten_params({k: data[k] for k in data.files})
+
+    def test_structure_matches_model_init(self, converted):
+        import flax
+        import jax
+        import jax.numpy as jnp
+
+        from hive_tpu.models.lama import LamaGenerator
+
+        def flatten(tree, prefix=""):
+            flat = {}
+            for key, value in tree.items():
+                path = f"{prefix}/{key}" if prefix else key
+                if isinstance(value, dict):
+                    flat.update(flatten(value, path))
+                else:
+                    flat[path] = tuple(value.shape)
+            return flat
+
+        model = LamaGenerator(base_features=8, num_downsamples=2, num_blocks=2)
+        ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                         jnp.zeros((1, 32, 32, 1)))
+        assert flatten(dict(flax.core.unfreeze(ref["params"]))) == \
+            flatten(converted)
+
+    def test_forward_runs_and_composites(self, converted):
+        import jax.numpy as jnp
+
+        from hive_tpu.models.lama import LamaGenerator
+
+        model = LamaGenerator(base_features=8, num_downsamples=2, num_blocks=2)
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        mask = jnp.zeros((1, 32, 32, 1)).at[:, 8:16, 8:16].set(1.0)
+
+        out = np.asarray(model.apply({"params": converted}, img, mask))
+        assert np.isfinite(out).all()
+        known = np.asarray(mask)[..., 0] == 0
+        np.testing.assert_allclose(out[known], np.asarray(img)[known],
+                                   atol=1e-6)
+
+
+class TestLamaTorchOracles:
+    """Numerical parity of the subtle conversion pieces against torch."""
+
+    def test_deconv_matches_torch_convtranspose(self):
+        import torch
+
+        import jax.numpy as jnp
+        from hive_tpu.models.lama import (DeconvBN, _deconv_kernel_from_torch,
+                                          _fold_bn_arrays)
+
+        rng = np.random.default_rng(1)
+        cin, cout = 6, 4
+        x = rng.normal(size=(1, 5, 7, cin)).astype(np.float32)
+
+        tconv = torch.nn.ConvTranspose2d(cin, cout, 3, stride=2, padding=1,
+                                         output_padding=1)
+        tbn = torch.nn.BatchNorm2d(cout).eval()
+        with torch.no_grad():
+            tbn.weight.copy_(torch.from_numpy(
+                rng.normal(size=cout).astype(np.float32)))
+            tbn.bias.copy_(torch.from_numpy(
+                rng.normal(size=cout).astype(np.float32)))
+            tbn.running_mean.copy_(torch.from_numpy(
+                rng.normal(size=cout).astype(np.float32)))
+            tbn.running_var.copy_(torch.from_numpy(
+                (np.abs(rng.normal(size=cout)) + 0.5).astype(np.float32)))
+
+            expected = torch.relu(tbn(tconv(
+                torch.from_numpy(x.transpose(0, 3, 1, 2))))).numpy()
+
+        scale, bias = _fold_bn_arrays(
+            tbn.weight.detach().numpy(), tbn.bias.detach().numpy(),
+            tbn.running_mean.numpy(), tbn.running_var.numpy(),
+            conv_bias=tconv.bias.detach().numpy())
+        params = {"conv": {"kernel": jnp.asarray(_deconv_kernel_from_torch(
+            tconv.weight.detach().numpy()))},
+            "bn": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+
+        got = np.asarray(DeconvBN(cout).apply({"params": params},
+                                              jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected.transpose(0, 2, 3, 1),
+                                   atol=1e-4)
+
+    def test_fourier_unit_matches_torch(self):
+        import torch
+
+        import jax.numpy as jnp
+        from hive_tpu.models.lama import (FourierUnit,
+                                          _fold_bn_arrays,
+                                          _fourier_bn_from_torch,
+                                          _fourier_conv_from_torch)
+
+        rng = np.random.default_rng(2)
+        c = 6
+        x = rng.normal(size=(1, 8, 10, c)).astype(np.float32)
+
+        w = rng.normal(scale=0.2, size=(2 * c, 2 * c, 1, 1)).astype(np.float32)
+        gamma = rng.normal(size=2 * c).astype(np.float32)
+        beta = rng.normal(size=2 * c).astype(np.float32)
+        mean = rng.normal(size=2 * c).astype(np.float32)
+        var = (np.abs(rng.normal(size=2 * c)) + 0.5).astype(np.float32)
+
+        # torch FourierUnit forward (saic-mdal/lama ffc.py, groups=1).
+        with torch.no_grad():
+            xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            ffted = torch.fft.rfftn(xt, dim=(-2, -1), norm="ortho")
+            ffted = torch.stack((ffted.real, ffted.imag), dim=-1)
+            b, ch, h, w2, _ = ffted.shape
+            ffted = ffted.permute(0, 1, 4, 2, 3).reshape(b, 2 * ch, h, w2)
+
+            conv = torch.nn.functional.conv2d(ffted, torch.from_numpy(w))
+            bn = (conv - torch.from_numpy(mean)[None, :, None, None]) \
+                / torch.sqrt(torch.from_numpy(var)[None, :, None, None] + 1e-5)
+            bn = bn * torch.from_numpy(gamma)[None, :, None, None] \
+                + torch.from_numpy(beta)[None, :, None, None]
+            act = torch.relu(bn)
+
+            act = act.reshape(b, ch, 2, h, w2).permute(0, 1, 3, 4, 2)
+            freq = torch.complex(act[..., 0], act[..., 1])
+            expected = torch.fft.irfftn(freq, s=xt.shape[-2:], dim=(-2, -1),
+                                        norm="ortho").numpy()
+
+        scale, bias = _fold_bn_arrays(
+            _fourier_bn_from_torch(gamma), _fourier_bn_from_torch(beta),
+            _fourier_bn_from_torch(mean), _fourier_bn_from_torch(var))
+        params = {"conv": {"kernel": jnp.asarray(_fourier_conv_from_torch(w))},
+                  "bn": {"scale": jnp.asarray(scale),
+                         "bias": jnp.asarray(bias)}}
+
+        got = np.asarray(FourierUnit(c).apply({"params": params},
+                                              jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected.transpose(0, 2, 3, 1),
+                                   atol=1e-4)
