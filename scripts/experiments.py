@@ -423,7 +423,8 @@ class Experiments:
         return results
 
     # -- LLFF render-vs-photo experiments ---------------------------------------
-    def run_llff_experiments(self, llff_path: str, dataset_name: str = "llff") -> dict:
+    def run_llff_experiments(self, llff_path: str, dataset_name: str = "llff",
+                         sdf_max_voxels: int = 80_000_000) -> dict:
         """Reconstruct an LLFF capture from its training views and score
         renders of the held-out views (ref LLFFExperiment:585; rendering via
         the TPU rasterizer instead of pyrender)."""
@@ -470,13 +471,99 @@ class Experiments:
                         depth_scale=1.0 / 1000.0).save(pjoin(converted, "metadata.json"))
 
         dataset = HiveDataset(converted)
-        mesh = tsdf_fusion(dataset, BackgroundMeshOptions(sdf_max_voxels=80_000_000))
+        mesh = tsdf_fusion(dataset, BackgroundMeshOptions(sdf_max_voxels=sdf_max_voxels))
         save_ply(pjoin(output_folder, "reconstruction.ply"), mesh)
 
         results = evaluate_renders(mesh, llff, view_indices=test,
                                    output_folder=pjoin(output_folder, "renders"))
 
         with open(pjoin(output_folder, "llff_metrics.json"), "w") as fh:
+            json.dump(results, fh)
+
+        return results
+
+    def run_hypernerf_experiments(self, hypernerf_path: str,
+                                  dataset_name: str = "hypernerf",
+                                  sdf_max_voxels: int = 80_000_000) -> dict:
+        """Reconstruct a HyperNeRF capture from its train split and score
+        renders of the held-out validation views (ref HyperNeRFAdaptor
+        scripts/experiments.py:1074 + HyperNeRFExperiments:1465; rendering
+        via the TPU rasterizer instead of pyrender/Xvfb).
+
+        HyperNeRF captures carry per-item cameras, so views are rendered
+        with each item's own intrinsics/pose rather than one shared K.
+        """
+        import imageio.v3 as iio
+
+        from hive_tpu.data.hypernerf import HyperNeRFDataset
+        from hive_tpu.dataset_adaptors import estimate_depth_dpt
+        from hive_tpu.geometric import Trajectory, get_pose_components
+        from hive_tpu.io import DatasetMetadata, ImageFolderDataset
+        from hive_tpu.meshing.render import render_mesh
+        from hive_tpu.metrics import lpips, mifd, psnr, ssim
+
+        hypernerf = HyperNeRFDataset(hypernerf_path)
+        train, val = hypernerf.train_val_split()
+
+        output_folder = pjoin(self.output_path, dataset_name)
+        converted = pjoin(output_folder, "dataset")
+        for sub in ("rgb", "depth", "mask"):
+            os.makedirs(pjoin(converted, sub), exist_ok=True)
+
+        first = hypernerf.get_image(train[0])
+        height, width = first.shape[:2]
+
+        for out_index, item_id in enumerate(train):
+            image = hypernerf.get_image(item_id)[:height, :width]
+            iio.imwrite(pjoin(converted, "rgb", f"{out_index:06d}.jpg"), image)
+            iio.imwrite(pjoin(converted, "mask", f"{out_index:06d}.png"),
+                        np.zeros(image.shape[:2], dtype=np.uint8))
+
+        estimate_depth_dpt(ImageFolderDataset(pjoin(converted, "rgb")),
+                           pjoin(converted, "depth"))
+
+        np.savetxt(pjoin(converted, "camera_matrix.txt"),
+                   hypernerf.cameras[train[0]].camera_matrix)
+        hypernerf.get_trajectory(train).save(
+            pjoin(converted, "camera_trajectory.txt"))
+
+        DatasetMetadata(num_frames=len(train), fps=30.0, width=width,
+                        height=height, estimate_pose=False, estimate_depth=True,
+                        depth_mask_dilation_iterations=10,
+                        depth_scale=1.0 / 1000.0).save(
+            pjoin(converted, "metadata.json"))
+
+        dataset = HiveDataset(converted)
+        mesh = tsdf_fusion(dataset,
+                           BackgroundMeshOptions(sdf_max_voxels=sdf_max_voxels))
+        save_ply(pjoin(output_folder, "reconstruction.ply"), mesh)
+
+        renders_folder = pjoin(output_folder, "renders")
+        os.makedirs(renders_folder, exist_ok=True)
+
+        results = {"ssim": [], "psnr": [], "lpips": [], "mifd": []}
+        for item_id in val:
+            camera = hypernerf.cameras[item_id]
+            R, t = get_pose_components(camera.world_to_camera)
+            photo = hypernerf.get_image(item_id)[:height, :width, :3]
+            rendered, _ = render_mesh(mesh, camera.camera_matrix, R, t,
+                                      width, height)
+
+            results["ssim"].append(ssim(photo, rendered))
+            results["psnr"].append(psnr(photo, rendered))
+            results["lpips"].append(lpips(photo, rendered))
+            results["mifd"].append(mifd(photo, rendered))
+            iio.imwrite(pjoin(renders_folder, f"render_{item_id}.png"),
+                        rendered)
+
+        def safe_mean(values):
+            finite = [v for v in values if np.isfinite(v)]
+            return float(np.mean(finite)) if finite else float("nan")
+
+        results["mean"] = {metric: safe_mean(values)
+                           for metric, values in results.items()}
+
+        with open(pjoin(output_folder, "hypernerf_metrics.json"), "w") as fh:
             json.dump(results, fh)
 
         return results
