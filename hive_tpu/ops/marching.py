@@ -121,8 +121,9 @@ def _active_cubes_mask_blocked(tsdf_b, weight_b, *, grid_blocks, block_size):
     bx, by, bz = block_size
 
     val = jnp.where(weight_b > 0, tsdf_b.astype(jnp.float32), jnp.nan)
-    val = val.reshape(nbx, nby, nbz, bx, by, bz)
-    val = jnp.transpose(val, (0, 3, 1, 4, 2, 5))
+    # z-major in-block layout (see hive_tpu.ops.tsdf_sparse).
+    val = val.reshape(nbx, nby, nbz, bz, bx, by)
+    val = jnp.transpose(val, (0, 4, 1, 5, 2, 3))
     val = val.reshape(nbx * bx, nby * by, nbz * bz)
 
     return _cube_corner_reduce(jnp.isfinite(val), val < 0.0)
@@ -209,7 +210,9 @@ def _emit_triangles_blocked(tsdf_b_flat, color_b_flat, cube_idx, valid_count, *,
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]                            # (M,8)
 
     block = ((x // bx) * nby + (y // by)) * nbz + (z // bz)
-    off = ((x % bx) * by + (y % by)) * bz + (z % bz)
+    # In-block voxel order is Z-MAJOR (hive_tpu.ops.tsdf_sparse layout:
+    # i = iz*Bx*By + ix*By + iy — z-slabs contiguous for banded updates).
+    off = ((z % bz) * bx + (x % bx)) * by + (y % by)
 
     s8 = jnp.take(tsdf_b_flat, block * bv + off).astype(jnp.float32)
 

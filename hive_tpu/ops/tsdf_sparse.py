@@ -371,14 +371,35 @@ class SparseTSDFVolume:
             [[x * Bx, y * By, z * Bz] for x in (0.0, 1.0) for y in (0.0, 1.0)
              for z in (0.0, 1.0)], dtype=np.float32) * voxel
 
-        # Flat in-block voxel index i -> (ix, iy, iz), precomputed as (BV,)
-        # constants (row-major: ix = i // (By*Bz), iy = (i // Bz) % By,
-        # iz = i % Bz) so camera coordinates stay elementwise on the flat axis.
+        # Flat in-block voxel index i -> (ix, iy, iz), precomputed as
+        # constants so camera coordinates stay elementwise on the flat axis.
+        # The layout is Z-MAJOR (i = iz*Bx*By + ix*By + iy) so a block's SUB
+        # z-slabs are CONTIGUOUS column ranges: the banded update runs at
+        # z-slab granularity — classification amortises over whole blocks
+        # while the expensive per-voxel gathers only run on slabs whose
+        # camera-depth range intersects the refined surface window.
+        #
+        # SUB is the largest divisor of Bz keeping slab rows >= 512 voxels
+        # wide. The threshold is a MEASURED trade-off, not tile alignment:
+        # on this part row-granular gathers/scatters carry ~us-class per-ROW
+        # overhead, so splitting the default (8,8,8) block (512-voxel rows)
+        # into 4x128 slabs cut gathered band voxels ~20% but ran the whole
+        # integrator at 765M updates/s vs 903M unsplit (861M at 2x256) —
+        # the extra rows cost more than the skipped voxels saved. Blocks
+        # with >= 1024 voxels do split down to 512-voxel slabs.
         BV = Bx * By * Bz
-        flat_i = np.arange(BV)
-        iota_axes = [jnp.asarray((flat_i // (By * Bz)).astype(np.float32)),
-                     jnp.asarray(((flat_i // Bz) % By).astype(np.float32)),
-                     jnp.asarray((flat_i % Bz).astype(np.float32))]
+        SUB = 1
+        for d in range(Bz, 0, -1):
+            if Bz % d == 0 and BV // d >= 512:
+                SUB = d
+                break
+        BVS = BV // SUB
+        slab_z = (Bz // SUB) * voxel  # world-z thickness of one slab
+
+        flat_s = np.arange(BVS)
+        iota_axes = [jnp.asarray(((flat_s // By) % Bx).astype(np.float32)),
+                     jnp.asarray((flat_s % By).astype(np.float32)),
+                     jnp.asarray((flat_s // (Bx * By)).astype(np.float32))]
 
         def project_corners(origins, R, t, intr):
             """Per-block camera-space hull bounds from the 8 block corners.
@@ -488,6 +509,13 @@ class SparseTSDFVolume:
             the benchmark scene). Re-querying just the compacted band blocks
             costs 25 single-complex gathers x refine_cap ids — far less than
             the banded voxel gathers those extra blocks would pay.
+
+            Returns ``(classes, dmin_blk, dmax_blk, free_ok_blk)``: the
+            per-block refined depth window and the free-classification
+            precondition (in-front, fully inside the image, all depth valid),
+            used by the z-slab culling of the banded update. Unrefined band
+            blocks carry the conservative defaults (-inf, +inf, False) — no
+            slab of theirs is ever culled.
             """
             nb = classes.shape[0]
             # nb comes from the traced shape so the same body serves
@@ -511,42 +539,152 @@ class SparseTSDFVolume:
             refined = jnp.where(in_front, refined, SparseTSDFVolume.BAND)
 
             scatter_ids = jnp.where(id_valid, band_ids, nb)
-            return classes.at[scatter_ids].set(refined, mode="drop")
+            classes = classes.at[scatter_ids].set(refined, mode="drop")
+
+            if SUB == 1:  # slab culling unused — skip the extra scatters
+                return classes, None, None, None
+
+            fully_inside = (u0 >= 0) & (u1 < width) & (v0 >= 0) & (v1 < height)
+            free_ok = in_front & fully_inside & all_valid
+
+            dmin_blk = jnp.full((nb,), -jnp.inf).at[scatter_ids].set(
+                jnp.where(in_front, dmin, -jnp.inf), mode="drop")
+            dmax_blk = jnp.full((nb,), jnp.inf).at[scatter_ids].set(
+                jnp.where(in_front, dmax, jnp.inf), mode="drop")
+            free_ok_blk = jnp.zeros((nb,), bool).at[scatter_ids].set(
+                free_ok, mode="drop")
+
+            return classes, dmin_blk, dmax_blk, free_ok_blk
 
         def classify_refined(block_origins, pyramid, R, t, intr):
             classes = classify(block_origins, pyramid, R, t, intr)
             return refine_band(classes, block_origins, pyramid, R, t, intr)
 
-        def block_camera_coords(block_origins, block_ids, R, t):
-            origins = block_origins[block_ids]                       # (K, 3)
+        def slab_masks(block_origins, classes, dmin_blk, dmax_blk, free_ok_blk,
+                       R, t, obs_weight):
+            """Per-z-slab band/free decisions for band blocks.
+
+            The refined depth window is a block-footprint bound, so it is
+            valid for every slab (slab footprint is a subset). Each slab's
+            camera-depth range comes from linear interpolation of the block
+            corner depths (exact — the world->camera map is affine), so a
+            slab entirely in front of the window is FREE (dist = 1, no
+            gather; needs the block-level free precondition) and one entirely
+            behind it is SKIP.
+
+            :return: (band_flat (nb*SUB,) bool, free_w_flat (nb*SUB,) f32)
+                where free_w_flat carries the observation weight for both
+                block-level FREE blocks and free slabs of band blocks.
+            """
+            nb = classes.shape[0]
+            band_blk = classes == SparseTSDFVolume.BAND
+            free_blk = classes == SparseTSDFVolume.FREE
+
+            if SUB == 1:
+                return band_blk, jnp.where(free_blk, obs_weight, 0.0)
+
+            # Camera-space z of the 8 block corners (k = 4x + 2y + z bits).
+            bx_, by_, bz_ = (block_origins[:, a] for a in range(3))
+            zc = []
+            for k in range(8):
+                ox, oy, oz = corner_offsets_np[k]
+                zc.append(R[2, 0] * (bx_ + ox) + R[2, 1] * (by_ + oy)
+                          + R[2, 2] * (bz_ + oz) + t[2])
+
+            band_cols, free_cols = [], []
+            for s in range(SUB):
+                z_min_s = z_max_s = None
+                for xb in (0, 4):
+                    for yb in (0, 2):
+                        z0, z1 = zc[xb + yb], zc[xb + yb + 1]
+                        for f in (s / SUB, (s + 1) / SUB):
+                            zf = z0 + f * (z1 - z0)
+                            if z_min_s is None:
+                                z_min_s = z_max_s = zf
+                            else:
+                                z_min_s = jnp.minimum(z_min_s, zf)
+                                z_max_s = jnp.maximum(z_max_s, zf)
+
+                free_s = band_blk & free_ok_blk & (z_max_s < dmin_blk - trunc)
+                skip_s = band_blk & (z_min_s > dmax_blk + trunc)
+                band_cols.append(band_blk & ~free_s & ~skip_s)
+                free_cols.append(free_blk | free_s)
+
+            band_flat = jnp.stack(band_cols, axis=1).reshape(nb * SUB)
+            free_flat = jnp.stack(free_cols, axis=1).reshape(nb * SUB)
+            return band_flat, jnp.where(free_flat, obs_weight, 0.0)
+
+        def slab_camera_coords(block_origins, sub_ids, R, t):
+            rows = sub_ids // SUB
+            s = (sub_ids % SUB).astype(jnp.float32)
+
+            origins = block_origins[rows]                            # (K, 3)
             base = origins @ R.T + t                                 # (K, 3)
+            # A slab's origin shifts along WORLD z by s * slab_z, which in
+            # camera space is s * slab_z * R[:, 2].
+            base = base + s[:, None] * (slab_z * R[:, 2])[None, :]
             step = R * voxel                                         # cam delta per index
 
             def axis_term(axis):
-                return (base[:, axis][:, None]                       # (K, BV)
+                return (base[:, axis][:, None]                       # (K, BVS)
                         + iota_axes[0] * step[axis, 0]
                         + iota_axes[1] * step[axis, 1]
                         + iota_axes[2] * step[axis, 2])
 
             return axis_term(0), axis_term(1), axis_term(2)
 
-        def update_free(state, classes, obs_weight):
-            # Free blocks are fully inside the image with valid depth
-            # everywhere in their footprint: every voxel updates with dist 1.
-            # Masked elementwise pass — no index ops at all.
+        # The banded update runs on a SLAB-SHAPED view of the state:
+        # tsdf/weight (nb*SUB, BVS), colour (nb*3*SUB, BVS). The (nb, BV) ->
+        # (nb*SUB, BVS) reshape is NOT free on TPU — the (8, 128)-tiled
+        # physical layout differs, so XLA relays out the full state (~20
+        # bytes/voxel). Doing it inside the per-trip while_loop body measured
+        # a 3x whole-integrator regression; instead the state converts ONCE
+        # per scan (to_slabs/from_slabs below) and every stage works on the
+        # slab shape.
+        if SUB == 1:
+            # Identity: keeps colour as (nb, 3*BV) rows so a band trip
+            # fetches/scatters ONE colour row per block instead of three
+            # (row-granular index ops carry per-row overhead here).
+            def to_slabs(state):
+                return state
+
+            def from_slabs(state):
+                return state
+        else:
+            def to_slabs(state):
+                nb = state.tsdf.shape[0]
+                return SparseTSDFState(
+                    tsdf=state.tsdf.reshape(nb * SUB, BVS),
+                    weight=state.weight.reshape(nb * SUB, BVS),
+                    color=state.color.reshape(nb * 3 * SUB, BVS))
+
+            def from_slabs(state):
+                nb = state.tsdf.shape[0] // SUB
+                return SparseTSDFState(
+                    tsdf=state.tsdf.reshape(nb, BV),
+                    weight=state.weight.reshape(nb, BV),
+                    color=state.color.reshape(nb, 3 * BV))
+
+        def apply_free_weights(state, free_weights):
+            """Elementwise dist=1 update with per-z-slab accumulated weights.
+
+            Free slabs are fully inside the image with valid depth everywhere
+            in their footprint and strictly in front of every surface: every
+            voxel updates with dist 1 — no index ops at all. ``state`` is
+            slab-shaped.
+            """
             store = state.tsdf.dtype
-            is_free = (classes == SparseTSDFVolume.FREE)[:, None]
-            w_obs = jnp.where(is_free, obs_weight, 0.0)
+            k = free_weights[:, None]
 
             w_old = state.weight.astype(jnp.float32)
-            w_new = w_old + w_obs
-            tsdf_new = jnp.where(is_free,
-                                 (state.tsdf.astype(jnp.float32) * w_old + w_obs)
-                                 / jnp.maximum(w_new, 1e-12),
-                                 state.tsdf.astype(jnp.float32))
+            w_new = w_old + k
+            tsdf = state.tsdf.astype(jnp.float32)
+            tsdf_new = jnp.where(k > 0, (tsdf * w_old + k)
+                                 / jnp.maximum(w_new, 1e-12), tsdf)
 
             return SparseTSDFState(tsdf=tsdf_new.astype(store),
-                                   weight=w_new.astype(store), color=state.color)
+                                   weight=w_new.astype(store),
+                                   color=state.color)
 
         # -- frame sampling ------------------------------------------------
         # ``pack_frame`` builds the per-frame sampling image(s); the band
@@ -608,15 +746,16 @@ class SparseTSDFVolume:
                                 axis=1)
                 return depth_val, rgb
 
-        def band_update_values(block_origins, block_tsdf, block_weight,
-                               block_color, block_ids, block_valid, sample,
+        def band_update_values(block_origins, slab_tsdf, slab_weight,
+                               slab_color, sub_ids, slab_valid, sample,
                                R, t, intr, obs_weight):
             # Accumulate in fp32 regardless of storage dtype.
-            block_tsdf = block_tsdf.astype(jnp.float32)
-            block_weight = block_weight.astype(jnp.float32)
-            block_color = block_color.astype(jnp.float32)
+            slab_tsdf = slab_tsdf.astype(jnp.float32)
+            slab_weight = slab_weight.astype(jnp.float32)
+            slab_color = slab_color.astype(jnp.float32)   # (K, 3, BVS)
             fx, fy, cx, cy = intr
-            cam_x, cam_y, cam_z = block_camera_coords(block_origins, block_ids, R, t)
+            cam_x, cam_y, cam_z = slab_camera_coords(block_origins, sub_ids,
+                                                     R, t)
 
             safe_z = jnp.where(cam_z > 1e-6, cam_z, 1.0)
             u = jnp.round(fx * cam_x / safe_z + cx).astype(jnp.int32)
@@ -626,81 +765,101 @@ class SparseTSDFVolume:
 
             flat = jnp.clip(v, 0, height - 1) * width + jnp.clip(u, 0, width - 1)
 
-            # (depth_val (K, BV), rgb (K, 3, BV)) — the channel axis in the
-            # middle matches the (K, 3*BV) row-major storage segments.
+            # (depth_val (K, BVS), rgb (K, 3, BVS)).
             depth_val, rgb = sample_values(sample, flat)
 
             sdf = depth_val - cam_z
             valid = (in_view & (depth_val > 0.0) & (sdf >= -trunc)
-                     & block_valid[:, None])
+                     & slab_valid[:, None])
 
             dist = jnp.minimum(1.0, sdf / trunc)
             w_obs = jnp.where(valid, obs_weight, 0.0)
 
-            w_new = block_weight + w_obs
+            w_new = slab_weight + w_obs
             safe_w = jnp.maximum(w_new, 1e-12)
 
-            tsdf_new = jnp.where(valid, (block_tsdf * block_weight + dist * w_obs)
-                                 / safe_w, block_tsdf)
+            tsdf_new = jnp.where(valid, (slab_tsdf * slab_weight + dist * w_obs)
+                                 / safe_w, slab_tsdf)
 
-            k = block_tsdf.shape[0]
-            block_color = block_color.reshape(k, 3, -1)
             color_new = jnp.where(valid[:, None],
-                                  (block_color * block_weight[:, None]
+                                  (slab_color * slab_weight[:, None]
                                    + rgb * w_obs[:, None]) / safe_w[:, None],
-                                  block_color)
+                                  slab_color)
 
-            return tsdf_new, w_new, color_new.reshape(k, -1)
+            return tsdf_new, w_new, color_new
 
-        def update_band(state, block_origins, band_ids, band_valid, sample,
+        def update_band(state, block_origins, sub_ids, slab_valid, sample,
                         R, t, intr, obs_weight):
-            nb = state.tsdf.shape[0]
-            tsdf_new, w_new, color_new = band_update_values(
-                block_origins, state.tsdf[band_ids], state.weight[band_ids],
-                state.color[band_ids], band_ids, band_valid, sample,
-                R, t, intr, obs_weight)
-
-            scatter_ids = jnp.where(band_valid, band_ids, nb)
+            """One banded trip over slab row ids. ``state`` is slab-shaped;
+            colour rows interleave as (block, channel, slab)."""
+            nbs = state.tsdf.shape[0]
             store = state.tsdf.dtype
+            k = sub_ids.shape[0]
+
+            if SUB == 1:
+                # One (K, 3*BV) colour row per block.
+                slab_color = state.color[sub_ids].astype(jnp.float32)
+                slab_color = slab_color.reshape(k, 3, BVS)
+            else:
+                rows = sub_ids // SUB
+                subs = sub_ids % SUB
+                color_ids = [(rows * 3 + ch) * SUB + subs for ch in range(3)]
+                slab_color = jnp.stack([state.color[ids]
+                                        for ids in color_ids], axis=1)
+
+            tsdf_new, w_new, color_new = band_update_values(
+                block_origins, state.tsdf[sub_ids], state.weight[sub_ids],
+                slab_color, sub_ids, slab_valid, sample, R, t, intr,
+                obs_weight)
+
+            scatter_ids = jnp.where(slab_valid, sub_ids, nbs)
+            color = state.color
+            if SUB == 1:
+                color = color.at[scatter_ids].set(
+                    color_new.reshape(k, 3 * BVS).astype(store), mode="drop")
+            else:
+                for ch in range(3):
+                    ch_ids = jnp.where(slab_valid, color_ids[ch], nbs * 3)
+                    color = color.at[ch_ids].set(
+                        color_new[:, ch].astype(store), mode="drop")
 
             return SparseTSDFState(
                 tsdf=state.tsdf.at[scatter_ids].set(tsdf_new.astype(store),
                                                     mode="drop"),
                 weight=state.weight.at[scatter_ids].set(w_new.astype(store),
                                                         mode="drop"),
-                color=state.color.at[scatter_ids].set(color_new.astype(store),
-                                                      mode="drop"),
-            )
+                color=color)
 
-        # Per-trip width of the banded update. There is NO dense fallback: a
-        # band bigger than one chunk just takes more trips of the same
-        # compiled body (a while_loop), so no giant-N gather shape ever
-        # exists in the program regardless of volume size.
+        # Per-trip width of the banded update (in z-slab rows). There is NO
+        # dense fallback: a band bigger than one chunk just takes more trips
+        # of the same compiled body (a while_loop), so no giant-N gather
+        # shape ever exists in the program regardless of volume size.
         # ~64K voxels per trip measured fastest on v5e: the per-voxel pixel
-        # gather dominates, and its cost is ceil(band/chunk) * chunk * BV —
+        # gather dominates, and its cost is ceil(band/chunk) * chunk_voxels —
         # a small chunk hugs the true band size (swept 29 ms/frame at 64K
         # vs 45 ms/frame at 256K voxels per trip, VGA x 256^3, (8,8,8)).
-        chunk = min(band_capacity,
-                    max(64, self.chunk_voxels // max(1, Bx * By * Bz)))
+        chunk = min(band_capacity * SUB,
+                    max(64, self.chunk_voxels // max(1, BVS)))
 
-        def update_band_chunked(state, block_origins, classes, sample,
+        def update_band_chunked(state, block_origins, band_flat, sample,
                                 R, t, intr, obs_weight):
-            nb = state.tsdf.shape[0]
-            nb_pad = ((nb + chunk - 1) // chunk) * chunk
-            band_mask = classes == SparseTSDFVolume.BAND
-            band_count = jnp.sum(band_mask)
-            band_ids = jnp.nonzero(band_mask, size=nb, fill_value=nb)[0]
+            # ``state`` is slab-shaped: tsdf rows ARE the slab rows.
+            nbs = state.tsdf.shape[0]
+            nbs_pad = ((nbs + chunk - 1) // chunk) * chunk
+            band_count = jnp.sum(band_flat)
+            band_ids = jnp.nonzero(band_flat, size=nbs, fill_value=nbs)[0]
             # Pad so dynamic_slice never clamps (a clamped slice would re-read
-            # ids from the previous trip and double-integrate those blocks).
+            # ids from the previous trip and double-integrate those slabs).
             band_ids = jnp.concatenate(
-                [band_ids, jnp.full((nb_pad - nb,), nb, dtype=band_ids.dtype)])
+                [band_ids, jnp.full((nbs_pad - nbs,), nbs,
+                                    dtype=band_ids.dtype)])
             num_trips = (band_count + chunk - 1) // chunk
 
             def trip(carry):
                 state, i = carry
                 ids = jax.lax.dynamic_slice(band_ids, (i * chunk,), (chunk,))
-                valid = ids < nb
-                ids = jnp.minimum(ids, nb - 1)
+                valid = ids < nbs
+                ids = jnp.minimum(ids, nbs - 1)
                 state = update_band(state, block_origins, ids, valid, sample,
                                     R, t, intr, obs_weight)
                 return state, i + 1
@@ -716,10 +875,14 @@ class SparseTSDFVolume:
 
             sample = pack_frame(depth, color_im)
             pyramid = build_flat_pyramid(depth, height, width)
-            classes = classify_refined(block_origins, pyramid, R, t, intr)
-            state = update_free(state, classes, obs_weight)
-            return update_band_chunked(state, block_origins, classes, sample,
-                                       R, t, intr, obs_weight)
+            classes, dmin_blk, dmax_blk, free_ok = classify_refined(
+                block_origins, pyramid, R, t, intr)
+            band_flat, free_w = slab_masks(block_origins, classes, dmin_blk,
+                                           dmax_blk, free_ok, R, t, obs_weight)
+            state = apply_free_weights(to_slabs(state), free_w)
+            state = update_band_chunked(state, block_origins, band_flat,
+                                        sample, R, t, intr, obs_weight)
+            return from_slabs(state)
 
         @partial(jax.jit, donate_argnums=(0,))
         def integrate_one(state, block_origins, depth, color_im, world_to_cam,
@@ -742,32 +905,25 @@ class SparseTSDFVolume:
 
                 sample = pack_frame(depth, color_im)
                 pyramid = build_flat_pyramid(depth, height, width)
-                classes = classify_refined(block_origins, pyramid, R, t, intr)
-                state = update_band_chunked(state, block_origins, classes,
+                classes, dmin_blk, dmax_blk, free_ok = classify_refined(
+                    block_origins, pyramid, R, t, intr)
+                band_flat, free_w = slab_masks(block_origins, classes,
+                                               dmin_blk, dmax_blk, free_ok,
+                                               R, t, obs_weight)
+                state = update_band_chunked(state, block_origins, band_flat,
                                             sample, R, t, intr, obs_weight)
 
-                free_weights = free_weights + jnp.where(
-                    classes == SparseTSDFVolume.FREE, obs_weight, 0.0)
+                return (state, free_weights + free_w), None
 
-                return (state, free_weights), None
-
-            free_weights0 = jnp.zeros((state.tsdf.shape[0],), dtype=jnp.float32)
+            free_weights0 = jnp.zeros((state.tsdf.shape[0] * SUB,),
+                                      dtype=jnp.float32)
+            # One slab relayout per SCAN, not per trip (see to_slabs note).
             (state, free_weights), _ = jax.lax.scan(
-                body, (state, free_weights0),
+                body, (to_slabs(state), free_weights0),
                 (depths, colors, world_to_cams, obs_weights))
 
             # One batched free-space pass: dist = 1 with total weight k.
-            store = state.tsdf.dtype
-            k = free_weights[:, None]
-            w_old = state.weight.astype(jnp.float32)
-            w_new = w_old + k
-            tsdf_new = jnp.where(k > 0,
-                                 (state.tsdf.astype(jnp.float32) * w_old + k)
-                                 / jnp.maximum(w_new, 1e-12),
-                                 state.tsdf.astype(jnp.float32))
-
-            return SparseTSDFState(tsdf=tsdf_new.astype(store),
-                                   weight=w_new.astype(store), color=state.color)
+            return from_slabs(apply_free_weights(state, free_weights))
 
         integrate_scan = jax.jit(integrate_scan_impl, donate_argnums=(0,))
 
@@ -783,13 +939,13 @@ class SparseTSDFVolume:
 
         def _classify_refined_from_depth(block_origins, depth, R, t, intr):
             pyramid = build_flat_pyramid(depth, height, width)
-            return classify_refined(block_origins, pyramid, R, t, intr)
+            return classify_refined(block_origins, pyramid, R, t, intr)[0]
 
         integrate_one.classify = jax.jit(_classify_from_depth)
         integrate_one.classify_refined = jax.jit(_classify_refined_from_depth)
-        integrate_one.update_free = update_free
         integrate_one.update_band = update_band
         integrate_one.chunk = chunk
+        integrate_one.sub_slabs = SUB
         integrate_one.refine_cap = refine_cap
 
         return integrate_one
@@ -859,8 +1015,11 @@ class SparseTSDFVolume:
             a = blocked.astype(jnp.float32)
             if inv_perm is not None:  # undo block-cyclic row placement
                 a = a[inv_perm]
-            a = a.reshape(nbx, nby, nbz, Bx, By, Bz)
-            a = jnp.transpose(a, (0, 3, 1, 4, 2, 5))
+            # In-block layout is z-major (i = iz*Bx*By + ix*By + iy — see
+            # _build_integrator: z-slabs must be contiguous for the banded
+            # update's slab granularity).
+            a = a.reshape(nbx, nby, nbz, Bz, Bx, By)
+            a = jnp.transpose(a, (0, 4, 1, 5, 2, 3))
             return a.reshape(*self.dims)
 
         BV = self.block_voxels
