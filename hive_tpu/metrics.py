@@ -176,23 +176,37 @@ _lpips_model = None
 
 
 def lpips(image_a: np.ndarray, image_b: np.ndarray) -> float:
-    """Learned perceptual similarity. Requires pretrained backbone weights
-    (``$WEIGHTS_PATH/lpips_alex.pth`` via the torch lpips package, or an
-    installed ``lpips``); returns NaN with a warning when unavailable."""
+    """Learned perceptual similarity (AlexNet LPIPS v0.1).
+
+    Prefers the native JAX implementation with converted weights
+    (``$WEIGHTS_PATH/lpips_alex.npz``, see
+    :mod:`hive_tpu.models.lpips`); falls back to the torch ``lpips``
+    package if installed; returns NaN with a warning when neither is
+    available."""
     global _lpips_model
 
     if _lpips_model is None:
-        try:
-            import lpips as lpips_package
-            import torch
+        from hive_tpu.models.lpips import load_scorer
 
-            _lpips_model = (lpips_package.LPIPS(net="alex"), torch)
-        except Exception as exc:
-            logging.warning(f"LPIPS unavailable ({exc}); reporting NaN.")
-            _lpips_model = False
+        scorer = load_scorer()
+        if scorer is not None:
+            _lpips_model = ("jax", scorer)
+        else:
+            try:
+                import lpips as lpips_package
+                import torch
+
+                _lpips_model = (lpips_package.LPIPS(net="alex"), torch)
+            except Exception as exc:
+                logging.warning(f"LPIPS unavailable ({exc}); reporting NaN.")
+                _lpips_model = False
 
     if _lpips_model is False:
         return float("nan")
+
+    if _lpips_model[0] == "jax":
+        return _lpips_model[1](np.ascontiguousarray(image_a[..., :3]),
+                               np.ascontiguousarray(image_b[..., :3]))
 
     model, torch = _lpips_model
 

@@ -42,6 +42,14 @@ WEIGHT_SPECS = [
         "converter": "hive_tpu.models.maskrcnn.convert_torch_checkpoint",
     },
     {
+        "filename": "lpips_alex.npz",
+        "source": "alexnet-owt-7be5be79.pth",
+        "url": "https://download.pytorch.org/models/alexnet-owt-7be5be79.pth "
+               "+ https://github.com/richzhang/PerceptualSimilarity/raw/master/"
+               "lpips/weights/v0.1/alex.pth",
+        "converter": "hive_tpu.models.lpips.convert_torch_checkpoint",
+    },
+    {
         "filename": "person_unet.npz",
         "source": None,
         "url": "(optional lightweight fallback: train or distil a "

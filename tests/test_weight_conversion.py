@@ -401,3 +401,117 @@ class TestLamaTorchOracles:
                                               jnp.asarray(x)))
         np.testing.assert_allclose(got, expected.transpose(0, 2, 3, 1),
                                    atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (AlexNet) conversion.
+# ---------------------------------------------------------------------------
+
+class TestLPIPSConversion:
+    def test_matches_torch_oracle(self, tmp_path):
+        """Convert synthetic AlexNet + lin weights and compare the JAX metric
+        against a torch re-implementation of LPIPS v0.1 on random images."""
+        import torch
+        import torch.nn.functional as F
+
+        from hive_tpu.models import lpips as L
+
+        rng = np.random.default_rng(0)
+
+        alexnet = {}
+        shapes = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
+                  (256, 256, 3)]
+        for src, (co, ci, k) in zip([0, 3, 6, 8, 10], shapes):
+            alexnet[f"features.{src}.weight"] = torch.from_numpy(
+                (rng.normal(size=(co, ci, k, k)) * 0.05).astype(np.float32))
+            alexnet[f"features.{src}.bias"] = torch.from_numpy(
+                (rng.normal(size=co) * 0.05).astype(np.float32))
+
+        lins = {}
+        for i, c in enumerate([64, 192, 384, 256, 256]):
+            lins[f"lin{i}.model.1.weight"] = torch.from_numpy(
+                np.abs(rng.normal(size=(1, c, 1, 1))).astype(np.float32))
+
+        torch.save(alexnet, tmp_path / "alexnet.pth")
+        torch.save(lins, tmp_path / "alex.pth")
+        L.convert_torch_checkpoint(str(tmp_path / "alexnet.pth"),
+                                   str(tmp_path / "alex.pth"),
+                                   str(tmp_path / "lpips_alex.npz"))
+        scorer = L.LPIPSScorer(L.load_params(str(tmp_path / "lpips_alex.npz")))
+
+        img_a = rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
+        img_b = rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
+
+        # torch oracle (PerceptualSimilarity lpips v0.1 semantics).
+        def oracle(a, b):
+            shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+            scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+            def taps(img):
+                x = torch.from_numpy(img.transpose(2, 0, 1)[None]
+                                     .astype(np.float32)) / 127.5 - 1.0
+                x = (x - shift) / scale
+                outs = []
+                for j, (src, (_, _, k)) in enumerate(
+                        zip([0, 3, 6, 8, 10], shapes)):
+                    if j in (1, 2):
+                        x = F.max_pool2d(x, 3, stride=2)
+                    stride = 4 if j == 0 else 1
+                    pad = {0: 2, 1: 2}.get(j, 1)
+                    x = F.relu(F.conv2d(x, alexnet[f"features.{src}.weight"],
+                                        alexnet[f"features.{src}.bias"],
+                                        stride=stride, padding=pad))
+                    outs.append(x)
+                return outs
+
+            total = 0.0
+            for j, (ta, tb) in enumerate(zip(taps(a), taps(b))):
+                na = ta / (ta.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+                nb = tb / (tb.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+                diff = (na - nb) ** 2
+                w = lins[f"lin{j}.model.1.weight"]
+                total = total + F.conv2d(diff, w).mean()
+            return float(total)
+
+        got = scorer(img_a, img_b)
+        want = oracle(img_a, img_b)
+        assert abs(got - want) < 1e-3 * max(abs(want), 1.0)
+
+        # Identical images score ~0.
+        assert scorer(img_a, img_a) < 1e-6
+
+    def test_metrics_lpips_uses_jax_backend(self, tmp_path, monkeypatch):
+        import torch
+
+        from hive_tpu import metrics
+        from hive_tpu.models import lpips as L
+
+        rng = np.random.default_rng(1)
+        alexnet = {}
+        for src, (co, ci, k) in zip([0, 3, 6, 8, 10],
+                                    [(64, 3, 11), (192, 64, 5), (384, 192, 3),
+                                     (256, 384, 3), (256, 256, 3)]):
+            alexnet[f"features.{src}.weight"] = torch.from_numpy(
+                (rng.normal(size=(co, ci, k, k)) * 0.05).astype(np.float32))
+            alexnet[f"features.{src}.bias"] = torch.from_numpy(
+                np.zeros(co, np.float32))
+        lins = {f"lin{i}.model.1.weight": torch.from_numpy(
+            np.ones((1, c, 1, 1), np.float32))
+            for i, c in enumerate([64, 192, 384, 256, 256])}
+
+        weights_dir = tmp_path / "weights"
+        weights_dir.mkdir()
+        torch.save(alexnet, tmp_path / "alexnet.pth")
+        torch.save(lins, tmp_path / "alex.pth")
+        L.convert_torch_checkpoint(str(tmp_path / "alexnet.pth"),
+                                   str(tmp_path / "alex.pth"),
+                                   str(weights_dir / "lpips_alex.npz"))
+
+        monkeypatch.setenv("WEIGHTS_PATH", str(weights_dir))
+        monkeypatch.setattr(metrics, "_lpips_model", None)
+
+        a = rng.integers(0, 255, (48, 64, 3)).astype(np.uint8)
+        value = metrics.lpips(a, 255 - a)
+        assert np.isfinite(value) and value > 0
+
+        monkeypatch.setattr(metrics, "_lpips_model", None)
