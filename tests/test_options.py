@@ -151,3 +151,50 @@ class TestFtsOptions:
         opts = ForegroundTrajectorySmoothingOptions.from_args(args)
         assert opts.num_epochs == 0
         assert opts.learning_rate == 1e-5
+
+
+class TestReferenceFlagParity:
+    # Every CLI flag the reference's option groups register
+    # (grep "'--...'" over ref hive/options.py — the public CLI contract).
+    REFERENCE_FLAGS = [
+        "--align_scene", "--background_only", "--billboard", "--binary_path",
+        "--dataset_path", "--decimation_max_error", "--dense",
+        "--depth_mask_dilation_iterations", "--dilate_mask_iter",
+        "--disable_coverage_constraint", "--disable_scaling",
+        "--estimate_depth", "--estimate_pose", "--frame_step",
+        "--fts_learning_rate", "--fts_num_epochs", "--inpainting_mode",
+        "--key_frame_step", "--key_frame_threshold", "--log_file",
+        "--max_depth_dist", "--max_pixel_dist", "--mesh_reconstruction_method",
+        "--min_num_components", "--multiple_cameras", "--no_cache",
+        "--num_faces_background", "--num_faces_object", "--num_frames",
+        "--output_path", "--overwrite_ok", "--quality", "--sdf_max_voxels",
+        "--sdf_volume_size", "--sdf_voxel_size", "--single_camera_per_folder",
+        "--static_camera", "--vocab_path", "--webxr_add_ground_plane",
+        "--webxr_add_sky_box", "--webxr_path", "--webxr_run_server",
+        "--webxr_source_path", "--webxr_url",
+    ]
+
+    def test_every_reference_flag_is_accepted(self):
+        import argparse
+
+        from hive_tpu.options import (BackgroundMeshOptions, COLMAPOptions,
+                                      ForegroundTrajectorySmoothingOptions,
+                                      MaskDilationOptions,
+                                      MeshDecimationOptions,
+                                      MeshFilteringOptions, PipelineOptions,
+                                      StorageOptions, WebXROptions)
+
+        parser = argparse.ArgumentParser()
+        for group in (StorageOptions, COLMAPOptions, MeshDecimationOptions,
+                      MaskDilationOptions, MeshFilteringOptions,
+                      BackgroundMeshOptions,
+                      ForegroundTrajectorySmoothingOptions, WebXROptions,
+                      PipelineOptions):
+            group.add_args(parser)
+
+        ours = set()
+        for action in parser._actions:
+            ours.update(action.option_strings)
+
+        missing = [flag for flag in self.REFERENCE_FLAGS if flag not in ours]
+        assert not missing, f"reference CLI flags missing: {missing}"
