@@ -84,15 +84,16 @@ def main():
     volume.integrate_frames(colors, depths, K, poses)
     force()
 
-    # Median of three timed runs (remote-tunnel latency is noisy).
+    # Median of five timed runs (remote-tunnel latency is noisy: +-4%
+    # run-to-run observed on identical code).
     samples = []
-    for _ in range(3):
+    for _ in range(5):
         start = time.perf_counter()
         volume.integrate_frames(colors, depths, K, poses)
         force()
         samples.append(time.perf_counter() - start)
 
-    elapsed = sorted(samples)[1]
+    elapsed = sorted(samples)[len(samples) // 2]
     voxel_updates_per_second = (num_voxels * num_frames) / elapsed
 
     print(json.dumps({

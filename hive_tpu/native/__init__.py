@@ -18,7 +18,7 @@ _NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC_DIR = os.path.join(_NATIVE_DIR, "src")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libhive_native.so")
 
-_SOURCES = ["qem_decimate.cpp"]
+_SOURCES = ["qem_decimate.cpp", "weld.cpp"]
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -90,5 +90,42 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ct.POINTER(ct.c_int), ct.POINTER(ct.c_int),
         ]
 
+        lib.hive_weld_unique.restype = ct.c_int64
+        lib.hive_weld_unique.argtypes = [
+            ct.POINTER(ct.c_uint64), ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+        ]
+
         _lib = lib
         return _lib
+
+
+def weld_unique(keys):
+    """np.unique(keys, return_index=True, return_inverse=True) — native
+    radix-sort weld when the library is available, numpy otherwise.
+
+    :param keys: (N,) uint64 array.
+    :return: (first_index (U,) int64, inverse (N,) int64) with unique values
+        ascending and first_index holding the smallest original index per
+        unique value (np.unique semantics).
+    """
+    import numpy as np
+
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    lib = get_native_lib()
+
+    if lib is None or len(keys) == 0:
+        _, first_index, inverse = np.unique(keys, return_index=True,
+                                            return_inverse=True)
+        return first_index.astype(np.int64), inverse.astype(np.int64)
+
+    first_index = np.empty(len(keys), dtype=np.int64)
+    inverse = np.empty(len(keys), dtype=np.int64)
+
+    count = lib.hive_weld_unique(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(keys),
+        first_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        inverse.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+
+    return first_index[:count].copy(), inverse

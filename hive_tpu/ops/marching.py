@@ -440,10 +440,14 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
     flat = {name: np.concatenate(chunks) for name, chunks in parts.items()}
 
     # Weld: each vertex is uniquely identified by its (lo, hi) grid-edge key
-    # (lo == hi for vertices snapped onto a grid corner).
+    # (lo == hi for vertices snapped onto a grid corner). Native radix-sort
+    # unique (hive_tpu.native.weld_unique) — millions of keys per
+    # extraction; numpy fallback inside.
+    from hive_tpu.native import weld_unique
+
     keys = (flat["klo"].astype(np.uint64) * np.uint64(np.prod(dims))
             + flat["khi"].astype(np.uint64))
-    unique_keys, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+    first_idx, inverse = weld_unique(keys)
 
     flat_pos = np.stack([flat["x"], flat["y"], flat["z"]], axis=-1)
     packed = flat["col"][first_idx]

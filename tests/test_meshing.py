@@ -378,3 +378,32 @@ class TestGridTriangulation:
         assert len(points2d) == 8
         # Every quad touches the hole, so no faces survive.
         assert len(faces) == 0
+
+
+class TestNativeWeld:
+    def test_matches_numpy_unique(self):
+        from hive_tpu.native import get_native_lib, weld_unique
+
+        rng = np.random.default_rng(0)
+        # Duplicates, zeros, and values using high bit ranges.
+        keys = np.concatenate([
+            rng.integers(0, 50, 2000).astype(np.uint64),
+            rng.integers(0, 2 ** 56, 3000, dtype=np.int64).astype(np.uint64),
+            np.zeros(5, np.uint64),
+        ])
+        rng.shuffle(keys)
+
+        _, np_first, np_inverse = np.unique(keys, return_index=True,
+                                            return_inverse=True)
+        first, inverse = weld_unique(keys)
+
+        np.testing.assert_array_equal(first, np_first)
+        np.testing.assert_array_equal(inverse, np_inverse.reshape(-1))
+        # The native path (not the numpy fallback) should be active here.
+        assert get_native_lib() is not None
+
+    def test_empty(self):
+        from hive_tpu.native import weld_unique
+
+        first, inverse = weld_unique(np.zeros(0, np.uint64))
+        assert len(first) == 0 and len(inverse) == 0
