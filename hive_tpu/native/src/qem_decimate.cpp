@@ -12,10 +12,13 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <queue>
+#include <unordered_map>
 #include <unordered_set>
 #include <vector>
+#include <cstdio>
 
 namespace {
 
@@ -23,11 +26,11 @@ struct Quadric {
   // Symmetric 4x4 quadric, upper triangle: a2 ab ac ad b2 bc bd c2 cd d2
   double q[10] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
 
-  void add_plane(double a, double b, double c, double d) {
-    q[0] += a * a; q[1] += a * b; q[2] += a * c; q[3] += a * d;
-    q[4] += b * b; q[5] += b * c; q[6] += b * d;
-    q[7] += c * c; q[8] += c * d;
-    q[9] += d * d;
+  void add_plane(double a, double b, double c, double d, double w = 1.0) {
+    q[0] += w * a * a; q[1] += w * a * b; q[2] += w * a * c; q[3] += w * a * d;
+    q[4] += w * b * b; q[5] += w * b * c; q[6] += w * b * d;
+    q[7] += w * c * c; q[8] += w * c * d;
+    q[9] += w * d * d;
   }
 
   void add(const Quadric& other) {
@@ -110,19 +113,98 @@ class Decimator {
       for (int k = 0; k < 3; ++k) vertex_faces_[faces_[f * 3 + k]].push_back(f);
       accumulate_face_quadric(f);
     }
+
+    double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
+    for (int v = 0; v < n_verts; ++v) {
+      for (int k = 0; k < 3; ++k) {
+        lo[k] = std::min(lo[k], positions_[static_cast<size_t>(v) * 3 + k]);
+        hi[k] = std::max(hi[k], positions_[static_cast<size_t>(v) * 3 + k]);
+      }
+    }
+    const double dx = hi[0] - lo[0], dy = hi[1] - lo[1], dz = hi[2] - lo[2];
+    scale_sq_ = dx * dx + dy * dy + dz * dz;
+
+    add_boundary_constraints();
+  }
+
+  // Open-boundary preservation (Garland & Heckbert §6 / OpenMesh's boundary
+  // handling): a plain QEM on an open mesh lets boundary vertices collapse
+  // freely inward — a flat disc decimated to 1K faces SHRANK to under half
+  // its extent. For every edge used by exactly one face, add a heavily
+  // weighted constraint plane through the edge, perpendicular to the face,
+  // to both endpoints.
+  void add_boundary_constraints() {
+    std::unordered_map<int64_t, std::pair<int, int>> edge_count;
+    edge_count.reserve(alive_face_.size() * 2);
+
+    for (size_t f = 0; f < alive_face_.size(); ++f) {
+      for (int k = 0; k < 3; ++k) {
+        const EdgeKey e(faces_[f * 3 + k], faces_[f * 3 + (k + 1) % 3]);
+        auto it = edge_count.find(e.key);
+        if (it == edge_count.end()) {
+          edge_count.emplace(e.key, std::make_pair(1, static_cast<int>(f)));
+        } else {
+          ++it->second.first;
+        }
+      }
+    }
+
+    constexpr double kBoundaryWeight = 1000.0;
+
+    for (const auto& entry : edge_count) {
+      if (entry.second.first != 1) continue;
+
+      const int a = static_cast<int>(entry.first >> 32);
+      const int b = static_cast<int>(entry.first & 0xFFFFFFFF);
+      const int f = entry.second.second;
+
+      const double* pa = &positions_[static_cast<size_t>(a) * 3];
+      const double* pb = &positions_[static_cast<size_t>(b) * 3];
+      const int* tri = &faces_[static_cast<size_t>(f) * 3];
+      const double* p0 = &positions_[static_cast<size_t>(tri[0]) * 3];
+      const double* p1 = &positions_[static_cast<size_t>(tri[1]) * 3];
+      const double* p2 = &positions_[static_cast<size_t>(tri[2]) * 3];
+
+      double fe1[3] = {p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2]};
+      double fe2[3] = {p2[0] - p0[0], p2[1] - p0[1], p2[2] - p0[2]};
+      double fn[3] = {fe1[1] * fe2[2] - fe1[2] * fe2[1],
+                      fe1[2] * fe2[0] - fe1[0] * fe2[2],
+                      fe1[0] * fe2[1] - fe1[1] * fe2[0]};
+
+      const double edge[3] = {pb[0] - pa[0], pb[1] - pa[1], pb[2] - pa[2]};
+      // Constraint normal: edge x face-normal (perpendicular to the face,
+      // containing the edge).
+      double n[3] = {edge[1] * fn[2] - edge[2] * fn[1],
+                     edge[2] * fn[0] - edge[0] * fn[2],
+                     edge[0] * fn[1] - edge[1] * fn[0]};
+      const double len = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+      if (len < 1e-15) continue;
+      for (double& c : n) c /= len;
+
+      const double d = -(n[0] * pa[0] + n[1] * pa[1] + n[2] * pa[2]);
+      quadrics_[a].add_plane(n[0], n[1], n[2], d, kBoundaryWeight);
+      quadrics_[b].add_plane(n[0], n[1], n[2], d, kBoundaryWeight);
+    }
   }
 
   void run(int target_faces, double max_error) {
+    max_error_ = max_error;
     seed_candidates();
 
+    long pops = 0, stale = 0, fail = 0, ok = 0;
     while (live_faces_ > target_faces && !heap_.empty()) {
       Candidate top = heap_.top();
       heap_.pop();
+      ++pops;
 
-      if (!is_current(top)) continue;
+      if (!is_current(top)) { ++stale; continue; }
       if (max_error > 0 && top.cost > max_error) break;
-      if (!try_collapse(top, max_error)) continue;
+      if (!try_collapse(top, max_error)) { ++fail; continue; }
+      ++ok;
     }
+    if (getenv("HIVE_QEM_STATS"))
+      fprintf(stderr, "qem: pops=%ld stale=%ld fail=%ld ok=%ld heap_left=%zu\n",
+              pops, stale, fail, ok, heap_.size());
   }
 
   void extract(double* out_verts, int* out_n_verts, int* out_faces, int* out_n_faces) {
@@ -217,7 +299,23 @@ class Decimator {
     }
 
     std::memcpy(cand.pos, best, sizeof(best));
-    cand.cost = combined.evaluate(best);
+    // Deterministic per-edge tie-break, ~1e-9 of the bbox-diagonal cost
+    // scale: flat regions make huge equal-cost plateaus, and
+    // std::priority_queue's unspecified tie order then collapses the SAME
+    // vertex repeatedly — its valence grows linearly and every collapse
+    // re-pushes all its neighbours (measured 116 pushes per collapse,
+    // 3.2M heap pops for 28K collapses). The bias spreads collapses evenly
+    // (~7 pushes per collapse) and is far below any meaningful error
+    // difference or the max_error budget.
+    const uint64_t h = (static_cast<uint64_t>(v0) * 0x9E3779B97F4A7C15ull)
+                     ^ (static_cast<uint64_t>(v1) * 0xC2B2AE3D27D4EB4Full);
+    cand.cost = combined.evaluate(best)
+              + scale_sq_ * 1e-9 * (static_cast<double>(h & 0xFFFF) / 65536.0);
+    // Vertex quadrics only ever accumulate, so a candidate already over the
+    // error budget can never become collapsible: pushing it would only flood
+    // the heap with candidates that fail forever as neighbours keep
+    // re-queueing them (the dominant churn on boundary-constrained meshes).
+    if (max_error_ > 0 && cand.cost > max_error_) return;
     heap_.push(cand);
   }
 
@@ -254,13 +352,35 @@ class Decimator {
       cross_of(o[0], o[1], o[2], before);
       cross_of(p[0], p[1], p[2], after);
 
-      // A face that is ALREADY degenerate (zero area) has no orientation to
-      // preserve — skip it, or meshes containing exact slivers can never
-      // collapse anything (every candidate sees dot == 0).
+      // Degeneracy is judged RELATIVE to edge lengths (sine of the corner
+      // angle): float32-quantised flat surfaces are full of noise-scale
+      // triangles whose normal direction is meaningless — flip-testing them
+      // rejects ~50x more candidates than it accepts (measured). A face
+      // whose sine is below 1e-4 has no orientation worth preserving (skip
+      // as "before", allow as "after").
       const double before_sq = before[0] * before[0] + before[1] * before[1]
                              + before[2] * before[2];
-      if (before_sq == 0.0) continue;
+      const double be1[3] = {o[1][0] - o[0][0], o[1][1] - o[0][1], o[1][2] - o[0][2]};
+      const double be2[3] = {o[2][0] - o[0][0], o[2][1] - o[0][1], o[2][2] - o[0][2]};
+      const double edge_sq = (be1[0] * be1[0] + be1[1] * be1[1] + be1[2] * be1[2])
+                           * (be2[0] * be2[0] + be2[1] * be2[1] + be2[2] * be2[2]);
+      if (before_sq <= 1e-8 * edge_sq) continue;
 
+      const double after_sq = after[0] * after[0] + after[1] * after[1]
+                            + after[2] * after[2];
+      const double ae1[3] = {p[1][0] - p[0][0], p[1][1] - p[0][1], p[1][2] - p[0][2]};
+      const double ae2[3] = {p[2][0] - p[0][0], p[2][1] - p[0][1], p[2][2] - p[0][2]};
+      const double aedge_sq = (ae1[0] * ae1[0] + ae1[1] * ae1[1] + ae1[2] * ae1[2])
+                            * (ae2[0] * ae2[0] + ae2[1] * ae2[1] + ae2[2] * ae2[2]);
+      if (after_sq <= 1e-8 * aedge_sq) continue;
+
+      // Reject only true inversions (dot < 0). A zero-area RESULT is
+      // allowed: on regular lattices (grid-triangulated depth maps,
+      // marching output, float32-quantised positions) collapse targets
+      // constantly land exactly on neighbour edges, and treating dot == 0
+      // as a flip rejected ~50x more candidates than it accepted (measured
+      // 5.3M heap pops for 28K collapses on a flat VGA disc) — transient
+      // slivers collapse away in later steps instead.
       const double dot = before[0] * after[0] + before[1] * after[1] + before[2] * after[2];
       if (dot <= 0) return true;
     }
@@ -339,10 +459,24 @@ class Decimator {
     }
     vertex_faces_[v1].clear();
 
+    // Compact the merged vertex's adjacency: without this, dead faces
+    // accumulate for the lifetime of the decimation and the flip-guard
+    // scans over vertex_faces_ become O(total collapses) per check —
+    // measured 195 s (vs <1 s fixed) to take a flat 57K-face disc to 1K
+    // faces, because the few surviving vertices swallow the whole mesh's
+    // face history.
+    {
+      auto& vf = vertex_faces_[v0];
+      size_t keep = 0;
+      for (int f : vf) {
+        if (alive_face_[f]) vf[keep++] = f;
+      }
+      vf.resize(keep);
+    }
+
     // Refresh candidate edges around the merged vertex.
     std::unordered_set<int> neighbors;
     for (int f : vertex_faces_[v0]) {
-      if (!alive_face_[f]) continue;
       const int* tri = &faces_[static_cast<size_t>(f) * 3];
       for (int k = 0; k < 3; ++k) {
         if (tri[k] != v0 && alive_vertex_[tri[k]]) neighbors.insert(tri[k]);
@@ -362,6 +496,8 @@ class Decimator {
   std::vector<bool> alive_vertex_;
   std::vector<bool> alive_face_;
   int live_faces_ = 0;
+  double max_error_ = 0.0;
+  double scale_sq_ = 0.0;
 
   std::priority_queue<Candidate, std::vector<Candidate>, std::greater<Candidate>> heap_;
 };
