@@ -187,6 +187,32 @@ class TestPLY:
 
 
 class TestDecimation:
+    def test_open_boundary_is_preserved(self):
+        """A flat grid-triangulated disc decimated 50x must keep its full
+        extent (boundary-constraint quadrics): the unconstrained QEM shrank
+        it to under half, and the float32 lattice also has to finish without
+        pathological heap churn."""
+        from hive_tpu.meshing.decimate import decimate_mesh
+        from hive_tpu.meshing.triangulate import triangulate_grid
+        from hive_tpu.options import MeshFilteringOptions
+
+        h, w = 240, 320
+        us, vs = np.meshgrid(np.arange(w), np.arange(h))
+        obj = (us - 160) ** 2 + (vs - 120) ** 2 < 80 ** 2
+        depth = np.full((h, w), 1.5, np.float32)
+
+        pix, faces, _ = triangulate_grid(obj, depth, MeshFilteringOptions())
+        z = depth[pix[:, 0], pix[:, 1]]
+        verts = np.stack([(pix[:, 1] - 159.5) / 100.0 * z,
+                          (pix[:, 0] - 119.5) / 100.0 * z, z],
+                         -1).astype(np.float32)
+
+        v2, f2 = decimate_mesh(verts, faces.astype(np.int32), 512)
+
+        assert len(f2) <= 600
+        np.testing.assert_allclose(v2.min(axis=0), verts.min(axis=0), atol=0.02)
+        np.testing.assert_allclose(v2.max(axis=0), verts.max(axis=0), atol=0.02)
+
     def test_native_decimation_hits_target(self):
         verts, faces = make_icosphere(3)  # 1280 faces
         out_verts, out_faces = decimate_mesh(verts, faces, target_faces=200, max_error=1e9)
