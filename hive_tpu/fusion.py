@@ -67,7 +67,8 @@ def adjust_voxel_size(dataset: HiveDataset, options: BackgroundMeshOptions,
 
 def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = BackgroundMeshOptions(),
                 num_frames: int = -1, frame_set: Optional[List[int]] = None,
-                frames_per_batch: int = 32, use_sparse: bool = True) -> TriangleMesh:
+                frames_per_batch: int = 32, use_sparse: bool = True,
+                profiling: Optional[dict] = None) -> TriangleMesh:
     """Reconstruct the static background by fusing masked RGB-D frames into a
     TSDF volume on TPU and extracting the isosurface.
 
@@ -90,8 +91,18 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
     mask_dilation_options = MaskDilationOptions(
         num_iterations=options.depth_mask_dilation_iterations)
 
-    voxel_size, volume_bounds = adjust_voxel_size(dataset=dataset, options=options,
-                                                  frame_set=frame_set)
+    # Sub-stage wall times land under the background_reconstruction node of
+    # the profiling.json tree (same rollup schema as the foreground's
+    # per-step timers).
+    from hive_tpu.utils import timed_block
+
+    def stage(name):
+        return timed_block(None, profiling,
+                           ["timing", "background_reconstruction", name])
+
+    with stage("voxel_sizing"):
+        voxel_size, volume_bounds = adjust_voxel_size(dataset=dataset, options=options,
+                                                      frame_set=frame_set)
 
     logging.info("Initializing voxel volume...")
 
@@ -133,19 +144,21 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
 
     from hive_tpu.utils import tqdm_imap
 
-    for start in range(0, len(frame_set), frames_per_batch):
-        batch = frame_set[start:start + frames_per_batch]
-        frames = tqdm_imap(load_frame, batch, show_progress=False)
+    with stage("integration"):
+        for start in range(0, len(frame_set), frames_per_batch):
+            batch = frame_set[start:start + frames_per_batch]
+            frames = tqdm_imap(load_frame, batch, show_progress=False)
 
-        volume.integrate_frames(
-            colors=np.stack([f[0] for f in frames]),
-            depths=np.stack([f[1] for f in frames]),
-            camera_matrix=dataset.camera_matrix,
-            cam_to_world_poses=cam_to_world[batch],
-        )
+            volume.integrate_frames(
+                colors=np.stack([f[0] for f in frames]),
+                depths=np.stack([f[1] for f in frames]),
+                camera_matrix=dataset.camera_matrix,
+                cam_to_world_poses=cam_to_world[batch],
+            )
 
     logging.info("Extracting mesh...")
-    verts, faces, norms, colors = volume.get_mesh()
+    with stage("mesh_extraction"):
+        verts, faces, norms, colors = volume.get_mesh()
 
     return TriangleMesh(vertices=verts, faces=faces, vertex_colors=colors,
                         vertex_normals=norms)

@@ -251,7 +251,8 @@ class Pipeline:
 
         background_scene = self._create_empty_scene(dataset)
         static_mesh = self.create_static_mesh(dataset, num_frames=self.num_frames,
-                                              options=self.background_mesh_options)
+                                              options=self.background_mesh_options,
+                                              profiling=self.profiling)
 
         # The renderer expects sRGB for vertex-coloured meshes (three.js does
         # not convert vertex colours automatically; it does for textures).
@@ -502,7 +503,8 @@ class Pipeline:
     @classmethod
     def create_static_mesh(cls, dataset: HiveDataset, num_frames: int = -1,
                            options=BackgroundMeshOptions(),
-                           frame_set: Optional[List[int]] = None) -> TriangleMesh:
+                           frame_set: Optional[List[int]] = None,
+                           profiling: Optional[dict] = None) -> TriangleMesh:
         """Reconstruct the static background mesh (TSDF on TPU or BundleFusion)."""
         from hive_tpu.fusion import bundle_fusion, tsdf_fusion
 
@@ -510,8 +512,13 @@ class Pipeline:
             num_frames = dataset.num_frames
 
         if frame_set is None:
-            frame_set = dataset.select_key_frames(threshold=options.key_frame_threshold,
-                                                  frame_step=options.key_frame_step)
+            from hive_tpu.utils import timed_block
+
+            with timed_block(None, profiling, ["timing", "background_reconstruction",
+                                               "key_frame_selection"]):
+                frame_set = dataset.select_key_frames(
+                    threshold=options.key_frame_threshold,
+                    frame_step=options.key_frame_step)
 
         if frame_set is not None and len(frame_set) < 1:
             raise RuntimeError("`frame_set`, if not `None`, must have at least one element.")
@@ -520,7 +527,8 @@ class Pipeline:
             return bundle_fusion(cls.bundle_fusion_folder, dataset, options, num_frames)
 
         if options.reconstruction_method == MeshReconstructionMethod.TSDFFusion:
-            return tsdf_fusion(dataset, options, num_frames, frame_set=frame_set)
+            return tsdf_fusion(dataset, options, num_frames, frame_set=frame_set,
+                               profiling=profiling)
 
         raise RuntimeError(f"Unsupported mesh reconstruction method: "
                            f"{options.reconstruction_method}")

@@ -91,6 +91,9 @@ class TestPipelineEndToEnd:
         assert {"total", "per_frame"} <= set(profiling["elapsed_time"])
         assert "timing" in profiling
         assert "background_reconstruction" in profiling["timing"]
+        background = profiling["timing"]["background_reconstruction"]
+        assert {"key_frame_selection", "voxel_sizing", "integration",
+                "mesh_extraction"} <= set(background)
         assert "foreground_reconstruction" in profiling["timing"]
         assert "mesh_tri_count" in profiling
         assert "peak_ram_usage" in profiling
