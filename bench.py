@@ -5,8 +5,10 @@ This is the framework's headline kernel (BASELINE.md "TSDF voxels/s"
 north-star): the reference integrates VGA RGB-D frames into a voxel volume
 with a PyCUDA kernel on an RTX 3060 (reference third_party tsdf-fusion-python,
 driven by hive/fusion.py:102-127). Here the same workload — VGA frames into a
-~17M-voxel volume — runs as the XLA-fused integration kernel from
-hive_tpu.ops.tsdf with bf16 voxel storage (the production configuration).
+~17M-voxel volume — runs through the sparse banded integrator
+(hive_tpu.ops.tsdf_sparse) in its production configuration: f32 voxel
+storage at this volume size (the pipeline switches to bf16 above ~100M
+voxels), rgb565d16 packed sampling, (8,8,8) blocks.
 
 All benchmark inputs are synthesised on device (the hardware may sit behind a
 remote tunnel where host->device uploads would dominate and corrupt the
