@@ -279,17 +279,42 @@ class Trajectory:
 
     # -- conversions --------------------------------------------------------
     def to_homogenous_transforms(self) -> np.ndarray:
-        """(N, 7) → (N, 4, 4), batched."""
-        return np.asarray(T.pose_to_matrix(jnp.asarray(self.values, dtype=jnp.float32)),
-                          dtype=np.float64)
+        """(N, 7) → (N, 4, 4), batched. Pure numpy: these conversions run in
+        host-side setup paths (dataset loading, voxel sizing) where a tiny
+        jnp op would be the process's FIRST jax call and trigger accelerator
+        backend attach — behind the tunnelled TPU that attach was measured
+        taking MINUTES, stalling a pipeline stage that needs microseconds of
+        math."""
+        q = self.values[:, :4]
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+
+        n = len(self.values)
+        m = np.zeros((n, 4, 4), dtype=np.float64)
+        m[:, 0, 0] = 1.0 - 2.0 * (y * y + z * z)
+        m[:, 0, 1] = 2.0 * (x * y - w * z)
+        m[:, 0, 2] = 2.0 * (x * z + w * y)
+        m[:, 1, 0] = 2.0 * (x * y + w * z)
+        m[:, 1, 1] = 1.0 - 2.0 * (x * x + z * z)
+        m[:, 1, 2] = 2.0 * (y * z - w * x)
+        m[:, 2, 0] = 2.0 * (x * z - w * y)
+        m[:, 2, 1] = 2.0 * (y * z + w * x)
+        m[:, 2, 2] = 1.0 - 2.0 * (x * x + y * y)
+        m[:, :3, 3] = self.values[:, 4:]
+        m[:, 3, 3] = 1.0
+        return m
 
     @staticmethod
     def from_homogenous_transforms(camera_trajectory: np.ndarray) -> "Trajectory":
-        """(N, 4, 4) → (N, 7), batched."""
+        """(N, 4, 4) → (N, 7), batched (host numpy — see
+        to_homogenous_transforms)."""
+        from scipy.spatial.transform import Rotation
+
         validate_shape(camera_trajectory, "camera_trajectory", (None, 4, 4))
-        poses = np.asarray(T.matrix_to_pose(jnp.asarray(camera_trajectory, dtype=jnp.float32)),
-                           dtype=np.float64)
-        return Trajectory(poses)
+        camera_trajectory = np.asarray(camera_trajectory, dtype=np.float64)
+        quats = Rotation.from_matrix(camera_trajectory[:, :3, :3]).as_quat()
+        return Trajectory(np.concatenate([quats, camera_trajectory[:, :3, 3]],
+                                         axis=-1))
 
     def array(self) -> jnp.ndarray:
         """The trajectory as a float32 JAX array (device-ready)."""
@@ -318,8 +343,16 @@ class Trajectory:
         return Trajectory(np.asarray(rebased, dtype=np.float64))
 
     def inverse(self) -> "Trajectory":
-        """Per-pose rigid inverse (world-to-cam ↔ cam-to-world)."""
-        return Trajectory(np.asarray(T.pose_inverse(self.array()), dtype=np.float64))
+        """Per-pose rigid inverse (world-to-cam ↔ cam-to-world); host numpy
+        (see to_homogenous_transforms)."""
+        m = self.to_homogenous_transforms()
+        r_inv = np.swapaxes(m[:, :3, :3], 1, 2)
+        t_inv = -np.einsum("nij,nj->ni", r_inv, m[:, :3, 3])
+
+        q = self.values[:, :4]
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+        q_inv = np.concatenate([-q[:, :3], q[:, 3:4]], axis=-1)
+        return Trajectory(np.concatenate([q_inv, t_inv], axis=-1))
 
     def apply(self, transform: np.ndarray) -> "Trajectory":
         """Right-multiply every pose by a 4x4 transform (``P_i @ M``)."""
