@@ -121,6 +121,28 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
     else:
         volume = TSDFVolume(volume_bounds, voxel_size=voxel_size, dtype=dtype)
 
+    # Multi-device runtime: block-shard the sparse volume over the mesh so
+    # each device integrates its own slab of blocks (bit-identical to the
+    # single-device result — blocks are independent, no collectives).
+    from hive_tpu.parallel.runtime import runtime_mesh
+
+    mesh = runtime_mesh()
+    if mesh is not None and use_sparse:
+        if volume.num_blocks % mesh.devices.size == 0:
+            from hive_tpu.parallel.fusion import shard_sparse_state
+
+            shard_sparse_state(volume, mesh)
+            logging.info(f"Sparse TSDF volume sharded over {mesh.devices.size} "
+                         f"devices ({volume.num_blocks} blocks, block-cyclic).")
+        else:
+            logging.warning(
+                f"Cannot shard the TSDF volume: {volume.num_blocks} blocks "
+                f"do not divide over {mesh.devices.size} devices; running "
+                f"single-device.")
+            mesh = None
+    else:
+        mesh = None
+
     logging.info(f"Voxel volume dims {volume.dims} "
                  f"({volume.num_voxels:,d} voxels at {voxel_size:.4f} m)")
 
@@ -145,16 +167,26 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
     from hive_tpu.utils import tqdm_imap
 
     with stage("integration"):
+        if mesh is not None:
+            from hive_tpu.parallel.fusion import integrate_frames_sharded
+
         for start in range(0, len(frame_set), frames_per_batch):
             batch = frame_set[start:start + frames_per_batch]
             frames = tqdm_imap(load_frame, batch, show_progress=False)
 
-            volume.integrate_frames(
-                colors=np.stack([f[0] for f in frames]),
-                depths=np.stack([f[1] for f in frames]),
-                camera_matrix=dataset.camera_matrix,
-                cam_to_world_poses=cam_to_world[batch],
-            )
+            colors = np.stack([f[0] for f in frames])
+            depths = np.stack([f[1] for f in frames])
+
+            if mesh is not None:
+                integrate_frames_sharded(
+                    volume, mesh, colors=colors, depths=depths,
+                    camera_matrix=dataset.camera_matrix,
+                    cam_to_world_poses=cam_to_world[batch])
+            else:
+                volume.integrate_frames(
+                    colors=colors, depths=depths,
+                    camera_matrix=dataset.camera_matrix,
+                    cam_to_world_poses=cam_to_world[batch])
 
     logging.info("Extracting mesh...")
     with stage("mesh_extraction"):

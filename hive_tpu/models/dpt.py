@@ -334,13 +334,28 @@ class DPTDepthEstimator:
     def __init__(self, weights_filename: str = "dpt_hybrid_nyu.npz",
                  net_size: Tuple[int, int] = (480, 640),
                  scale: float = NYU_SCALE, shift: float = NYU_SHIFT,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, mesh=None):
         self.net_height, self.net_width = net_size
         self.scale = scale
         self.shift = shift
 
         self.model = DPTHybrid(dtype=dtype)
         self.params = self._load_or_init_params(weights_filename)
+
+        # Multi-device runtime: shard inference batches over the frame axis
+        # (frames are independent; parameters replicate). Defaults to the
+        # pipeline's --num_devices mesh.
+        if mesh is None:
+            from hive_tpu.parallel.runtime import runtime_mesh
+
+            mesh = runtime_mesh()
+        self.mesh = mesh
+
+        if self.mesh is not None:
+            from hive_tpu.parallel.mesh import replicate
+
+            self.params = jax.tree.map(
+                lambda a: replicate(self.mesh, jnp.asarray(a)), self.params)
 
         @jax.jit
         def forward(params, frames_uint8):
@@ -382,7 +397,21 @@ class DPTDepthEstimator:
         """(B, H, W, 3) uint8 RGB → (B, H, W) float32 metric depth (meters)."""
         source_shape = frames.shape[1:3]
 
-        depth = np.asarray(self._forward(self.params, jnp.asarray(frames)))
+        if self.mesh is not None:
+            from hive_tpu.parallel.mesh import pad_to_multiple, shard_batch
+
+            n = int(self.mesh.devices.size)
+            batch = frames.shape[0]
+            # Edge-pad (repeat the last frame) so padding rows run the same
+            # compute without affecting the real outputs.
+            padded = pad_to_multiple(np.asarray(frames), n, axis=0)
+            if padded.shape[0] > batch:
+                padded[batch:] = padded[batch - 1]
+
+            device_frames = shard_batch(self.mesh, jnp.asarray(padded))
+            depth = np.asarray(self._forward(self.params, device_frames))[:batch]
+        else:
+            depth = np.asarray(self._forward(self.params, jnp.asarray(frames)))
 
         if depth.shape[1:3] != source_shape:
             resized = [
@@ -422,15 +451,23 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
     """
     import torch
 
+    from hive_tpu.models.convert_utils import TrackedState, iter_flat_numpy
+
     state = torch.load(torch_checkpoint_path, map_location="cpu")
     if "state_dict" in state:
         state = state["state_dict"]
 
-    state = {k: v.numpy() for k, v in state.items()}
+    state = TrackedState(iter_flat_numpy(state), name="DPT checkpoint")
 
     params: dict = {}
+    written: set = set()
 
     def put(path: str, value: np.ndarray):
+        if path in written:
+            raise ValueError(f"parameter {path!r} written twice (mapping "
+                             f"collision in the DPT converter)")
+        written.add(path)
+
         node = params
         parts = path.split("/")
         for part in parts[:-1]:
@@ -536,6 +573,17 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
     conv("scratch.output_conv.0", "head_conv1")
     conv("scratch.output_conv.2", "head_conv2")
     conv("scratch.output_conv.4", "head_conv3")
+
+    # Coverage check: every checkpoint tensor must be consumed exactly once.
+    # refinenet4.resConfUnit1 exists in the checkpoint but is never applied by
+    # the torch model either (no skip input at the top level); the ViT's
+    # final norm / classifier head are not part of the DPT decoder.
+    state.assert_fully_consumed(ignore=(
+        r"^scratch\.refinenet4\.resConfUnit1\.",
+        r"^pretrained\.model\.norm\.",
+        r"^pretrained\.model\.head\.",
+        r"num_batches_tracked$",
+    ))
 
     np.savez(output_path, **_flatten_params(params))
     logging.info(f"Converted DPT checkpoint written to {output_path}")

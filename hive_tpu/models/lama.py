@@ -412,6 +412,8 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
     if isinstance(raw, dict) and "state_dict" in raw:
         raw = raw["state_dict"]
 
+    from hive_tpu.models.convert_utils import TrackedState, WriteOnceDict
+
     sd = {}
     for key, value in raw.items():
         if key.startswith("generator."):
@@ -420,7 +422,8 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
             sd[key] = np.asarray(value.detach().numpy() if hasattr(value, "detach")
                                  else value)
 
-    out = {}
+    sd = TrackedState(sd, name="big-lama generator")
+    out = WriteOnceDict()
 
     def put_conv(src, dst):
         out[f"{dst}/kernel"] = np.transpose(sd[src], (2, 3, 1, 0))
@@ -491,5 +494,9 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
     put_conv(f"model.{idx}.weight", "head")
     out["head/bias"] = sd[f"model.{idx}.bias"]
 
-    np.savez(output_path, **out)
-    return out
+    # Every generator tensor must be consumed exactly once (BN trip counters
+    # carry no learned state).
+    sd.assert_fully_consumed(ignore=(r"num_batches_tracked$",))
+
+    np.savez(output_path, **dict(out))
+    return dict(out)

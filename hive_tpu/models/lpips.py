@@ -135,20 +135,33 @@ def convert_torch_checkpoint(alexnet_path: str, lpips_lin_path: str,
     if torch is None:  # pragma: no cover
         raise RuntimeError("torch is required for checkpoint conversion")
 
-    alexnet = torch.load(alexnet_path, map_location="cpu", weights_only=False)
-    lins = torch.load(lpips_lin_path, map_location="cpu", weights_only=False)
+    from hive_tpu.models.convert_utils import (TrackedState, WriteOnceDict,
+                                               iter_flat_numpy)
 
-    out = {}
+    alexnet = TrackedState(
+        iter_flat_numpy(torch.load(alexnet_path, map_location="cpu",
+                                   weights_only=False)),
+        name="torchvision AlexNet")
+    lins = TrackedState(
+        iter_flat_numpy(torch.load(lpips_lin_path, map_location="cpu",
+                                   weights_only=False)),
+        name="lpips v0.1 linear heads")
+
+    out = WriteOnceDict()
     for i, src in enumerate([0, 3, 6, 8, 10]):
-        w = alexnet[f"features.{src}.weight"].numpy()
+        w = alexnet[f"features.{src}.weight"]
         out[f"conv{i}/kernel"] = np.transpose(w, (2, 3, 1, 0))
-        out[f"conv{i}/bias"] = alexnet[f"features.{src}.bias"].numpy()
+        out[f"conv{i}/bias"] = alexnet[f"features.{src}.bias"]
 
     for i in range(5):
         key = f"lin{i}.model.1.weight"
         if key not in lins:  # some releases omit the dropout module index
             key = f"lin{i}.model.0.weight"
-        out[f"lin{i}"] = lins[key].numpy().reshape(-1)
+        out[f"lin{i}"] = lins[key].reshape(-1)
 
-    np.savez(output_path, **out)
-    return out
+    # LPIPS only taps the 5 feature convs; the classifier head is unused.
+    alexnet.assert_fully_consumed(ignore=(r"^classifier\.",))
+    lins.assert_fully_consumed()
+
+    np.savez(output_path, **dict(out))
+    return dict(out)

@@ -598,12 +598,15 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str):
     if torch is None:  # pragma: no cover
         raise RuntimeError("torch is required for checkpoint conversion")
 
+    from hive_tpu.models.convert_utils import TrackedState, WriteOnceDict
+
     sd = torch.load(torch_checkpoint_path, map_location="cpu",
                     weights_only=False)
     if not isinstance(sd, dict) or "backbone.body.conv1.weight" not in sd:
         sd = sd.get("model", sd.get("state_dict", sd))
 
-    out: Dict[str, np.ndarray] = {}
+    sd = TrackedState(dict(sd), name="Mask R-CNN checkpoint")
+    out: Dict[str, np.ndarray] = WriteOnceDict()
 
     def conv(src, dst, bias=True):
         w = sd[src].numpy()
@@ -674,8 +677,12 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str):
     conv("roi_heads.mask_predictor.mask_fcn_logits.weight",
          "mask_head/mask_fcn_logits")
 
-    np.savez(output_path, **out)
-    return out
+    # Every checkpoint tensor consumed exactly once (BN trip counters and
+    # the RPN/ROI buffers carry no learned state).
+    sd.assert_fully_consumed(ignore=(r"num_batches_tracked$",))
+
+    np.savez(output_path, **dict(out))
+    return dict(out)
 
 
 def load_params(npz_path: str):

@@ -221,6 +221,10 @@ class PersonSegmenter:
         self.probability_threshold = probability_threshold
 
         weights_dir = os.environ.get("WEIGHTS_PATH", "weights")
+        # An explicitly passed weights_path is a request for the U-Net
+        # backend: it must not be silently overridden by an ambient Mask
+        # R-CNN checkpoint.
+        explicit_unet = weights_path is not None
         if weights_path is None:
             weights_path = os.path.join(weights_dir, "person_unet.npz")
 
@@ -228,7 +232,7 @@ class PersonSegmenter:
         self._unet: Optional[_UNetBackend] = None
 
         maskrcnn_path = os.path.join(weights_dir, "maskrcnn_coco.npz")
-        if os.path.isfile(maskrcnn_path):
+        if not explicit_unet and os.path.isfile(maskrcnn_path):
             try:
                 self._maskrcnn = _MaskRCNNBackend(maskrcnn_path)
                 logging.info(f"Person segmentation: Mask R-CNN backend "

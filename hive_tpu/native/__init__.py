@@ -128,4 +128,9 @@ def weld_unique(keys):
         first_index.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         inverse.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
 
+    if count < 0:  # native allocation failure — numpy fallback
+        _, first_index, inverse = np.unique(keys, return_index=True,
+                                            return_inverse=True)
+        return first_index.astype(np.int64), inverse.astype(np.int64)
+
     return first_index[:count].copy(), inverse

@@ -27,8 +27,17 @@ int64_t hive_weld_unique(const uint64_t* keys, int64_t n,
         return 0;
     }
 
-    std::vector<int64_t> order(n);
-    std::vector<int64_t> scratch(n);
+    // std::bad_alloc must not cross the extern "C" boundary (it would
+    // abort the process); report -1 so the Python wrapper can fall back
+    // to np.unique.
+    std::vector<int64_t> order;
+    std::vector<int64_t> scratch;
+    try {
+        order.resize(n);
+        scratch.resize(n);
+    } catch (...) {
+        return -1;
+    }
     for (int64_t i = 0; i < n; ++i) {
         order[i] = i;
     }

@@ -700,7 +700,11 @@ class SparseTSDFVolume:
         if self.color_mode == "rgb565d16":
 
             def pack_frame(depth, color_im):
-                d_mm = jnp.clip(jnp.round(depth * 1000.0), 0.0, 65535.0)
+                # Depths beyond the u16-mm range (65.535 m) become INVALID
+                # (0) rather than clamping — a clamp would fabricate a valid
+                # 65.535 m surface along far-plane rays.
+                d_mm = jnp.round(depth * 1000.0)
+                d_mm = jnp.where(d_mm > 65535.0, 0.0, jnp.clip(d_mm, 0.0, 65535.0))
                 d_mm = d_mm.astype(jnp.uint32)
 
                 # 2x2 ordered dither (0, .5 / .75, .25), computed

@@ -441,6 +441,7 @@ class PipelineOptions(Options):
     disable_scaling: bool = False
     disable_coverage_constraint: bool = False
     log_file: str = "logs.log"
+    num_devices: int = 1
 
     @staticmethod
     def add_args(parser: argparse.ArgumentParser):
@@ -485,6 +486,11 @@ class PipelineOptions(Options):
                                 "in the reconstruction.")
         group.add_argument("--log_file", type=str, default="logs.log",
                            help="The path to save the logs to.")
+        group.add_argument("--num_devices", type=int, default=1,
+                           help="Number of accelerator devices to run over (TSDF "
+                                "integration, depth inference and pose optimisation "
+                                "shard over a device mesh). 1 (default) = "
+                                "single-device; -1 = all local devices.")
 
     @staticmethod
     def from_args(args: argparse.Namespace) -> "PipelineOptions":
@@ -495,7 +501,7 @@ class PipelineOptions(Options):
                                inpainting_mode=InpaintingMode.from_integer(args.inpainting_mode),
                                billboard=args.billboard, disable_scaling=args.disable_scaling,
                                disable_coverage_constraint=args.disable_coverage_constraint,
-                               log_file=args.log_file)
+                               log_file=args.log_file, num_devices=args.num_devices)
 
     def copy(self) -> "PipelineOptions":
         return dataclasses.replace(self)

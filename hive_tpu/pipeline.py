@@ -151,6 +151,12 @@ class Pipeline:
         start_time = time.time()
         self._reset_device_stats()
 
+        # Multi-device runtime: every shardable stage (TSDF integration, DPT
+        # depth batches, pose residuals) picks this mesh up automatically.
+        from hive_tpu.parallel.runtime import configure
+
+        configure(self.options.num_devices)
+
         with self.timed_block("Loading dataset...", ["timing", "load_dataset", "total"]):
             if adaptor is not None:
                 dataset = adaptor.convert(estimate_pose=self.estimate_pose,

@@ -183,7 +183,8 @@ class FeatureExtractionOptions:
     """Options for the FeatureExtractor. (ref pose_optimisation.py:224-264)"""
 
     def __init__(self, ignore_dynamic_objects: bool = True, min_features: int = 20,
-                 max_features: Optional[int] = 2048):
+                 max_features: Optional[int] = 2048,
+                 save_match_visualisations: bool = False):
         if not isinstance(min_features, int) or min_features < 5:
             raise ValueError(f"`min_features` must be a positive integer that is at least 5, "
                              f"but got {min_features}.")
@@ -200,6 +201,9 @@ class FeatureExtractionOptions:
         self.ignore_dynamic_objects = ignore_dynamic_objects
         self.min_features = min_features
         self.max_features = max_features
+        # Write accepted/rejected match JPEGs per frame pair into
+        # <debug_path>/matches (ref pose_optimisation.py:580-628).
+        self.save_match_visualisations = save_match_visualisations
 
 
 class FeatureExtractor:
@@ -353,6 +357,10 @@ class FeatureExtractor:
 
         inliers = inlier_mask.ravel() > 0
 
+        if self.options.save_match_visualisations and self.debug_path:
+            self._save_matches_visualisation(frame_pair, points_i, points_j,
+                                             inliers)
+
         if inliers.sum() < self.options.min_features:
             return None
 
@@ -364,6 +372,42 @@ class FeatureExtractor:
             frame_j=FeatureData(np.full(n_matches, j, dtype=np.int64),
                                 points_j[inliers], depth_j[inliers]),
         )
+
+    def _save_matches_visualisation(self, frame_pair: FramePair,
+                                    points_i: np.ndarray, points_j: np.ndarray,
+                                    inliers: np.ndarray):
+        """Write side-by-side accepted/rejected match images for a frame pair.
+
+        Parity with the reference's debug JPEGs (ref
+        pose_optimisation.py:580-628): one image of RANSAC-accepted matches
+        (green lines) and one of rejected matches (red), saved under
+        ``<debug_path>/matches/``.
+        """
+        i, j = frame_pair
+        viz_dir = pjoin(self.debug_path, "matches")
+        os.makedirs(viz_dir, exist_ok=True)
+
+        frame_i = cv2.cvtColor(self.frames[i], cv2.COLOR_GRAY2BGR)
+        frame_j = cv2.cvtColor(self.frames[j], cv2.COLOR_GRAY2BGR)
+        h = max(frame_i.shape[0], frame_j.shape[0])
+        offset_u = frame_i.shape[1]
+
+        def draw(mask, colour, suffix):
+            canvas = np.zeros((h, offset_u + frame_j.shape[1], 3), np.uint8)
+            canvas[:frame_i.shape[0], :offset_u] = frame_i
+            canvas[:frame_j.shape[0], offset_u:] = frame_j
+
+            for p, q in zip(points_i[mask], points_j[mask]):
+                a = (int(round(p[0])), int(round(p[1])))
+                b = (int(round(q[0])) + offset_u, int(round(q[1])))
+                cv2.circle(canvas, a, 3, colour, 1, cv2.LINE_AA)
+                cv2.circle(canvas, b, 3, colour, 1, cv2.LINE_AA)
+                cv2.line(canvas, a, b, colour, 1, cv2.LINE_AA)
+
+            cv2.imwrite(pjoin(viz_dir, f"{i:06d}-{j:06d}-{suffix}.jpg"), canvas)
+
+        draw(inliers, (0, 192, 0), "accepted")
+        draw(~inliers, (0, 0, 224), "rejected")
 
     def _log_stats(self, feature_set: FeatureSet, num_good_pairs: int):
         covered = set(feature_set.frame_i.index.tolist()) \
@@ -666,6 +710,131 @@ def _run_epoch_chunk(params, opt_state, features, intrinsics, learning_rate,
     return params, opt_state, losses
 
 
+def optimise_packed_features(features: dict, intrinsics, params,
+                             options: OptimisationOptions,
+                             residual_type: ResidualType,
+                             frame_size: Tuple[int, int], fps: float,
+                             smooth_trajectory: bool = True, mesh=None):
+    """The production optimisation loop over packed correspondence arrays:
+    compiled Adam epoch chunks (:func:`_run_epoch_chunk`) with host-side
+    LR-plateau reduction, early stopping and optional mid-run checkpointing.
+
+    This is the single compiled training step of the framework — both
+    :class:`PoseOptimiser` and the driver's multi-chip dryrun run exactly
+    this code.
+
+    :param features: packed correspondences from ``PoseOptimiser._pack_features``
+        (weight-masked; padding rows carry weight 0). With ``mesh``, the
+        leading axis must divide by the mesh size.
+    :param mesh: optional device mesh. Correspondence arrays shard over the
+        mesh's first axis; parameters and optimiser state replicate, so the
+        per-epoch gradient reduction lowers to an XLA ``psum`` over ICI
+        (inserted by sharding propagation — no explicit collectives).
+    """
+    loss_fn = _make_loss_fn(
+        residual_type=residual_type, alignment=options.alignment_type,
+        smooth=smooth_trajectory, position_only=options.position_only,
+        pose_t_reg=options.pose_t_reg, pose_r_reg=options.pose_r_reg,
+        l2_reg=options.l2_regularisation, frame_size=frame_size)
+
+    params = jax.tree.map(jnp.asarray, dict(params))
+    optimiser = optax.adam(learning_rate=1.0)
+    opt_state = optimiser.init(params)
+
+    if mesh is not None:
+        from hive_tpu.parallel.mesh import replicate, shard_batch
+
+        m = len(features["weight"])
+        if m % int(mesh.devices.size) != 0:
+            raise ValueError(f"{m} correspondences do not divide over "
+                             f"{mesh.devices.size} devices; pad first.")
+
+        features = {k: shard_batch(mesh, jnp.asarray(v))
+                    for k, v in features.items()}
+        intrinsics = replicate(mesh, intrinsics)
+        params = jax.tree.map(lambda a: replicate(mesh, a), params)
+        opt_state = jax.tree.map(lambda a: replicate(mesh, jnp.asarray(a)),
+                                 opt_state)
+
+    lr = options.learning_rate
+    use_clip = options.clip_distance is not None
+    max_frame_distance = (options.clip_distance or 0.0) / max(fps, 1e-6)
+
+    early_stopping = EarlyStopping(patience=options.early_stopping_patience,
+                                   min_difference=options.min_loss_delta)
+    plateau_best = float("inf")
+    plateau_count = 0
+
+    epochs_done = 0
+
+    # Optional mid-run checkpointing (pre-emption safety for long runs).
+    manager = None
+    if options.checkpoint_dir:
+        from hive_tpu.checkpoint import CheckpointManager
+
+        manager = CheckpointManager(options.checkpoint_dir)
+        restored, meta = manager.restore()
+
+        if restored is not None:
+            template_leaves, treedef = jax.tree.flatten((params, opt_state))
+            leaves = [jnp.asarray(restored[f"#{i}"])
+                      for i in range(len(template_leaves))]
+            params, opt_state = jax.tree.unflatten(treedef, leaves)
+            epochs_done = int(meta.get("epochs_done", 0))
+            lr = float(meta.get("lr", lr))
+            logging.info(f"Resumed pose optimisation from epoch {epochs_done}.")
+
+    chunks_since_checkpoint = 0
+
+    while epochs_done < options.num_epochs:
+        chunk = min(options.epochs_per_chunk, options.num_epochs - epochs_done)
+
+        params, opt_state, losses = _run_epoch_chunk(
+            params, opt_state, features, intrinsics,
+            jnp.float32(lr), jnp.float32(max_frame_distance),
+            loss_fn=loss_fn, num_epochs=chunk,
+            position_only=options.position_only, use_clip=use_clip)
+
+        losses = np.asarray(losses)
+        epochs_done += chunk
+
+        stop = False
+        for loss in losses:
+            loss = float(loss)
+
+            # ReduceLROnPlateau (threshold-abs mode).
+            if loss < plateau_best - options.min_loss_delta:
+                plateau_best = loss
+                plateau_count = 0
+            else:
+                plateau_count += 1
+                if plateau_count > options.lr_scheduler_patience:
+                    lr *= 0.1
+                    plateau_count = 0
+                    logging.debug(f"Reducing learning rate to {lr:.2e}")
+
+            if early_stopping.step(loss):
+                stop = True
+                break
+
+        logging.debug(f"Epoch {epochs_done}: loss={float(losses[-1]):.6f} lr={lr:.2e}")
+
+        chunks_since_checkpoint += 1
+        if manager is not None \
+                and chunks_since_checkpoint >= options.checkpoint_every_chunks:
+            leaves, _ = jax.tree.flatten((params, opt_state))
+            manager.save(epochs_done,
+                         {f"#{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+                         metadata={"epochs_done": epochs_done, "lr": lr})
+            chunks_since_checkpoint = 0
+
+        if stop or not np.isfinite(losses[-1]):
+            break
+
+    params["q"] = T.quat_normalize(params["q"])
+    return params
+
+
 # ---------------------------------------------------------------------------
 # PoseOptimiser.
 # ---------------------------------------------------------------------------
@@ -878,104 +1047,33 @@ class PoseOptimiser:
                            options: OptimisationOptions,
                            residual_type: ResidualType,
                            smooth_trajectory: bool = True):
-        """The compiled Adam loop with host-side LR plateau + early stopping."""
+        """The compiled Adam loop with host-side LR plateau + early stopping.
+
+        Under a multi-device runtime (``--num_devices``), correspondences pad
+        to a multiple of the mesh size and shard over its data axis.
+        """
         if len(feature_set) == 0:
             logging.warning("No correspondences available; skipping optimisation loop.")
             return params
 
-        features = self._pack_features(feature_set)
+        from hive_tpu.parallel.runtime import runtime_mesh
+
+        mesh = runtime_mesh()
+        pad_to = None
+        if mesh is not None:
+            n = int(mesh.devices.size)
+            pad_to = -(-len(feature_set) // n) * n
+
+        features = self._pack_features(feature_set, pad_to=pad_to)
         K = feature_set.camera_matrix
         intrinsics = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], dtype=jnp.float32)
 
-        loss_fn = _make_loss_fn(
-            residual_type=residual_type, alignment=options.alignment_type,
-            smooth=smooth_trajectory, position_only=options.position_only,
-            pose_t_reg=options.pose_t_reg, pose_r_reg=options.pose_r_reg,
-            l2_reg=options.l2_regularisation,
-            frame_size=(self.dataset.frame_width, self.dataset.frame_height))
-
-        params = jax.tree.map(jnp.asarray, dict(params))
-        optimiser = optax.adam(learning_rate=1.0)
-        opt_state = optimiser.init(params)
-
-        lr = options.learning_rate
-        use_clip = options.clip_distance is not None
-        max_frame_distance = ((options.clip_distance or 0.0)
-                              / max(self.dataset.fps, 1e-6))
-
-        early_stopping = EarlyStopping(patience=options.early_stopping_patience,
-                                       min_difference=options.min_loss_delta)
-        plateau_best = float("inf")
-        plateau_count = 0
-
-        epochs_done = 0
-
-        # Optional mid-run checkpointing (pre-emption safety for long runs).
-        manager = None
-        if options.checkpoint_dir:
-            from hive_tpu.checkpoint import CheckpointManager
-
-            manager = CheckpointManager(options.checkpoint_dir)
-            restored, meta = manager.restore()
-
-            if restored is not None:
-                template_leaves, treedef = jax.tree.flatten((params, opt_state))
-                leaves = [jnp.asarray(restored[f"#{i}"])
-                          for i in range(len(template_leaves))]
-                params, opt_state = jax.tree.unflatten(treedef, leaves)
-                epochs_done = int(meta.get("epochs_done", 0))
-                lr = float(meta.get("lr", lr))
-                logging.info(f"Resumed pose optimisation from epoch {epochs_done}.")
-
-        chunks_since_checkpoint = 0
-
-        while epochs_done < options.num_epochs:
-            chunk = min(options.epochs_per_chunk, options.num_epochs - epochs_done)
-
-            params, opt_state, losses = _run_epoch_chunk(
-                params, opt_state, features, intrinsics,
-                jnp.float32(lr), jnp.float32(max_frame_distance),
-                loss_fn=loss_fn, num_epochs=chunk,
-                position_only=options.position_only, use_clip=use_clip)
-
-            losses = np.asarray(losses)
-            epochs_done += chunk
-
-            stop = False
-            for loss in losses:
-                loss = float(loss)
-
-                # ReduceLROnPlateau (threshold-abs mode).
-                if loss < plateau_best - options.min_loss_delta:
-                    plateau_best = loss
-                    plateau_count = 0
-                else:
-                    plateau_count += 1
-                    if plateau_count > options.lr_scheduler_patience:
-                        lr *= 0.1
-                        plateau_count = 0
-                        logging.debug(f"Reducing learning rate to {lr:.2e}")
-
-                if early_stopping.step(loss):
-                    stop = True
-                    break
-
-            logging.debug(f"Epoch {epochs_done}: loss={float(losses[-1]):.6f} lr={lr:.2e}")
-
-            chunks_since_checkpoint += 1
-            if manager is not None \
-                    and chunks_since_checkpoint >= options.checkpoint_every_chunks:
-                leaves, _ = jax.tree.flatten((params, opt_state))
-                manager.save(epochs_done,
-                             {f"#{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
-                             metadata={"epochs_done": epochs_done, "lr": lr})
-                chunks_since_checkpoint = 0
-
-            if stop or not np.isfinite(losses[-1]):
-                break
-
-        params["q"] = T.quat_normalize(params["q"])
-        return params
+        return optimise_packed_features(
+            features, intrinsics, params, options,
+            residual_type=residual_type,
+            frame_size=(self.dataset.frame_width, self.dataset.frame_height),
+            fps=self.dataset.fps, smooth_trajectory=smooth_trajectory,
+            mesh=mesh)
 
     # -- post-processing -------------------------------------------------------
     @staticmethod

@@ -265,3 +265,151 @@ class TestDryrunEntry:
         from __graft_entry__ import dryrun_multichip
 
         dryrun_multichip(8)
+
+
+class TestProductionShardedPose:
+    """optimise_packed_features — the production PoseOptimiser loop — with
+    mesh-sharded correspondences must match the single-device run."""
+
+    def _inputs(self):
+        from hive_tpu.pose_optimisation import OptimisationOptions
+
+        rng = np.random.default_rng(3)
+        num_frames = 6
+        m = 64
+
+        features = {
+            "idx_i": rng.integers(0, num_frames, m).astype(np.int32),
+            "points_i": rng.uniform(0, 32, (m, 2)).astype(np.float32),
+            "depth_i": rng.uniform(0.5, 3.0, m).astype(np.float32),
+            "idx_j": rng.integers(0, num_frames, m).astype(np.int32),
+            "points_j": rng.uniform(0, 32, (m, 2)).astype(np.float32),
+            "depth_j": rng.uniform(0.5, 3.0, m).astype(np.float32),
+            "weight": np.ones(m, dtype=np.float32),
+        }
+        params = {
+            "q": jnp.asarray(np.tile([0.0, 0.0, 0.0, 1.0], (num_frames, 1)),
+                             dtype=jnp.float32),
+            "t": jnp.zeros((num_frames, 3), dtype=jnp.float32),
+            "scale": jnp.zeros((0,), dtype=jnp.float32),
+            "shift": jnp.zeros((0,), dtype=jnp.float32),
+        }
+        intrinsics = jnp.asarray([50.0, 50.0, 15.5, 11.5], dtype=jnp.float32)
+        options = OptimisationOptions(num_epochs=10, epochs_per_chunk=5)
+        return features, params, intrinsics, options
+
+    def test_sharded_matches_single_device(self, mesh):
+        from hive_tpu.pose_optimisation import (ResidualType,
+                                                optimise_packed_features)
+
+        features, params, intrinsics, options = self._inputs()
+
+        kwargs = dict(residual_type=ResidualType.World3D,
+                      frame_size=(32, 24), fps=30.0)
+
+        expected = optimise_packed_features(features, intrinsics, dict(params),
+                                            options, **kwargs)
+        result = optimise_packed_features(features, intrinsics, dict(params),
+                                          options, mesh=mesh, **kwargs)
+
+        np.testing.assert_allclose(np.asarray(result["q"]),
+                                   np.asarray(expected["q"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(result["t"]),
+                                   np.asarray(expected["t"]), atol=1e-5)
+
+    def test_indivisible_correspondences_raise(self, mesh):
+        from hive_tpu.pose_optimisation import (ResidualType,
+                                                optimise_packed_features)
+
+        features, params, intrinsics, options = self._inputs()
+        features = {k: v[:-1] for k, v in features.items()}  # 63 rows
+
+        with pytest.raises(ValueError, match="divide"):
+            optimise_packed_features(features, intrinsics, params, options,
+                                     residual_type=ResidualType.World3D,
+                                     frame_size=(32, 24), fps=30.0, mesh=mesh)
+
+    def test_pose_optimiser_pads_for_mesh(self, mesh, tmp_path):
+        """PoseOptimiser._optimisation_loop under a runtime mesh pads the
+        correspondence count to a mesh multiple and still optimises."""
+        from hive_tpu.parallel import runtime
+        from hive_tpu.pose_optimisation import (FeatureData, FeatureSet,
+                                                OptimisationOptions,
+                                                PoseOptimiser, ResidualType)
+
+        rng = np.random.default_rng(5)
+        m = 13  # deliberately not a multiple of 8
+        num_frames = 4
+
+        def feature_data(idx):
+            return FeatureData(index=idx.astype(np.int64),
+                               points=rng.uniform(0, 32, (m, 2)),
+                               depth=rng.uniform(0.5, 3.0, m))
+
+        idx_i = rng.integers(0, num_frames - 1, m)
+        feature_set = FeatureSet(camera_matrix=np.array([[50.0, 0, 16.0],
+                                                         [0, 50.0, 12.0],
+                                                         [0, 0, 1.0]]),
+                                 frame_i=feature_data(idx_i),
+                                 frame_j=feature_data(idx_i + 1))
+
+        class _StubDataset:
+            frame_width = 32
+            frame_height = 24
+            fps = 30.0
+            num_frames = 4
+
+        optimiser = PoseOptimiser.__new__(PoseOptimiser)
+        optimiser.dataset = _StubDataset()
+        optimiser.optimisation_options = OptimisationOptions(num_epochs=4,
+                                                             epochs_per_chunk=2)
+
+        params = {
+            "q": jnp.asarray(np.tile([0.0, 0.0, 0.0, 1.0], (num_frames, 1)),
+                             dtype=jnp.float32),
+            "t": jnp.zeros((num_frames, 3), dtype=jnp.float32),
+            "scale": jnp.zeros((0,), dtype=jnp.float32),
+            "shift": jnp.zeros((0,), dtype=jnp.float32),
+        }
+
+        runtime.set_runtime_mesh(mesh)
+        try:
+            result = optimiser._optimisation_loop(
+                feature_set, params, optimiser.optimisation_options,
+                ResidualType.World3D)
+        finally:
+            runtime.set_runtime_mesh(None)
+
+        assert np.all(np.isfinite(np.asarray(result["q"])))
+        assert not np.allclose(np.asarray(result["t"]), 0.0)
+
+
+class TestShardedDPT:
+    def test_sharded_depth_matches_single_device(self):
+        """DPTDepthEstimator with a mesh shards the frame batch (padding to a
+        mesh multiple) and must reproduce the single-device predictions."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 (virtual) devices")
+
+        from hive_tpu.models.dpt import DPTDepthEstimator
+
+        mesh2 = get_device_mesh(2)
+
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 255, (3, 64, 96, 3)).astype(np.uint8)
+
+        single = DPTDepthEstimator(net_size=(64, 96), dtype=jnp.float32)
+        sharded = DPTDepthEstimator(net_size=(64, 96), dtype=jnp.float32,
+                                    mesh=mesh2)
+        # Same random init for both instances (no weights on disk).
+        sharded.params = jax.tree.map(
+            lambda a: jax.device_put(
+                a, jax.sharding.NamedSharding(
+                    mesh2, jax.sharding.PartitionSpec())),
+            single.params)
+
+        expected = single.predict_batch(frames)
+        result = sharded.predict_batch(frames)
+
+        assert result.shape == expected.shape == (3, 64, 96)
+        np.testing.assert_allclose(result, expected, atol=1e-4)

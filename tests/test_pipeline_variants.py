@@ -149,3 +149,99 @@ class TestEstimatedDepthConversion:
         depth = dataset.depth_dataset[0]
         assert depth.dtype == np.float32  # scaled from uint16 mm on load
         assert np.isfinite(depth).all()
+
+
+def _dealias_synthetic_scene(dataset_path):
+    """Perturb the synthetic dataset's intrinsics/poses off exact grid
+    alignment. The pristine scene (2.0 m wall, fx=100, 0.05 m voxels) lands
+    voxel-centre projections on exact half-pixel ties, where differently
+    compiled programs (shard_map vs plain jit) may legitimately round ties
+    differently; off-tie, sharded integration is bit-exact."""
+    k_path = pjoin(dataset_path, "camera_matrix.txt")
+    K = np.loadtxt(k_path)
+    K[0, 0], K[1, 1] = 101.37, 99.81
+    K[0, 2] += 0.123
+    K[1, 2] -= 0.077
+    np.savetxt(k_path, K)
+
+    t_path = pjoin(dataset_path, "camera_trajectory.txt")
+    trajectory = np.loadtxt(t_path)
+    trajectory[:, 4:] += [[0.0131, 0.0072, -0.0053]]
+    np.savetxt(t_path, trajectory)
+
+
+class TestMultiDevicePipeline:
+    def test_num_devices_pipeline_output_bit_identical(self, tmp_path):
+        """--num_devices 8 routes the TSDF stage through the block-sharded
+        integrator; since blocks are independent the exported background glb
+        must be byte-identical to the single-device run."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+
+        from hive_tpu.parallel import runtime
+
+        def run(sub_path, num_devices):
+            dataset_path = make_synthetic_hive_dataset(sub_path / "ds",
+                                                       num_frames=2)
+            _dealias_synthetic_scene(dataset_path)
+            output_path = str(sub_path / "out")
+            pipeline = Pipeline(
+                options=PipelineOptions(num_devices=num_devices,
+                                        log_file=str(sub_path / "l.log")),
+                storage_options=StorageOptions(dataset_path=dataset_path,
+                                               output_path=output_path,
+                                               overwrite_ok=True),
+                static_mesh_options=BackgroundMeshOptions(
+                    sdf_voxel_size=0.05, sdf_max_voxels=4_000_000,
+                    depth_mask_dilation_iterations=2),
+                webxr_options=WebXROptions(webxr_path=str(sub_path / "webxr")),
+            )
+            pipeline.run(dataset=HiveDataset(dataset_path))
+            return output_path
+
+        try:
+            single = run(tmp_path / "single", num_devices=1)
+            sharded = run(tmp_path / "sharded", num_devices=8)
+        finally:
+            runtime.set_runtime_mesh(None)
+
+        for name in ("bg.glb", "fg.glb"):
+            with open(pjoin(single, "mesh", name), "rb") as f:
+                single_bytes = f.read()
+            with open(pjoin(sharded, "mesh", name), "rb") as f:
+                sharded_bytes = f.read()
+
+            assert single_bytes == sharded_bytes, f"{name} differs"
+
+    def test_tsdf_fusion_uses_sharded_integrator(self, tmp_path):
+        """With a runtime mesh, fusion.tsdf_fusion shards the volume (the
+        sparse state ends up block-cyclic over 8 devices)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+
+        from hive_tpu.fusion import tsdf_fusion
+        from hive_tpu.parallel import runtime
+        from hive_tpu.parallel.mesh import get_device_mesh
+
+        dataset_path = make_synthetic_hive_dataset(tmp_path / "ds", num_frames=2)
+        _dealias_synthetic_scene(dataset_path)
+        dataset = HiveDataset(dataset_path)
+        options = BackgroundMeshOptions(sdf_voxel_size=0.05,
+                                        sdf_max_voxels=4_000_000,
+                                        depth_mask_dilation_iterations=2)
+
+        expected = tsdf_fusion(dataset, options, num_frames=2)
+
+        runtime.set_runtime_mesh(get_device_mesh(8))
+        try:
+            result = tsdf_fusion(dataset, options, num_frames=2)
+        finally:
+            runtime.set_runtime_mesh(None)
+
+        np.testing.assert_array_equal(result.vertices, expected.vertices)
+        np.testing.assert_array_equal(result.faces, expected.faces)
+        np.testing.assert_array_equal(result.vertex_colors, expected.vertex_colors)

@@ -284,3 +284,41 @@ class TestPoseRecovery:
         max_allowed = 1.0 / dataset.fps
 
         assert (step_sizes <= max_allowed * 1.5).all()
+
+
+class TestMatchVisualisation:
+    def test_match_pair_writes_accepted_and_rejected_jpegs(self, tmp_path):
+        """With save_match_visualisations on, _match_pair writes the
+        accepted/rejected debug images (ref pose_optimisation.py:580-628)."""
+        from types import SimpleNamespace
+
+        from hive_tpu.pose_optimisation import (FeatureExtractionOptions,
+                                                FeatureExtractor)
+        from tests.test_sfm import K, make_sequence
+
+        images, depths, _ = make_sequence(num_frames=2, seed=3)
+
+        dataset = SimpleNamespace(camera_matrix=K, num_frames=2)
+        extractor = FeatureExtractor.__new__(FeatureExtractor)
+        extractor.dataset = dataset
+        extractor.frame_pairs = [(0, 1)]
+        extractor.options = FeatureExtractionOptions(
+            save_match_visualisations=True)
+        extractor.debug_path = str(tmp_path)
+        extractor.frames = list(images)
+        extractor.depth_maps = list(depths)
+        extractor.masks = None
+
+        import cv2 as _cv2
+
+        extractor.sift = _cv2.SIFT_create()
+        extractor.matcher = _cv2.FlannBasedMatcher(dict(algorithm=1, trees=5),
+                                                   dict(checks=50))
+
+        result = extractor._match_pair((0, 1))
+        assert result is not None and len(result) >= 20
+
+        accepted = tmp_path / "matches" / "000000-000001-accepted.jpg"
+        rejected = tmp_path / "matches" / "000000-000001-rejected.jpg"
+        assert accepted.is_file() and accepted.stat().st_size > 0
+        assert rejected.is_file() and rejected.stat().st_size > 0

@@ -515,3 +515,69 @@ class TestLPIPSConversion:
         assert np.isfinite(value) and value > 0
 
         monkeypatch.setattr(metrics, "_lpips_model", None)
+
+
+# ---------------------------------------------------------------------------
+# Converter armour: unconsumed / renamed checkpoint tensors fail loudly.
+# ---------------------------------------------------------------------------
+
+class TestConverterCoverage:
+    def test_dpt_extra_tensor_fails_loudly(self, tmp_path):
+        import torch
+
+        from hive_tpu.models.dpt import convert_torch_checkpoint
+
+        state = make_fake_dpt_state_dict()
+        state["pretrained.model.blocks.0.attn.new_gate.weight"] = \
+            torch.zeros(768)
+        path = str(tmp_path / "ckpt.pt")
+        torch.save(state, path)
+
+        with pytest.raises(ValueError, match="new_gate"):
+            convert_torch_checkpoint(path, str(tmp_path / "out.npz"))
+
+    def test_dpt_renamed_tensor_fails_with_hint(self, tmp_path):
+        import torch
+
+        from hive_tpu.models.dpt import convert_torch_checkpoint
+
+        state = make_fake_dpt_state_dict()
+        state["scratch.output_conv2.0.weight"] = \
+            state.pop("scratch.output_conv.0.weight")
+
+        path = str(tmp_path / "ckpt.pt")
+        torch.save(state, path)
+
+        with pytest.raises(KeyError, match="[Cc]lose matches"):
+            convert_torch_checkpoint(path, str(tmp_path / "out.npz"))
+
+    def test_lama_extra_tensor_fails_loudly(self, tmp_path):
+        import torch
+
+        from hive_tpu.models.lama import convert_torch_checkpoint
+
+        state = make_fake_biglama_state_dict()
+        state["state_dict"]["generator.model.1.ffc.mystery.weight"] = \
+            torch.zeros(4)
+        path = str(tmp_path / "lama.ckpt")
+        torch.save(state, path)
+
+        with pytest.raises(ValueError, match="mystery"):
+            convert_torch_checkpoint(path, str(tmp_path / "out.npz"),
+                                     base_features=8, num_downsamples=2,
+                                     num_blocks=2)
+
+    def test_lama_bn_counters_are_tolerated(self, tmp_path):
+        import torch
+
+        from hive_tpu.models.lama import convert_torch_checkpoint
+
+        state = make_fake_biglama_state_dict()
+        state["state_dict"]["generator.model.1.bn_l.num_batches_tracked"] = \
+            torch.tensor(100)
+        path = str(tmp_path / "lama.ckpt")
+        torch.save(state, path)
+
+        convert_torch_checkpoint(path, str(tmp_path / "out.npz"),
+                                 base_features=8, num_downsamples=2,
+                                 num_blocks=2)
