@@ -1,49 +1,56 @@
 #!/usr/bin/env python
-"""Benchmark: TSDF fusion throughput (voxel updates/second) on real hardware.
+"""Benchmark: the three north-star metrics on real hardware (BASELINE.md).
 
-This is the framework's headline kernel (BASELINE.md "TSDF voxels/s"
-north-star): the reference integrates VGA RGB-D frames into a voxel volume
-with a PyCUDA kernel on an RTX 3060 (reference third_party tsdf-fusion-python,
-driven by hive/fusion.py:102-127). Here the same workload — VGA frames into a
-~17M-voxel volume — runs through the sparse banded integrator
-(hive_tpu.ops.tsdf_sparse) in its production configuration: f32 voxel
-storage at this volume size (the pipeline switches to bf16 above ~100M
-voxels), rgb565d16 packed sampling, (8,8,8) blocks.
+1. **TSDF fusion throughput** (voxel updates/second) — the headline kernel.
+   The reference integrates VGA RGB-D frames into a voxel volume with a
+   PyCUDA kernel on an RTX 3060 (reference third_party tsdf-fusion-python,
+   driven by hive/fusion.py:102-127). Here the same workload — VGA frames
+   into a ~17M-voxel volume — runs through the sparse banded integrator
+   (hive_tpu.ops.tsdf_sparse) in its production configuration: f32 voxel
+   storage at this volume size (the pipeline switches to bf16 above ~100M
+   voxels), rgb565d16 packed sampling, (8,8,8) blocks.
+2. **Depth-net ms/frame** — batched DPT-Hybrid (Flax, bf16, batch 8,
+   640x480), the TPU replacement for the reference's per-frame fp16 CUDA
+   loop (ref dataset_adaptors.py:1346-1435).
+3. **End-to-end s/frame** — the full pipeline (background TSDF + per-frame
+   foreground meshing + export) over a synthetic 30-frame VGA RGB-D
+   sequence with ground-truth poses, the shape of the canonical TUM
+   fr3/walking_xyz quickstart (ref README.md:119-121). Captured from the
+   pipeline's own profiling.json (elapsed_time.per_frame).
 
-All benchmark inputs are synthesised on device (the hardware may sit behind a
-remote tunnel where host->device uploads would dominate and corrupt the
-measurement); timing is forced with scalar materialisation because
+All device benchmark inputs are synthesised on device (the hardware may sit
+behind a remote tunnel where host->device uploads would dominate and corrupt
+the measurement); timing is forced with scalar materialisation because
 block_until_ready can return early through such tunnels.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "breakdown": {...}}
 
-`vs_baseline` is the ratio against 1.0e9 voxel updates/s — the throughput
-class of the reference's CUDA kernel on an RTX 3060 (estimated: the reference
-publishes no numbers, BASELINE.json "published": {}).
+The primary metric/vs_baseline remain the TSDF throughput ratio against
+1.0e9 voxel updates/s — the throughput class of the reference's CUDA kernel
+on an RTX 3060 (estimated: the reference publishes no numbers,
+BASELINE.json "published": {}). The breakdown carries the other two
+north-star numbers (with their own baseline estimates inline).
+
+Set HIVE_BENCH_E2E=0 to skip the end-to-end stage (it needs several minutes
+of host-side meshing on a small VM).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-# Estimated reference throughput (PyCUDA TSDF kernel, RTX 3060), voxels/s.
+# Estimated reference numbers (RTX 3060 class; the reference publishes none).
 BASELINE_VOXELS_PER_SECOND = 1.0e9
+BASELINE_DEPTH_MS_PER_FRAME = 20.0   # DPT-Hybrid fp16, per-frame loop
+BASELINE_E2E_S_PER_FRAME = 10.0      # GT-data config, VGA, bg + fg meshing
 
 
-def main():
-    import jax
-
-    # If the environment requests a backend that failed to register (e.g. a
-    # tunnelled accelerator plugin in a stripped env), fall back to auto.
-    try:
-        jax.devices()
-    except RuntimeError:
-        jax.config.update("jax_platforms", "")
-
-    import jax.numpy as jnp
-
+def bench_tsdf(jax, jnp):
+    """Sparse TSDF integrate throughput (voxel updates/s), median of 5."""
     from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
 
     # Workload shape: VGA frames (the pipeline's default processing
@@ -51,9 +58,10 @@ def main():
     height, width = 480, 640
     num_frames = 16
 
-    K = np.array([[580.0, 0, 319.5], [0, 580.0, 239.5], [0, 0, 1.0]], dtype=np.float32)
+    K = np.array([[580.0, 0, 319.5], [0, 580.0, 239.5], [0, 0, 1.0]],
+                 dtype=np.float32)
 
-    # Device-side synthetic scene: a wavy wall 1.5-3.5 m away, textured colour.
+    # Device-side synthetic scene: a wavy wall 1.5-3.5 m away, textured.
     @jax.jit
     def make_frames():
         f = jax.lax.broadcasted_iota(jnp.float32, (num_frames, height, width), 0)
@@ -72,9 +80,6 @@ def main():
     poses[:, 0, 3] = np.linspace(0.0, 0.5, num_frames) + 0.0123
 
     bounds = np.array([[-2.0, 2.0], [-2.0, 2.0], [0.0, 4.0]], dtype=np.float32)
-    # Production configuration: banded/sparse integration — the serialized
-    # per-voxel gather only runs on surface-band blocks
-    # (see hive_tpu/ops/tsdf_sparse.py).
     volume = SparseTSDFVolume(bounds, voxel_size=4.0 / 256)
     num_voxels = volume.num_voxels
 
@@ -96,13 +101,129 @@ def main():
         samples.append(time.perf_counter() - start)
 
     elapsed = sorted(samples)[len(samples) // 2]
-    voxel_updates_per_second = (num_voxels * num_frames) / elapsed
+    return (num_voxels * num_frames) / elapsed
+
+
+def bench_depth(jax, jnp):
+    """Batched DPT-Hybrid depth inference, ms/frame (batch 8, VGA bf16)."""
+    from hive_tpu.models.dpt import DPTDepthEstimator
+
+    batch, height, width = 8, 480, 640
+    estimator = DPTDepthEstimator(net_size=(height, width))
+
+    # Device-synthesised frames (uint8 RGB) — no host uploads in the loop.
+    @jax.jit
+    def make_frames():
+        b = jax.lax.broadcasted_iota(jnp.float32, (batch, height, width, 3), 0)
+        v = jax.lax.broadcasted_iota(jnp.float32, (batch, height, width, 3), 1)
+        u = jax.lax.broadcasted_iota(jnp.float32, (batch, height, width, 3), 2)
+        return ((u * 0.3 + v * 0.5 + 40.0 * b) % 255.0).astype(jnp.uint8)
+
+    frames = make_frames()
+    jax.block_until_ready(frames)
+
+    def run():
+        depth = estimator._forward(estimator.params, frames)
+        return float(jnp.sum(depth.astype(jnp.float32)))
+
+    run()  # compile
+
+    samples = []
+    for _ in range(5):
+        start = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - start)
+
+    elapsed = sorted(samples)[len(samples) // 2]
+    return 1000.0 * elapsed / batch
+
+
+def bench_e2e():
+    """Full pipeline s/frame over a synthetic 30-frame VGA GT sequence."""
+    import shutil
+    import tempfile
+
+    from tests.helpers import make_synthetic_hive_dataset
+
+    from hive_tpu.io import HiveDataset
+    from hive_tpu.options import (BackgroundMeshOptions, PipelineOptions,
+                                  StorageOptions, WebXROptions)
+    from hive_tpu.pipeline import Pipeline
+
+    root = tempfile.mkdtemp(prefix="hive_bench_e2e_")
+    try:
+        num_frames = 30
+        dataset_path = make_synthetic_hive_dataset(
+            os.path.join(root, "ds"), num_frames=num_frames,
+            width=640, height=480)
+
+        pipeline = Pipeline(
+            options=PipelineOptions(num_frames=num_frames,
+                                    log_file=os.path.join(root, "logs.log")),
+            storage_options=StorageOptions(dataset_path=dataset_path,
+                                           output_path=dataset_path,
+                                           overwrite_ok=True),
+            static_mesh_options=BackgroundMeshOptions(),
+            webxr_options=WebXROptions(
+                webxr_path=os.path.join(root, "webxr")),
+        )
+        pipeline.run(dataset=HiveDataset(dataset_path), compress=False)
+
+        elapsed = pipeline.profiling["elapsed_time"]["per_frame"]
+        timing = pipeline.profiling.get("timing", {})
+        stage_totals = {
+            name: round(node["total"], 2) if isinstance(node, dict)
+            and "total" in node else None
+            for name, node in timing.items()
+            if isinstance(node, dict)
+        }
+        return float(elapsed), stage_totals
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    import jax
+
+    # If the environment requests a backend that failed to register (e.g. a
+    # tunnelled accelerator plugin in a stripped env), fall back to auto.
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+
+    import jax.numpy as jnp
+
+    breakdown = {}
+
+    voxel_updates_per_second = bench_tsdf(jax, jnp)
+    breakdown["tsdf_voxel_updates_per_second"] = round(voxel_updates_per_second)
+
+    try:
+        depth_ms = bench_depth(jax, jnp)
+        breakdown["depth_ms_per_frame"] = round(depth_ms, 2)
+        breakdown["depth_vs_baseline"] = round(
+            BASELINE_DEPTH_MS_PER_FRAME / depth_ms, 3)
+    except Exception as exc:  # noqa: BLE001 — report partial results
+        breakdown["depth_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    if os.environ.get("HIVE_BENCH_E2E", "1") != "0":
+        try:
+            e2e_s, stage_totals = bench_e2e()
+            breakdown["e2e_s_per_frame"] = round(e2e_s, 2)
+            breakdown["e2e_vs_baseline"] = round(
+                BASELINE_E2E_S_PER_FRAME / e2e_s, 3)
+            breakdown["e2e_stage_totals_s"] = stage_totals
+        except Exception as exc:  # noqa: BLE001
+            breakdown["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     print(json.dumps({
         "metric": "tsdf_voxel_updates_per_second",
         "value": round(voxel_updates_per_second),
         "unit": "voxels/s",
-        "vs_baseline": round(voxel_updates_per_second / BASELINE_VOXELS_PER_SECOND, 3),
+        "vs_baseline": round(
+            voxel_updates_per_second / BASELINE_VOXELS_PER_SECOND, 3),
+        "breakdown": breakdown,
     }))
 
 

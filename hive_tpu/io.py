@@ -1006,3 +1006,31 @@ def temporary_trajectory(dataset: HiveDataset, trajectory: Trajectory):
         yield
     finally:
         dataset.camera_trajectory = backup
+
+
+@contextlib.contextmanager
+def temporary_camera_matrix(dataset: HiveDataset, camera_matrix: np.ndarray):
+    """Temporarily swap a dataset's camera matrix (ref experiments.py:190-205)."""
+    backup = dataset.camera_matrix.copy()
+
+    try:
+        dataset.camera_matrix = camera_matrix
+        yield
+    finally:
+        dataset.camera_matrix = backup
+
+
+@contextlib.contextmanager
+def disable_inpainted_data(dataset: HiveDataset):
+    """Temporarily hide a dataset's inpainted RGB/depth so consumers fall back
+    to the raw frames (ref experiments.py:208-226)."""
+    rgb_backup = dataset.inpainted_rgb_dataset
+    depth_backup = dataset.inpainted_depth_dataset
+
+    try:
+        dataset.inpainted_rgb_dataset = None
+        dataset.inpainted_depth_dataset = None
+        yield
+    finally:
+        dataset.inpainted_rgb_dataset = rgb_backup
+        dataset.inpainted_depth_dataset = depth_backup

@@ -96,9 +96,14 @@ def tqdm_imap(func, args: Sequence, num_workers: Optional[int] = None,
     Frames in this framework are embarrassingly parallel on the host side, so a
     thread pool (NumPy/cv2 release the GIL) is the right tool; device work is
     batched separately.
+
+    Pool width: explicit ``num_workers`` > the ``HIVE_NUM_WORKERS`` env var >
+    ``os.cpu_count()``. The env var pins a width for benchmarking or for
+    overlapping host meshing with device work on many-core machines.
     """
     args = list(args)
-    workers = num_workers or os.cpu_count() or 1
+    workers = (num_workers or int(os.environ.get("HIVE_NUM_WORKERS", 0) or 0)
+               or os.cpu_count() or 1)
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
         it = pool.map(func, args)

@@ -51,6 +51,28 @@ from hive_tpu.options import (BackgroundMeshOptions, COLMAPOptions, InpaintingMo
 from hive_tpu.utils import setup_logger
 
 
+class MeanSummary:
+    """Streaming mean accumulator (ref experiments.py:1451-1462)."""
+
+    def __init__(self):
+        self._sum = 0.0
+        self._count = 0
+
+    def update(self, value) -> None:
+        if value is None or not np.isfinite(value):
+            return
+        self._sum += float(value)
+        self._count += 1
+
+    @property
+    def count(self) -> int:
+        return self._count
+
+    @property
+    def mean(self) -> float:
+        return self._sum / self._count if self._count else float("nan")
+
+
 class Latex:
     """Small LaTeX formatting helpers (ref experiments.py:227-296)."""
 
@@ -118,6 +140,43 @@ def run_trajectory_comparisons(dataset: HiveDataset, estimated: Trajectory,
     return results
 
 
+def tsdf_fusion_with_colmap(dataset: HiveDataset, frame_set: List[int],
+                            mesh_options: BackgroundMeshOptions):
+    """Reconstruct the background from COLMAP's (metric-scaled) dense depth
+    maps instead of the dataset's own depth (ref experiments.py:106-160).
+
+    Our adaptors save the dense COLMAP depth as u16-mm PNGs under
+    ``<dataset>/colmap_depth`` during pose estimation
+    (hive_tpu/dataset_adaptors.py) — the same codec as ``depth/`` — so
+    reconstruction is a temporary depth-source swap rather than the
+    reference's on-disk temp-dataset copy.
+
+    :return: The reconstructed mesh, or ``None`` when no COLMAP depth exists.
+    """
+    from hive_tpu.io import ImageFolderDataset, disable_inpainted_data
+
+    colmap_depth_path = pjoin(str(dataset.base_path), "colmap_depth")
+
+    if not os.path.isdir(colmap_depth_path):
+        return None
+
+    colmap_depth = ImageFolderDataset(
+        colmap_depth_path, transform=dataset._get_depth_map_transform())
+
+    # COLMAP may drop trailing frames it failed to register.
+    frame_set = [i for i in frame_set if i < len(colmap_depth)]
+    if not frame_set:
+        return None
+
+    depth_backup = dataset.depth_dataset
+    try:
+        dataset.depth_dataset = colmap_depth
+        with disable_inpainted_data(dataset):
+            return tsdf_fusion(dataset, mesh_options, frame_set=frame_set)
+    finally:
+        dataset.depth_dataset = depth_backup
+
+
 class InpaintingExperiment:
     """Mask a crop region, inpaint RGB + depth, score against the original
     (ref experiments.py:297-420)."""
@@ -170,6 +229,15 @@ class InpaintingExperiment:
             json.dump({"per_frame": results, "mean": summary}, fh)
 
         return summary
+
+
+class MeshCompressionExperimentConfig:
+    """Folder/name layout of the compression matrix (ref experiments.py:288)."""
+
+    uncompressed_mesh_folder = "mesh_uncompressed"
+    compressed_mesh_folder = "mesh_compressed"
+    fg_mesh_name = "fg"
+    bg_mesh_name = "bg"
 
 
 class Experiments:
@@ -355,6 +423,149 @@ class Experiments:
 
         return table
 
+    # -- mesh-compression matrix ------------------------------------------------
+    def run_mesh_compression_experiments(self, configs: Optional[List[str]] = None,
+                                         frame_index: int = 0,
+                                         mesh_options: Optional[BackgroundMeshOptions] = None) -> dict:
+        """The compression-option matrix (ref MeshCompressionExperimentConfig
+        :288 + run_compression_experiments :2555-2741): per dataset x config,
+        export the first foreground frame's mesh and the background mesh both
+        uncompressed and Draco-compressed, record sizes/ratios, and render a
+        side-by-side comparison with the rasterizer (the reference used an
+        offscreen trimesh viewer under Xvfb), scoring the compressed render
+        against the uncompressed one with SSIM/PSNR.
+
+        Requires converted gt/cm/est datasets (run pipeline experiments
+        first). Draco steps degrade to uncompressed-only when
+        ``draco_transcoder`` is not on PATH.
+        """
+        import shutil as _shutil
+
+        import imageio.v3 as iio
+
+        from hive_tpu.geometric import get_pose_components
+        from hive_tpu.meshing.gltf import export_scene, load_glb
+        from hive_tpu.meshing.mesh import Scene
+        from hive_tpu.meshing.render import render_mesh
+        from hive_tpu.pipeline import Pipeline
+
+        config_cls = MeshCompressionExperimentConfig
+        configs = configs or list(self.CONFIGS)
+        have_draco = _shutil.which("draco_transcoder") is not None
+        if not have_draco:
+            logging.warning("draco_transcoder not on PATH; recording "
+                            "uncompressed sizes only.")
+
+        results: Dict[str, dict] = {}
+        summaries = {"compression_ratio": MeanSummary(),
+                     "render_ssim": MeanSummary(), "render_psnr": MeanSummary()}
+
+        for dataset_name in self.dataset_names:
+            for config in configs:
+                converted = pjoin(self._run_output_path(dataset_name, config),
+                                  "dataset")
+                if not HiveDataset.is_valid_folder_structure(converted):
+                    continue
+
+                label = f"{dataset_name}/{config}"
+                logging.info(f"Compression experiment for {label}...")
+                dataset = HiveDataset(converted)
+
+                run_output = pjoin(self.output_path, dataset_name,
+                                   "compression", config)
+                uncompressed_dir = pjoin(run_output,
+                                         config_cls.uncompressed_mesh_folder)
+                compressed_dir = pjoin(run_output,
+                                       config_cls.compressed_mesh_folder)
+                os.makedirs(uncompressed_dir, exist_ok=True)
+                os.makedirs(compressed_dir, exist_ok=True)
+
+                pipeline = Pipeline(
+                    options=PipelineOptions(num_frames=self.num_frames,
+                                            log_file=pjoin(run_output, "logs.log")),
+                    storage_options=StorageOptions(dataset_path=converted,
+                                                   output_path=run_output,
+                                                   overwrite_ok=True),
+                    webxr_options=WebXROptions(
+                        webxr_path=pjoin(run_output, "webxr")),
+                )
+
+                fg_mesh = pipeline.process_frame(dataset, index=frame_index)
+                bg_mesh = Pipeline.create_static_mesh(
+                    dataset, num_frames=self.num_frames,
+                    options=mesh_options or BackgroundMeshOptions())
+
+                entry = {}
+                for name, mesh in ((config_cls.fg_mesh_name, fg_mesh),
+                                   (config_cls.bg_mesh_name, bg_mesh)):
+                    if mesh.is_empty:
+                        continue
+
+                    scene = Scene()
+                    scene.add_geometry(mesh, node_name="000000")
+
+                    raw_path = pjoin(uncompressed_dir, f"{name}.glb")
+                    export_scene(scene, raw_path)
+                    stats = {"uncompressed_file_size": os.path.getsize(raw_path)}
+
+                    if have_draco:
+                        import subprocess
+
+                        drc_path = pjoin(compressed_dir, f"{name}.glb")
+                        rc = subprocess.run(
+                            ["draco_transcoder", "-i", raw_path, "-o", drc_path],
+                            capture_output=True).returncode
+                        if rc == 0 and os.path.isfile(drc_path):
+                            stats["compressed_file_size"] = os.path.getsize(drc_path)
+                            stats["compression_ratio"] = (
+                                stats["uncompressed_file_size"]
+                                / max(stats["compressed_file_size"], 1))
+                            stats["data_saving"] = 1 - (
+                                stats["compressed_file_size"]
+                                / stats["uncompressed_file_size"])
+                            summaries["compression_ratio"].update(
+                                stats["compression_ratio"])
+
+                    entry[name] = stats
+
+                # Render the two background variants from the first camera and
+                # score the compression loss.
+                if have_draco and "bg" in entry \
+                        and "compressed_file_size" in entry["bg"]:
+                    pose = dataset.camera_trajectory.to_homogenous_transforms()[0]
+                    R, t = pose[:3, :3], pose[:3, 3:]
+
+                    renders = []
+                    for folder in (uncompressed_dir, compressed_dir):
+                        loaded = load_glb(pjoin(folder, "bg.glb"))
+                        bg = next(iter(loaded.geometry.values()))
+                        image, _ = render_mesh(bg, dataset.camera_matrix, R, t,
+                                               dataset.frame_width,
+                                               dataset.frame_height)
+                        iio.imwrite(pjoin(run_output,
+                                          f"{os.path.basename(folder)}.png"),
+                                    image)
+                        renders.append(image)
+
+                    entry["render_comparison"] = {
+                        "ssim": float(ssim(renders[0], renders[1])),
+                        "psnr": float(psnr(renders[0], renders[1])),
+                    }
+                    summaries["render_ssim"].update(entry["render_comparison"]["ssim"])
+                    summaries["render_psnr"].update(entry["render_comparison"]["psnr"])
+
+                results[label] = entry
+
+        results["mean"] = {key: summary.mean
+                           for key, summary in summaries.items()
+                           if summary.count}
+
+        with open(pjoin(self.output_path, "mesh_compression_results.json"),
+                  "w") as fh:
+            json.dump(results, fh)
+
+        return results
+
     # -- inpainting experiments -----------------------------------------------
     def run_inpainting_experiments(self) -> dict:
         results = {}
@@ -423,8 +634,67 @@ class Experiments:
         return results
 
     # -- LLFF render-vs-photo experiments ---------------------------------------
-    def run_llff_experiments(self, llff_path: str, dataset_name: str = "llff",
-                         sdf_max_voxels: int = 80_000_000) -> dict:
+    def run_llff_experiments(self, llff_path: str,
+                             sequence_names: Optional[List[str]] = None,
+                             dataset_name: str = "llff",
+                             sdf_max_voxels: int = 80_000_000) -> dict:
+        """LLFF render-vs-photo evaluation (ref LLFFExperiment:585).
+
+        With ``sequence_names``, ``llff_path`` is a root folder of captures
+        (the reference's multi-sequence config, ref :2931-2952): each
+        sequence is reconstructed and scored separately under
+        ``llff/<sequence>/``, with a cross-sequence MeanSummary rollup and a
+        LaTeX table. Without, ``llff_path`` is a single capture (results
+        under ``dataset_name``, the previous behaviour).
+        """
+        if sequence_names is None:
+            return self._run_llff_sequence(llff_path, dataset_name,
+                                           sdf_max_voxels)
+
+        per_sequence: Dict[str, dict] = {}
+        summaries: Dict[str, MeanSummary] = {}
+        rows = []
+
+        for sequence in sequence_names:
+            results_root = pjoin(self.output_path, "llff", sequence)
+            cached = pjoin(results_root, "llff_metrics.json")
+
+            if os.path.isfile(cached) and not self.overwrite_ok:
+                logging.info(f"Cached LLFF results for {sequence}; skipping.")
+                with open(cached) as fh:
+                    results = json.load(fh)
+            else:
+                results = self._run_llff_sequence(
+                    pjoin(llff_path, sequence), pjoin("llff", sequence),
+                    sdf_max_voxels)
+
+            per_sequence[sequence] = results
+            mean = results.get("mean", results)
+            row = [sequence]
+            for metric in ("ssim", "psnr", "lpips", "mifd"):
+                value = mean.get(metric)
+                summaries.setdefault(metric, MeanSummary()).update(value)
+                row.append(Latex.format_number(value, 3))
+            rows.append(row)
+
+        rollup = {metric: summary.mean for metric, summary in summaries.items()
+                  if summary.count}
+        rows.append(["mean"] + [Latex.format_number(rollup.get(m), 3)
+                                for m in ("ssim", "psnr", "lpips", "mifd")])
+
+        table = Latex.table(["Sequence", "SSIM", "PSNR", "LPIPS", "MIFD"],
+                            rows, caption="LLFF render-vs-photo")
+        with open(pjoin(self.output_path, "llff_results.tex"), "w") as fh:
+            fh.write(table)
+
+        combined = {"per_sequence": per_sequence, "mean": rollup}
+        with open(pjoin(self.output_path, "llff_results.json"), "w") as fh:
+            json.dump(combined, fh)
+
+        return combined
+
+    def _run_llff_sequence(self, llff_path: str, dataset_name: str,
+                           sdf_max_voxels: int = 80_000_000) -> dict:
         """Reconstruct an LLFF capture from its training views and score
         renders of the held-out views (ref LLFFExperiment:585; rendering via
         the TPU rasterizer instead of pyrender)."""
@@ -483,8 +753,67 @@ class Experiments:
         return results
 
     def run_hypernerf_experiments(self, hypernerf_path: str,
+                                  scene_names: Optional[List[str]] = None,
                                   dataset_name: str = "hypernerf",
                                   sdf_max_voxels: int = 80_000_000) -> dict:
+        """HyperNeRF render-vs-photo evaluation (ref HyperNeRFExperiments:1465).
+
+        With ``scene_names``, ``hypernerf_path`` is a root of captures (the
+        reference's per-scene config list, ref :1053-1073 — each scene's
+        scale/near/far comes from its own ``scene.json``, which
+        HyperNeRFDataset reads): each scene is evaluated separately with a
+        cross-scene MeanSummary rollup and LaTeX table. Without, a single
+        capture is evaluated (previous behaviour).
+        """
+        if scene_names is None:
+            return self._run_hypernerf_scene(hypernerf_path, dataset_name,
+                                             sdf_max_voxels)
+
+        per_scene: Dict[str, dict] = {}
+        summaries: Dict[str, MeanSummary] = {}
+        rows = []
+
+        for scene in scene_names:
+            results_root = pjoin(self.output_path, "hypernerf", scene)
+            cached = pjoin(results_root, "hypernerf_metrics.json")
+
+            if os.path.isfile(cached) and not self.overwrite_ok:
+                logging.info(f"Cached HyperNeRF results for {scene}; skipping.")
+                with open(cached) as fh:
+                    results = json.load(fh)
+            else:
+                results = self._run_hypernerf_scene(
+                    pjoin(hypernerf_path, scene), pjoin("hypernerf", scene),
+                    sdf_max_voxels)
+
+            per_scene[scene] = results
+            mean = results.get("mean", {})
+            row = [scene]
+            for metric in ("ssim", "psnr", "lpips", "mifd"):
+                value = mean.get(metric)
+                summaries.setdefault(metric, MeanSummary()).update(value)
+                row.append(Latex.format_number(value, 3))
+            rows.append(row)
+
+        rollup = {metric: summary.mean for metric, summary in summaries.items()
+                  if summary.count}
+        rows.append(["mean"] + [Latex.format_number(rollup.get(m), 3)
+                                for m in ("ssim", "psnr", "lpips", "mifd")])
+
+        table = Latex.table(["Scene", "SSIM", "PSNR", "LPIPS", "MIFD"],
+                            rows, caption="HyperNeRF render-vs-photo")
+        with open(pjoin(self.output_path, "hypernerf_results.tex"), "w") as fh:
+            fh.write(table)
+
+        combined = {"per_scene": per_scene, "mean": rollup}
+        with open(pjoin(self.output_path, "hypernerf_results.json"), "w") as fh:
+            json.dump(combined, fh)
+
+        return combined
+
+    def _run_hypernerf_scene(self, hypernerf_path: str,
+                             dataset_name: str = "hypernerf",
+                             sdf_max_voxels: int = 80_000_000) -> dict:
         """Reconstruct a HyperNeRF capture from its train split and score
         renders of the held-out validation views (ref HyperNeRFAdaptor
         scripts/experiments.py:1074 + HyperNeRFExperiments:1465; rendering
@@ -607,8 +936,17 @@ def main():
     parser.add_argument("--experiments", type=str, nargs="+",
                         default=["pipeline", "export"],
                         choices=["pipeline", "export", "trajectory", "compression",
-                                 "inpainting"],
+                                 "mesh_compression", "inpainting", "llff",
+                                 "hypernerf"],
                         help="Which experiment groups to run.")
+    parser.add_argument("--llff_path", type=str, default=None,
+                        help="Root folder of LLFF captures (for the llff group).")
+    parser.add_argument("--llff_sequences", type=str, nargs="+", default=None,
+                        help="LLFF sequence names under --llff_path.")
+    parser.add_argument("--hypernerf_path", type=str, default=None,
+                        help="Root folder of HyperNeRF captures.")
+    parser.add_argument("--hypernerf_scenes", type=str, nargs="+", default=None,
+                        help="HyperNeRF scene names under --hypernerf_path.")
     parser.add_argument("--overwrite_ok", action="store_true")
     args = parser.parse_args()
 
@@ -632,8 +970,19 @@ def main():
     if "compression" in args.experiments:
         print(experiments.run_compression_experiments())
 
+    if "mesh_compression" in args.experiments:
+        experiments.run_mesh_compression_experiments()
+
     if "inpainting" in args.experiments:
         experiments.run_inpainting_experiments()
+
+    if "llff" in args.experiments and args.llff_path:
+        experiments.run_llff_experiments(args.llff_path,
+                                         sequence_names=args.llff_sequences)
+
+    if "hypernerf" in args.experiments and args.hypernerf_path:
+        experiments.run_hypernerf_experiments(
+            args.hypernerf_path, scene_names=args.hypernerf_scenes)
 
 
 if __name__ == "__main__":

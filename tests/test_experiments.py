@@ -94,3 +94,138 @@ class TestRenderExperimentDrivers:
         assert os.path.isfile(out / "hypernerf_metrics.json")
         # One render per validation view.
         assert len(os.listdir(out / "renders")) == 1
+
+
+class TestMeanSummary:
+    def test_streaming_mean(self):
+        from scripts.experiments import MeanSummary
+
+        summary = MeanSummary()
+        assert np.isnan(summary.mean)
+
+        for value in (1.0, 2.0, None, float("nan"), 3.0):
+            summary.update(value)
+
+        assert summary.count == 3
+        assert summary.mean == pytest.approx(2.0)
+
+
+class TestTSDFFusionWithColmap:
+    def test_reconstructs_from_colmap_depth(self, tmp_path):
+        from scripts.experiments import tsdf_fusion_with_colmap
+
+        from hive_tpu.io import HiveDataset
+        from hive_tpu.options import BackgroundMeshOptions
+        from tests.helpers import make_synthetic_hive_dataset
+
+        dataset_path = make_synthetic_hive_dataset(tmp_path / "ds", num_frames=3,
+                                                   with_object=False)
+
+        # COLMAP depth: same codec (u16 mm PNGs), wall moved to 1.8 m so the
+        # reconstruction provably uses this source.
+        colmap_dir = tmp_path / "ds" / "colmap_depth"
+        os.makedirs(colmap_dir)
+        for i in range(2):  # deliberately one frame short (COLMAP drop-out)
+            depth_mm = np.full((96, 128), 1800, dtype=np.uint16)
+            cv2.imwrite(pjoin(str(colmap_dir), f"{i:06d}.png"), depth_mm)
+
+        dataset = HiveDataset(dataset_path)
+        options = BackgroundMeshOptions(sdf_voxel_size=0.04,
+                                        sdf_max_voxels=2_000_000)
+
+        mesh = tsdf_fusion_with_colmap(dataset, frame_set=[0, 1, 2],
+                                       mesh_options=options)
+
+        assert mesh is not None and mesh.num_faces > 50
+        # The wall must sit at ~1.8 m (the COLMAP depth), not the dataset's 2 m.
+        assert abs(np.median(mesh.vertices[:, 2]) - 1.8) < 0.1
+        # The swap is restored afterwards.
+        assert np.median(dataset.depth_dataset[0]) == pytest.approx(2.0)
+
+    def test_returns_none_without_colmap_depth(self, tmp_path):
+        from scripts.experiments import tsdf_fusion_with_colmap
+
+        from hive_tpu.io import HiveDataset
+        from hive_tpu.options import BackgroundMeshOptions
+        from tests.helpers import make_synthetic_hive_dataset
+
+        dataset_path = make_synthetic_hive_dataset(tmp_path / "ds", num_frames=2)
+        result = tsdf_fusion_with_colmap(HiveDataset(dataset_path), [0, 1],
+                                         BackgroundMeshOptions())
+        assert result is None
+
+
+class TestMultiSequenceRollups:
+    def _write_cached_metrics(self, root, group, names, filename):
+        for i, name in enumerate(names):
+            folder = pjoin(root, group, name)
+            os.makedirs(folder, exist_ok=True)
+            with open(pjoin(folder, filename), "w") as fh:
+                json.dump({"mean": {"ssim": 0.5 + 0.1 * i, "psnr": 20.0 + i,
+                                    "lpips": 0.2, "mifd": 3.0}}, fh)
+
+    def test_llff_multi_sequence_rollup(self, tmp_path):
+        out = str(tmp_path / "out")
+        names = ["fern", "trex"]
+        self._write_cached_metrics(out, "llff", names, "llff_metrics.json")
+
+        experiments = Experiments(data_path=str(tmp_path), output_path=out,
+                                  dataset_names=[])
+        results = experiments.run_llff_experiments(str(tmp_path),
+                                                   sequence_names=names)
+
+        assert set(results["per_sequence"]) == set(names)
+        assert results["mean"]["ssim"] == pytest.approx(0.55)
+        assert results["mean"]["psnr"] == pytest.approx(20.5)
+        assert os.path.isfile(pjoin(out, "llff_results.tex"))
+        with open(pjoin(out, "llff_results.tex")) as fh:
+            table = fh.read()
+        assert "fern" in table and "mean" in table
+
+    def test_hypernerf_multi_scene_rollup(self, tmp_path):
+        out = str(tmp_path / "out")
+        names = ["broom", "3dprinter"]
+        self._write_cached_metrics(out, "hypernerf", names,
+                                   "hypernerf_metrics.json")
+
+        experiments = Experiments(data_path=str(tmp_path), output_path=out,
+                                  dataset_names=[])
+        results = experiments.run_hypernerf_experiments(str(tmp_path),
+                                                        scene_names=names)
+
+        assert set(results["per_scene"]) == set(names)
+        assert results["mean"]["psnr"] == pytest.approx(20.5)
+        assert os.path.isfile(pjoin(out, "hypernerf_results.tex"))
+
+
+class TestMeshCompressionExperiment:
+    def test_matrix_without_draco(self, tmp_path, monkeypatch):
+        """Without draco_transcoder the matrix still exports uncompressed
+        meshes and records their sizes."""
+        import shutil
+
+        from hive_tpu.options import PipelineOptions
+        from tests.helpers import make_synthetic_hive_dataset
+
+        monkeypatch.setattr(shutil, "which", lambda name: None)
+
+        out = str(tmp_path / "out")
+        converted = pjoin(out, "ds", "gt", "dataset")
+        os.makedirs(os.path.dirname(converted), exist_ok=True)
+        make_synthetic_hive_dataset(converted, num_frames=2)
+
+        from hive_tpu.options import BackgroundMeshOptions
+
+        experiments = Experiments(data_path=str(tmp_path), output_path=out,
+                                  dataset_names=["ds"], num_frames=2)
+        results = experiments.run_mesh_compression_experiments(
+            configs=["gt"],
+            mesh_options=BackgroundMeshOptions(sdf_voxel_size=0.04,
+                                               sdf_max_voxels=2_000_000))
+
+        entry = results["ds/gt"]
+        assert "bg" in entry
+        assert entry["bg"]["uncompressed_file_size"] > 0
+        assert os.path.isfile(pjoin(out, "ds", "compression", "gt",
+                                    "mesh_uncompressed", "bg.glb"))
+        assert os.path.isfile(pjoin(out, "mesh_compression_results.json"))

@@ -245,3 +245,47 @@ class TestMultiDevicePipeline:
         np.testing.assert_array_equal(result.vertices, expected.vertices)
         np.testing.assert_array_equal(result.faces, expected.faces)
         np.testing.assert_array_equal(result.vertex_colors, expected.vertex_colors)
+
+
+class TestHostParallelMeshing:
+    def test_multi_worker_fg_meshing_matches_serial(self, tmp_path, monkeypatch):
+        """Foreground meshing with a 4-thread pool (HIVE_NUM_WORKERS) must
+        produce the same scene (node order and geometry) as the serial run,
+        and per-frame profiling entries for every frame — frames are
+        independent (ref hive/utils.py:77-105, hive/pipeline.py:491)."""
+        from hive_tpu.pipeline import Pipeline
+
+        dataset_path = make_synthetic_hive_dataset(tmp_path / "ds", num_frames=4)
+        dataset = HiveDataset(dataset_path)
+
+        def build_pipeline():
+            return Pipeline(
+                options=PipelineOptions(num_frames=4,
+                                        log_file=str(tmp_path / "l.log")),
+                storage_options=StorageOptions(dataset_path=dataset_path,
+                                               output_path=str(tmp_path / "out"),
+                                               overwrite_ok=True),
+                static_mesh_options=BackgroundMeshOptions(
+                    sdf_voxel_size=0.05, sdf_max_voxels=2_000_000),
+                webxr_options=WebXROptions(webxr_path=str(tmp_path / "webxr")),
+            )
+
+        monkeypatch.setenv("HIVE_NUM_WORKERS", "1")
+        serial_pipeline = build_pipeline()
+        serial = serial_pipeline._create_scene(dataset, num_frames=4)
+
+        monkeypatch.setenv("HIVE_NUM_WORKERS", "4")
+        parallel_pipeline = build_pipeline()
+        result = parallel_pipeline._create_scene(dataset, num_frames=4)
+
+        assert result.node_names == serial.node_names
+        for name in serial.geometry:
+            np.testing.assert_array_equal(result.geometry[name].vertices,
+                                          serial.geometry[name].vertices)
+            np.testing.assert_array_equal(result.geometry[name].faces,
+                                          serial.geometry[name].faces)
+
+        # Per-frame profiling aggregation is complete under concurrency: the
+        # mask-creation step records one node per (frame, object).
+        timing = parallel_pipeline.profiling["timing"]["foreground_reconstruction"]
+        assert sorted(timing["binary_mask_creation"]) == [0, 1, 2, 3]

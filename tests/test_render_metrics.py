@@ -111,3 +111,61 @@ class TestMetrics:
         # The zero-target pixel is excluded from the valid mask.
         assert depth_mae(pred, target) == pytest.approx((0.5 + 0.0 + 1.0) / 3)
         assert depth_rmse(pred, target) == pytest.approx(np.sqrt((0.25 + 0 + 1) / 3))
+
+
+class TestTexturedRendering:
+    def test_per_pixel_texture_sampling(self):
+        """A textured quad with a checkerboard texture must render the
+        pattern INSIDE triangles — per-vertex texture sampling cannot (the
+        whole quad has only 4 vertices)."""
+        from hive_tpu.meshing.mesh import TriangleMesh
+        from hive_tpu.meshing.render import render_mesh
+
+        # A 1x1 m quad at z=2, facing the camera.
+        vertices = np.array([[-0.5, -0.5, 2.0], [0.5, -0.5, 2.0],
+                             [0.5, 0.5, 2.0], [-0.5, 0.5, 2.0]], np.float64)
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        uv = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]],
+                      np.float32)
+
+        # 8x8 checkerboard texture (64x64 px).
+        cells = (np.indices((8, 8)).sum(axis=0) % 2) * 255
+        texture = np.repeat(np.repeat(cells, 8, 0), 8, 1).astype(np.uint8)
+        texture = np.stack([texture] * 3, axis=-1)
+
+        mesh = TriangleMesh(vertices=vertices, faces=faces, uv=uv,
+                            texture=texture)
+
+        K = np.array([[100.0, 0, 63.5], [0, 100.0, 63.5], [0, 0, 1.0]])
+        image, depth = render_mesh(mesh, K, np.eye(3), np.zeros((3, 1)),
+                                   width=128, height=128)
+
+        covered = depth > 0
+        assert covered.mean() > 0.1
+
+        values = image[covered][:, 0].astype(np.float32)
+        # A checkerboard: roughly half dark, half bright pixels.
+        dark = (values < 64).mean()
+        bright = (values > 192).mean()
+        assert dark > 0.3 and bright > 0.3, (dark, bright)
+
+    def test_vertex_colors_still_render(self):
+        from hive_tpu.meshing.mesh import TriangleMesh
+        from hive_tpu.meshing.render import render_mesh
+
+        vertices = np.array([[-0.5, -0.5, 2.0], [0.5, -0.5, 2.0],
+                             [0.0, 0.5, 2.0]], np.float64)
+        faces = np.array([[0, 1, 2]], np.int32)
+        colors = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+
+        mesh = TriangleMesh(vertices=vertices, faces=faces,
+                            vertex_colors=colors)
+
+        K = np.array([[100.0, 0, 31.5], [0, 100.0, 31.5], [0, 0, 1.0]])
+        image, depth = render_mesh(mesh, K, np.eye(3), np.zeros((3, 1)),
+                                   width=64, height=64)
+
+        covered = depth > 0
+        assert covered.sum() > 50
+        # The three colour channels all appear.
+        assert image[covered].max(axis=0).min() > 100
