@@ -384,7 +384,7 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
                 np.zeros((0, 3), np.uint8))
 
-    lin = np.asarray(jnp.nonzero(mask_flat, size=num_active)[0])
+    lin = _active_indices(mask_flat, num_active)
     cy, cz = (dims[1] - 1), (dims[2] - 1)
     active = np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
                       axis=-1).astype(np.int32)
@@ -408,11 +408,27 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
                                      chunk_size)
 
 
+def _active_indices(mask_flat, num_active: int) -> np.ndarray:
+    """Compacted active-cube linear indices (host int array).
+
+    ``jnp.nonzero``'s output size is part of the compiled program, so sizing
+    it to the exact active count would recompile on EVERY extraction (each
+    scene has a different count) and defeat the persistent compilation
+    cache. Pad the size up to a power-of-two class instead — one compile per
+    size class, fills trimmed on host (nonzero places fill values at the
+    end).
+    """
+    size = 1 << max(12, int(np.ceil(np.log2(num_active))))
+    size = min(size, int(mask_flat.shape[0]))
+    lin = np.asarray(jnp.nonzero(mask_flat, size=size, fill_value=0)[0])
+    return lin[:num_active]
+
+
 def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
                               chunk_size: int):
     parts = {name: [] for name in ("x", "y", "z", "col", "klo", "khi")}
 
-    for start in range(0, len(active), chunk_size):
+    def dispatch(start):
         chunk = active[start:start + chunk_size]
         valid_count = len(chunk)
         # Pad to the chunk size so every dispatch reuses one compiled program.
@@ -429,13 +445,26 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
         # small extractions don't pay full-chunk compaction gathers.
         capacity = len(chunk) * 12
 
-        x, y, z, col, klo, khi, count = emit(jnp.asarray(chunk),
-                                             jnp.int32(valid_count), capacity)
+        return emit(jnp.asarray(chunk), jnp.int32(valid_count), capacity)
+
+    # Software pipeline of depth 2: dispatch chunk k+1 (async) before
+    # collecting chunk k, so the host-side transfers of one chunk overlap
+    # the device compute of the next (behind a high-latency device link the
+    # serialized collect dominated multi-chunk extractions).
+    starts = list(range(0, len(active), chunk_size))
+    pending = dispatch(starts[0])
+
+    for i in range(len(starts)):
+        upcoming = dispatch(starts[i + 1]) if i + 1 < len(starts) else None
+
+        x, y, z, col, klo, khi, count = pending
         nv = 3 * int(count)
 
         for name, arr in zip(("x", "y", "z", "col", "klo", "khi"),
                              (x, y, z, col, klo, khi)):
             parts[name].append(np.asarray(arr[:nv]))
+
+        pending = upcoming
 
     flat = {name: np.concatenate(chunks) for name, chunks in parts.items()}
 
@@ -493,7 +522,7 @@ def extract_isosurface_blocked(tsdf_b, weight_b, color_b, *, grid_blocks,
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
                 np.zeros((0, 3), np.uint8))
 
-    lin = np.asarray(jnp.nonzero(mask_flat, size=num_active)[0])
+    lin = _active_indices(mask_flat, num_active)
     cy, cz = (dims[1] - 1), (dims[2] - 1)
     active = np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
                       axis=-1).astype(np.int32)

@@ -154,8 +154,10 @@ class Pipeline:
         # Multi-device runtime: every shardable stage (TSDF integration, DPT
         # depth batches, pose residuals) picks this mesh up automatically.
         from hive_tpu.parallel.runtime import configure
+        from hive_tpu.utils import enable_compile_cache
 
         configure(self.options.num_devices)
+        enable_compile_cache()
 
         with self.timed_block("Loading dataset...", ["timing", "load_dataset", "total"]):
             if adaptor is not None:

@@ -192,3 +192,36 @@ class TestColmapModelIO:
                                          point3d_ids=np.zeros(0, dtype=np.int64))
         R = image.rotation_matrix()
         np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-6)
+
+
+class TestExperimentFixtures:
+    def test_temporary_camera_matrix(self, tmp_path):
+        from hive_tpu.io import HiveDataset, temporary_camera_matrix
+        from tests.helpers import make_synthetic_hive_dataset
+
+        dataset = HiveDataset(make_synthetic_hive_dataset(tmp_path / "ds",
+                                                          num_frames=1))
+        original = dataset.camera_matrix.copy()
+        replacement = original * 2.0
+
+        with temporary_camera_matrix(dataset, replacement):
+            assert np.allclose(dataset.camera_matrix, replacement)
+
+        assert np.allclose(dataset.camera_matrix, original)
+
+    def test_disable_inpainted_data(self, tmp_path):
+        from hive_tpu.io import HiveDataset, disable_inpainted_data
+        from tests.helpers import make_synthetic_hive_dataset
+
+        dataset = HiveDataset(make_synthetic_hive_dataset(tmp_path / "ds",
+                                                          num_frames=1))
+        # Fake inpainted datasets (the flag logic is what's under test).
+        dataset.inpainted_rgb_dataset = dataset.rgb_dataset
+        dataset.inpainted_depth_dataset = dataset.depth_dataset
+        assert dataset.has_inpainted_frame_data
+
+        with disable_inpainted_data(dataset):
+            assert not dataset.has_inpainted_frame_data
+            assert dataset.bg_rgb_dataset is dataset.rgb_dataset
+
+        assert dataset.has_inpainted_frame_data
