@@ -76,7 +76,8 @@ def shard_sparse_state(volume: SparseTSDFVolume, mesh: Mesh,
 
 
 def build_sharded_integrator(volume: SparseTSDFVolume, mesh: Mesh,
-                             height: int, width: int, axis: str = "data"):
+                             height: int, width: int, axis: str = "data",
+                             compact_cap=None):
     """A jitted ``(state, block_origins, depths, colors, world_to_cams, intr,
     obs_weights) -> state`` over ``mesh``, with the state and block origins
     sharded on the block axis and everything else replicated.
@@ -85,7 +86,7 @@ def build_sharded_integrator(volume: SparseTSDFVolume, mesh: Mesh,
     ``_build_integrator`` derives all block counts from array shapes, so
     inside ``shard_map`` it simply sees the local slab.
     """
-    integ = volume._build_integrator(height, width)
+    integ = volume._build_integrator(height, width, compact_cap=compact_cap)
 
     state_spec = SparseTSDFState(tsdf=P(axis, None), weight=P(axis, None),
                                  color=P(axis, None))
@@ -117,14 +118,21 @@ def integrate_frames_sharded(volume: SparseTSDFVolume, mesh: Mesh,
     depths = jnp.asarray(depths, dtype=jnp.float32)
     n, height, width = depths.shape
 
-    key = ("sharded", height, width, id(mesh), axis)
+    # Same host-side compacted-classification choice as the single-device
+    # path; block-cyclic placement spreads candidates evenly, so the global
+    # fraction is also each shard's fraction.
+    from hive_tpu.ops.tsdf_sparse import pick_compact_cap
+    cap = pick_compact_cap(volume.estimate_candidate_fraction(
+        camera_matrix, cam_to_world_poses, height, width))
+
+    key = ("sharded", height, width, id(mesh), axis, cap)
     cache = getattr(volume, "_sharded_integrators", None)
     if cache is None:
         cache = volume._sharded_integrators = {}
     fn = cache.get(key)
     if fn is None:
         fn = cache[key] = build_sharded_integrator(volume, mesh, height, width,
-                                                   axis=axis)
+                                                   axis=axis, compact_cap=cap)
 
     colors = jnp.asarray(colors, dtype=jnp.float32)[..., :3]
     K = np.asarray(camera_matrix, dtype=np.float32)

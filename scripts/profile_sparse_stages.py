@@ -68,9 +68,15 @@ def main():
           f"voxels={volume.num_voxels / 1e6:.1f}M")
 
     height, width = depths.shape[1:]
+    from hive_tpu.ops.tsdf_sparse import pick_compact_cap
+
+    frac = volume.estimate_candidate_fraction(K, poses, height, width)
+    cap = pick_compact_cap(frac)
     integ = volume._integrators.setdefault(
-        (height, width), volume._build_integrator(height, width))
-    print(f"chunk(blocks/trip)={integ.chunk}")
+        (height, width, cap),
+        volume._build_integrator(height, width, compact_cap=cap))
+    print(f"chunk(blocks/trip)={integ.chunk} candidate_frac={frac:.3f} "
+          f"compact_cap={cap}")
 
     intr = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], dtype=jnp.float32)
     w2c = jnp.linalg.inv(jnp.asarray(poses, dtype=jnp.float32))
@@ -84,17 +90,17 @@ def main():
             def body(carry, frame):
                 depth, m = frame
                 classes = classify(bo, depth, m[:3, :3], m[:3, 3], intr)
-                counts = jnp.stack([jnp.sum(classes == c) for c in range(3)])
+                counts = jnp.stack([jnp.sum(classes == c) for c in range(4)])
                 return carry, counts
             _, counts = jax.lax.scan(body, 0, (depths, w2c))
             return counts
         return count_classes
 
     counts = np.asarray(count_classes_fn(integ.classify)(depths, w2c))
-    print("pass-1 per-frame class counts [skip, free, band]:")
+    print("pass-1 per-frame class counts [skip, free, band, free_edge]:")
     print(counts[:4])
     counts = np.asarray(count_classes_fn(integ.classify_refined)(depths, w2c))
-    print("refined per-frame class counts [skip, free, band]:")
+    print("refined per-frame class counts [skip, free, band, free_edge]:")
     print(counts[:4])
     band_blocks = counts[:, 2]
     print(f"mean band blocks/frame: {band_blocks.mean():.0f} "

@@ -95,6 +95,47 @@ class TestSparseEquivalence:
         radii = np.linalg.norm(verts_s, axis=-1)
         assert np.quantile(np.abs(radii - 0.5), 0.9) < 0.05
 
+    def test_matches_dense_free_edge_blocks(self):
+        """Frustum-border blocks in open space take the gather-free edge pass.
+
+        A constant-depth wall seen from inside a wide volume puts many blocks
+        partially inside the image with provably-free footprints (class
+        FREE_EDGE). Their masked dist=1 updates must match the dense
+        integrator's free-space voxels bit-for-bit (same projection
+        rounding), modulo the usual pixel-boundary fraction.
+        """
+        wall_bounds = np.array([[-2.0, 2.0], [-2.0, 2.0], [0.0, 2.2]],
+                               dtype=np.float32)
+        depths = np.full((2, H, W), 2.0, dtype=np.float32)
+        colors = np.full((2, H, W, 3), 120, dtype=np.uint8)
+        poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        poses[:, 0, 3] = [0.01237, 0.11237]
+        poses[:, 1, 3] = 0.00731
+
+        dense = TSDFVolume(wall_bounds, voxel_size=0.05)
+        dense.integrate_frames(colors, depths, K, poses)
+        sparse = SparseTSDFVolume(wall_bounds, voxel_size=0.05,
+                                  color_mode="rgb888")
+        sparse.integrate_frames(colors, depths, K, poses)
+
+        # The scene must actually exercise the FREE_EDGE class.
+        integ = next(iter(sparse._integrators.values()))
+        w2c = np.linalg.inv(poses[0])
+        classes = np.asarray(integ.classify_refined(
+            sparse.block_origins_device, jnp.asarray(depths[0]),
+            jnp.asarray(w2c[:3, :3]), jnp.asarray(w2c[:3, 3]),
+            jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+                        dtype=jnp.float32)))
+        assert (classes == SparseTSDFVolume.FREE_EDGE).sum() > 20
+
+        tsdf_d, w_d, _ = dense.get_volume()
+        tsdf_s, w_s, _ = sparse.get_volume()
+        # Sparse dims round up to block multiples; compare the common crop.
+        X, Y, Z = tsdf_d.shape
+        w_s, tsdf_s = w_s[:X, :Y, :Z], tsdf_s[:X, :Y, :Z]
+        assert (np.abs(w_s - w_d) > 1e-5).mean() < 1e-3
+        assert (np.abs(tsdf_s - tsdf_d) > 1e-4).mean() < 2e-3
+
     def test_tiny_band_capacity_multi_trip(self):
         depths, colors, poses = _frames(num_frames=1)
         dense, sparse = self._run_both(depths, colors, poses,
@@ -103,6 +144,95 @@ class TestSparseEquivalence:
         tsdf_d, w_d, _ = dense.get_volume()
         tsdf_s, w_s, _ = sparse.get_volume()
 
+        assert (np.abs(w_s - w_d) > 1e-5).mean() < 1e-3
+        assert (np.abs(tsdf_s - tsdf_d) > 1e-4).mean() < 2e-3
+
+
+class TestCompactedClassification:
+    """Pass-1 pyramid queries on a compacted frustum-candidate list."""
+
+    # 4x4x2.2 m at 0.05 m / (8,8,8) blocks -> 10x10x6 = 600 blocks is below
+    # the 1024-id compaction floor; this wider volume engages it.
+    BIG_BOUNDS = np.array([[-4.0, 4.0], [-4.0, 4.0], [0.0, 4.0]],
+                          dtype=np.float32)
+
+    def _classify(self, volume, compact_cap, depth, pose):
+        integ = volume._integrators.setdefault(
+            ("t", compact_cap),
+            volume._build_integrator(H, W, compact_cap=compact_cap))
+        w2c = np.linalg.inv(pose)
+        return np.asarray(integ.classify(
+            volume.block_origins_device, jnp.asarray(depth),
+            jnp.asarray(w2c[:3, :3]), jnp.asarray(w2c[:3, 3]),
+            jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+                        dtype=jnp.float32)))
+
+    def test_compacted_matches_full_query(self):
+        """Inside-looking camera: compacted == full classification."""
+        volume = SparseTSDFVolume(self.BIG_BOUNDS, voxel_size=0.05)
+        cap = max(1024, 3 * volume.num_blocks // 8)
+        assert cap < volume.num_blocks, "scene too small to engage compaction"
+
+        depth = np.full((H, W), 2.0, dtype=np.float32)
+        pose = np.eye(4, dtype=np.float32)
+        pose[0, 3] = 0.01237
+
+        frac = volume.estimate_candidate_fraction(K, pose[None], H, W)
+        from hive_tpu.ops.tsdf_sparse import pick_compact_cap
+        assert pick_compact_cap(frac) is not None  # a compacted level fits
+
+        full = self._classify(volume, None, depth, pose)
+        compacted = self._classify(volume, 0.375, depth, pose)
+        np.testing.assert_array_equal(full, compacted)
+
+    def test_overflow_is_conservative_band(self):
+        """Candidates beyond capacity stay BAND (correct, just slower)."""
+        # An outside-in camera 6 m back sees the whole volume: candidate
+        # count far exceeds the 3/8 capacity.
+        volume = SparseTSDFVolume(self.BIG_BOUNDS, voxel_size=0.05)
+        pose = look_at_pose((0.0, 0.0, -6.0), (0.0, 0.0, 2.0)).astype(
+            np.float32)
+
+        frac = volume.estimate_candidate_fraction(K, pose[None], H, W)
+        assert frac > 0.375  # a 3/8 capacity would overflow on this view
+
+        depth = np.full((H, W), 8.0, dtype=np.float32)
+        full = self._classify(volume, None, depth, pose)
+        compacted = self._classify(volume, 0.375, depth, pose)
+
+        # Wherever the compacted pass decided at all, it matches; the
+        # overflow remainder must be conservative BAND, never SKIP/FREE.
+        differs = compacted != full
+        assert (compacted[differs] == SparseTSDFVolume.BAND).all()
+
+    def test_integrate_matches_dense_despite_overflow(self):
+        """Forcing the compacted build on an overflowing view stays correct."""
+        pose = look_at_pose((0.0, 0.0, -6.0), (0.0, 0.0, 2.0)).astype(
+            np.float32)
+        depth = render_sphere_depth((0.0, 0.0, 2.0), 1.0, pose) + 0.0
+        colors = np.full((1, H, W, 3), 90, dtype=np.uint8)
+
+        dense = TSDFVolume(self.BIG_BOUNDS, voxel_size=0.05)
+        dense.integrate_frames(colors, depth[None], K, pose[None])
+
+        sparse = SparseTSDFVolume(self.BIG_BOUNDS, voxel_size=0.05,
+                                  color_mode="rgb888")
+        # Bypass integrate_frames' host heuristic: force an overflowing cap.
+        integ = sparse._integrators[(H, W, 0.375)] = \
+            sparse._build_integrator(H, W, compact_cap=0.375)
+        w2c = np.linalg.inv(pose)
+        sparse.state = integ.scan(
+            sparse.state, sparse.block_origins_device,
+            jnp.asarray(depth[None]), jnp.asarray(colors, jnp.float32),
+            jnp.asarray(w2c[None]),
+            jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+                        dtype=jnp.float32),
+            jnp.ones((1,), jnp.float32))
+
+        tsdf_d, w_d, _ = dense.get_volume()
+        tsdf_s, w_s, _ = sparse.get_volume()
+        X, Y, Z = tsdf_d.shape
+        w_s, tsdf_s = w_s[:X, :Y, :Z], tsdf_s[:X, :Y, :Z]
         assert (np.abs(w_s - w_d) > 1e-5).mean() < 1e-3
         assert (np.abs(tsdf_s - tsdf_d) > 1e-4).mean() < 2e-3
 
