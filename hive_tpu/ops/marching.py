@@ -350,8 +350,18 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     def gather_flat(a):
         return jnp.take(a.reshape(-1), idxv)
 
-    return (gather_flat(v_px), gather_flat(v_py), gather_flat(v_pz),
-            gather_flat(v_col), gather_flat(v_klo), gather_flat(v_khi), count)
+    def as_u32(a):
+        return jax.lax.bitcast_convert_type(gather_flat(a), jnp.uint32)
+
+    # Pack all six per-vertex lanes into ONE uint32 matrix (f32 positions and
+    # int32 weld keys bitcast) so each chunk pays a single device->host
+    # transfer instead of six — behind the high-latency device link the five
+    # extra per-array dispatches dominated multi-chunk extractions. Row
+    # order: x, y, z (f32 bits), colour, key lo, key hi (see _unpack_lanes).
+    packed_lanes = jnp.stack([as_u32(v_px), as_u32(v_py), as_u32(v_pz),
+                              gather_flat(v_col), as_u32(v_klo),
+                              as_u32(v_khi)])
+    return packed_lanes, count
 
 
 def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
@@ -457,12 +467,16 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
     for i in range(len(starts)):
         upcoming = dispatch(starts[i + 1]) if i + 1 < len(starts) else None
 
-        x, y, z, col, klo, khi, count = pending
+        packed_lanes, count = pending
         nv = 3 * int(count)
 
-        for name, arr in zip(("x", "y", "z", "col", "klo", "khi"),
-                             (x, y, z, col, klo, khi)):
-            parts[name].append(np.asarray(arr[:nv]))
+        rows = np.asarray(packed_lanes[:, :nv])  # ONE transfer per chunk
+        for name, row in zip(("x", "y", "z", "col", "klo", "khi"), rows):
+            if name in ("x", "y", "z"):
+                row = row.view(np.float32)
+            elif name in ("klo", "khi"):
+                row = row.view(np.int32)
+            parts[name].append(row)
 
         pending = upcoming
 

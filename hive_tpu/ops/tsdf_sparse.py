@@ -132,42 +132,43 @@ def build_flat_pyramid(depth, height: int, width: int):
     num_levels = int(math.log2(max(hp, wp))) + 1
 
     valid = depth > 0.0
-    dmin = jnp.where(valid, depth, jnp.inf)
-    dmax = jnp.where(valid, depth, -jnp.inf)
 
-    dmin = jnp.pad(dmin, ((0, hp - height), (0, wp - width)), constant_values=jnp.inf)
-    dmax = jnp.pad(dmax, ((0, hp - height), (0, wp - width)), constant_values=-jnp.inf)
-    valid = jnp.pad(valid, ((0, hp - height), (0, wp - width)), constant_values=False)
+    # All three per-cell reductions phrase as MAX — min via negation, the
+    # "any invalid pixel" flag via max over a 0/1 channel — so each level
+    # pools the channel-stacked (3, h, w) array with ONE op per axis instead
+    # of six separate min/max/and pools (measured on-device: bit-identical,
+    # same ~2.2 ms/frame — the cost is the strided-slice relayouts, not op
+    # count; channel-major stacking keeps the tiled minor dims (h, w)).
+    stacked = jnp.stack([
+        jnp.where(valid, -depth, -jnp.inf),          # -dmin
+        jnp.where(valid, depth, -jnp.inf),           # dmax
+        jnp.where(valid, 0.0, 1.0),                  # any-invalid flag
+    ])
+    stacked = jnp.pad(
+        stacked, ((0, 0), (0, hp - height), (0, wp - width)),
+        constant_values=((0, 0), (0, -jnp.inf), (0, -jnp.inf)))
+    # Padding cells must read as INVALID (flag 1) but not poison min/max.
+    pad_flag = jnp.zeros((hp, wp), stacked.dtype).at[height:, :].set(1.0)
+    pad_flag = pad_flag.at[:, width:].set(1.0)
+    stacked = stacked.at[2].max(pad_flag)
 
-    mins, maxs, valids = [dmin.reshape(-1)], [dmax.reshape(-1)], [valid.reshape(-1)]
-
+    levels = [stacked]
     h, w = hp, wp
     for _ in range(num_levels - 1):
-        h2, w2 = max(h // 2, 1), max(w // 2, 1)
+        # 2x2 pooling via strided slices (``lax.reduce_window`` measured ~5 s
+        # per frame on this backend; the reshape form (h2, 2, w2, 2) ->
+        # reduce puts a 2-wide minor dim on every intermediate, which
+        # tile-pads 2 -> 128 = 64x HBM).
+        if stacked.shape[1] > 1:
+            stacked = jnp.maximum(stacked[:, 0::2], stacked[:, 1::2])
+        if stacked.shape[2] > 1:
+            stacked = jnp.maximum(stacked[:, :, 0::2], stacked[:, :, 1::2])
+        levels.append(stacked)
+        h, w = max(h // 2, 1), max(w // 2, 1)
 
-        # 2x2 pooling via strided slices. The reshape form
-        # (h2, 2, w2, 2) -> reduce puts a 2-wide minor dim on every
-        # intermediate, which tile-pads 2 -> 128 (64x HBM) — measured as the
-        # bulk of per-frame classification cost.
-        def pool(a, op):
-            if a.shape[0] > 1:
-                a = op(a[0::2], a[1::2])
-            if a.shape[1] > 1:
-                a = op(a[:, 0::2], a[:, 1::2])
-            return a
-
-        dmin = pool(dmin, jnp.minimum)
-        dmax = pool(dmax, jnp.maximum)
-        valid = pool(valid, jnp.logical_and)
-
-        mins.append(dmin.reshape(-1))
-        maxs.append(dmax.reshape(-1))
-        valids.append(valid.reshape(-1))
-        h, w = h2, w2
-
-    min_flat = jnp.concatenate(mins)
-    max_flat = jnp.concatenate(maxs)
-    valid_flat = jnp.concatenate(valids)
+    min_flat = -jnp.concatenate([lv[0].reshape(-1) for lv in levels])
+    max_flat = jnp.concatenate([lv[1].reshape(-1) for lv in levels])
+    valid_flat = jnp.concatenate([lv[2].reshape(-1) for lv in levels]) == 0.0
 
     # Sign-encode validity into the max channel (see docstring). Cells with
     # no valid pixel (max = -inf) must stay -inf, not flip to +inf.
@@ -384,7 +385,28 @@ class SparseTSDFVolume:
 
     # -- frame integration ----------------------------------------------------
     def _build_integrator(self, height: int, width: int,
-                          compact_cap: Optional[float] = COMPACT_LEVELS[0]):
+                          compact_cap: Optional[float] = COMPACT_LEVELS[0],
+                          stub: str = ""):
+        """Build the compiled integrator closures for one image size.
+
+        :param stub: profiling-only ablation knob (NEVER set in production —
+            every value produces WRONG results by design; used by
+            scripts/profile_sparse_stages.py to attribute the per-frame cost
+            between the serialized-gather stages and everything else):
+
+            * ``"sample_const"``: the band pass skips the per-voxel pixel
+              gather (constant depth/colour) — bounds the gather bill.
+            * ``"rows_contig"``: state row gathers/scatters of the band and
+              edge trips use contiguous row ids — bounds the cost of
+              arbitrary-row index ops on the voxel state.
+            * ``"classify_const"``: pyramid queries return constant depth
+              windows — bounds the classification-gather bill (classify-only
+              timings; band composition changes, so full-integrate timings
+              are not comparable).
+        """
+        if stub not in ("", "sample_const", "rows_contig", "classify_const"):
+            raise ValueError(f"unknown stub {stub!r}")
+
         Bx, By, Bz = self.block_size
         trunc = self.trunc_margin
         voxel = self.voxel_size
@@ -553,11 +575,17 @@ class SparseTSDFVolume:
             in_front, z_min, z_max, u0, u1, v0, v1, outside = bounds
             nb = in_front.shape[0]
 
+            def query(pu0, pu1, pv0, pv1, **kw):
+                if stub == "classify_const":
+                    return (jnp.full_like(pu0, 2.2), jnp.full_like(pu0, 2.8),
+                            jnp.ones(pu0.shape, bool))
+                return query_flat_pyramid(pyramid, layout, pu0, pu1, pv0, pv1,
+                                          height, width, **kw)
+
             cap = (nb if compact_cap is None
                    else max(1024, int(nb * compact_cap)))
             if cap >= nb:
-                dmin, dmax, all_valid = query_flat_pyramid(
-                    pyramid, layout, u0, u1, v0, v1, height, width)
+                dmin, dmax, all_valid = query(u0, u1, v0, v1)
                 return classes_from_bounds(*bounds, dmin, dmax, all_valid)
 
             overlaps = (u1 >= 0) & (u0 < width) & (v1 >= 0) & (v0 < height)
@@ -569,8 +597,7 @@ class SparseTSDFVolume:
 
             sub_bounds = project_corners(block_origins[safe_ids], R, t, intr)
             _, _, _, su0, su1, sv0, sv1, _ = sub_bounds
-            dmin, dmax, all_valid = query_flat_pyramid(
-                pyramid, layout, su0, su1, sv0, sv1, height, width)
+            dmin, dmax, all_valid = query(su0, su1, sv0, sv1)
             sub_classes = classes_from_bounds(*sub_bounds, dmin, dmax,
                                               all_valid)
 
@@ -617,9 +644,14 @@ class SparseTSDFVolume:
             origins = block_origins[safe_ids]
             bounds = project_corners(origins, R, t, intr)
             in_front, z_min, z_max, u0, u1, v0, v1, outside = bounds
-            dmin, dmax, all_valid = query_flat_pyramid(
-                pyramid, layout, u0, u1, v0, v1, height, width,
-                grid=5, level_bias=-2)
+            if stub == "classify_const":
+                dmin, dmax, all_valid = (jnp.full_like(u0, 2.2),
+                                         jnp.full_like(u0, 2.8),
+                                         jnp.ones(u0.shape, bool))
+            else:
+                dmin, dmax, all_valid = query_flat_pyramid(
+                    pyramid, layout, u0, u1, v0, v1, height, width,
+                    grid=5, level_bias=-2)
             refined = classes_from_bounds(*bounds, dmin, dmax, all_valid)
 
             # Straddling blocks keep their pass-1 class (their AABBs are
@@ -819,6 +851,10 @@ class SparseTSDFVolume:
                 return (d_mm | (r5 << 16) | (g6 << 21) | (b5 << 27),)
 
             def sample_values(sample, flat):
+                if stub == "sample_const":
+                    return (jnp.full(flat.shape, 2.6, jnp.float32),
+                            jnp.full((flat.shape[0], 3, flat.shape[1]), 128.0,
+                                     jnp.float32))
                 w = jnp.take(sample[0].reshape(-1), flat)
                 depth_val = (w & 0xFFFF).astype(jnp.float32) * 1e-3
                 rgb = jnp.stack(
@@ -835,6 +871,10 @@ class SparseTSDFVolume:
                 return (depth, c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16))
 
             def sample_values(sample, flat):
+                if stub == "sample_const":
+                    return (jnp.full(flat.shape, 2.6, jnp.float32),
+                            jnp.full((flat.shape[0], 3, flat.shape[1]), 128.0,
+                                     jnp.float32))
                 depth, packed_color = sample
                 depth_val = jnp.take(depth.reshape(-1), flat)
                 packed = jnp.take(packed_color.reshape(-1), flat)
@@ -894,23 +934,28 @@ class SparseTSDFVolume:
             store = state.tsdf.dtype
             k = sub_ids.shape[0]
 
+            # Profiling ablation: state row index ops on CONTIGUOUS rows
+            # (projection/sampling still use the real band ids).
+            row_ids = (jnp.arange(k, dtype=sub_ids.dtype)
+                       if stub == "rows_contig" else sub_ids)
+
             if SUB == 1:
                 # One (K, 3*BV) colour row per block.
-                slab_color = state.color[sub_ids].astype(jnp.float32)
+                slab_color = state.color[row_ids].astype(jnp.float32)
                 slab_color = slab_color.reshape(k, 3, BVS)
             else:
-                rows = sub_ids // SUB
-                subs = sub_ids % SUB
+                rows = row_ids // SUB
+                subs = row_ids % SUB
                 color_ids = [(rows * 3 + ch) * SUB + subs for ch in range(3)]
                 slab_color = jnp.stack([state.color[ids]
                                         for ids in color_ids], axis=1)
 
             tsdf_new, w_new, color_new = band_update_values(
-                block_origins, state.tsdf[sub_ids], state.weight[sub_ids],
+                block_origins, state.tsdf[row_ids], state.weight[row_ids],
                 slab_color, sub_ids, slab_valid, sample, R, t, intr,
                 obs_weight)
 
-            scatter_ids = jnp.where(slab_valid, sub_ids, nbs)
+            scatter_ids = jnp.where(slab_valid, row_ids, nbs)
             color = state.color
             if SUB == 1:
                 color = color.at[scatter_ids].set(
@@ -986,8 +1031,10 @@ class SparseTSDFVolume:
             store = state.tsdf.dtype
             fx, fy, cx, cy = intr
 
-            slab_tsdf = state.tsdf[sub_ids].astype(jnp.float32)
-            slab_weight = state.weight[sub_ids].astype(jnp.float32)
+            row_ids = (jnp.arange(sub_ids.shape[0], dtype=sub_ids.dtype)
+                       if stub == "rows_contig" else sub_ids)
+            slab_tsdf = state.tsdf[row_ids].astype(jnp.float32)
+            slab_weight = state.weight[row_ids].astype(jnp.float32)
 
             cam_x, cam_y, cam_z = slab_camera_coords(block_origins, sub_ids,
                                                      R, t)
@@ -1004,7 +1051,7 @@ class SparseTSDFVolume:
                                  (slab_tsdf * slab_weight + w_obs) / safe_w,
                                  slab_tsdf)
 
-            scatter_ids = jnp.where(slab_valid, sub_ids, nbs)
+            scatter_ids = jnp.where(slab_valid, row_ids, nbs)
             return SparseTSDFState(
                 tsdf=state.tsdf.at[scatter_ids].set(tsdf_new.astype(store),
                                                     mode="drop"),

@@ -157,6 +157,47 @@ def main():
     print(f"band+free residual (full - classify): "
           f"{(t_full - t_classify) / num_frames * 1e3:.2f} ms/frame")
 
+    # --- ablation stubs (see SparseTSDFVolume._build_integrator) -----------
+    intr_j, w2c_j, obs_j = intr, w2c, obs
+
+    def full_with(integ_s):
+        jitted = jax.jit(lambda s: integ_s.scan_impl(s, bo, depths, colors,
+                                                     w2c_j, intr_j, obs_j))
+
+        def run():
+            out = jitted(SparseTSDFState_fresh())
+            return jnp.sum(out.weight.astype(jnp.float32))
+        return run
+
+    for s in ("sample_const", "rows_contig"):
+        integ_s = volume._build_integrator(height, width, compact_cap=cap,
+                                           stub=s)
+        t_s = timed(full_with(integ_s))
+        print(f"full integrate [{s}]: {t_s / num_frames * 1e3:.2f} ms/frame "
+              f"(saves {(t_full - t_s) / num_frames * 1e3:.2f} ms/frame)")
+
+    integ_c = volume._build_integrator(height, width, compact_cap=cap,
+                                       stub="classify_const")
+    scan_c = classify_scan_fn(integ_c.classify_refined)
+    t_c = timed(lambda: scan_c(depths, w2c))
+    print(f"classify+refine [classify_const]: {t_c / num_frames * 1e3:.2f} "
+          f"ms/frame (pyramid-gather bill ~ "
+          f"{(t_classify - t_c) / num_frames * 1e3:.2f} ms/frame)")
+
+    # --- pyramid build + frame pack, in isolation ---------------------------
+    from hive_tpu.ops.tsdf_sparse import build_flat_pyramid
+
+    @jax.jit
+    def pyramid_scan(depths):
+        def body(carry, depth):
+            p = build_flat_pyramid(depth, height, width)
+            return carry + jnp.sum(jnp.real(p[-4:])), None
+        total, _ = jax.lax.scan(body, jnp.float32(0), depths)
+        return total
+
+    t_pyr = timed(lambda: pyramid_scan(depths))
+    print(f"pyramid build only: {t_pyr / num_frames * 1e3:.2f} ms/frame")
+
 
 if __name__ == "__main__":
     main()
