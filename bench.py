@@ -54,9 +54,14 @@ def bench_tsdf(jax, jnp):
     from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
 
     # Workload shape: VGA frames (the pipeline's default processing
-    # resolution, hive/pipeline.py:194) into a 256^3-class volume.
+    # resolution, hive/pipeline.py:194) into a 256^3-class volume. 64 frames
+    # per fused scan: a timed call through this device tunnel carries a
+    # ~35 ms fixed cost (dispatch + scalar round-trip) regardless of scan
+    # length, so short scans under-report the kernel (at 16 frames the floor
+    # alone adds ~2.2 ms/frame); the pipeline integrates 30+ frame batches
+    # in one scan, so a long scan is also the representative workload.
     height, width = 480, 640
-    num_frames = 16
+    num_frames = 64
 
     K = np.array([[580.0, 0, 319.5], [0, 580.0, 239.5], [0, 0, 1.0]],
                  dtype=np.float32)

@@ -224,11 +224,22 @@ class Pipeline:
 
         self._write_profiling_data(path=pjoin(str(dataset.base_path), "profiling.json"))
 
-        logging.info(f"Start the WebXR server and go to this URL: "
+        logging.info(f"Start the viewer (python -m hive_tpu.viewer --webxr_path "
+                     f"{self.webxr_options.webxr_path}) and go to this URL: "
                      f"{self.webxr_options.webxr_url}?video={self._get_dataset_name(dataset)}")
 
         if self.webxr_options.webxr_run_server:
-            subprocess.run(["npm", "run", "start"], cwd=self.webxr_options.webxr_source_path)
+            # Reference contract: `npm run start` in the HIVE_Renderer checkout
+            # (ref pipeline.py:250-251). When that external renderer is not
+            # present, serve the export with the in-tree WebGL player instead.
+            if os.path.isdir(pjoin(self.webxr_options.webxr_source_path, "node_modules")):
+                subprocess.run(["npm", "run", "start"],
+                               cwd=self.webxr_options.webxr_source_path)
+            else:
+                from hive_tpu.viewer import main as viewer_main
+                port = self.webxr_options.webxr_url.rsplit(":", 1)[-1].rstrip("/")
+                viewer_main(["--webxr_path", self.webxr_options.webxr_path,
+                             "--port", port if port.isdigit() else "8080"])
 
     # -- device stats ---------------------------------------------------------
     @staticmethod

@@ -1,0 +1,124 @@
+"""Tests for the in-tree mesh-video viewer (hive_tpu.viewer).
+
+The player page itself is browser-side JS (no JS runtime in CI), so these
+tests pin (a) the HTTP server contract — the piece the pipeline's exported
+URL depends on — and (b) a feature tripwire: every GLB feature
+``hive_tpu.meshing.gltf.export_scene`` can emit must be named in the player
+source, so writer extensions fail loudly here instead of rendering wrong.
+"""
+
+import http.client
+import json
+import struct
+import threading
+
+import numpy as np
+import pytest
+
+from hive_tpu.meshing.gltf import export_scene
+from hive_tpu.meshing.mesh import Scene, TriangleMesh
+from hive_tpu.viewer import VIEWER_HTML, make_server
+
+
+@pytest.fixture()
+def export_dir(tmp_path):
+    video = tmp_path / "seq01"
+    video.mkdir()
+
+    tri = TriangleMesh(
+        vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int64),
+        vertex_colors=np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8),
+    )
+    bg = Scene()
+    bg.add_geometry(tri, node_name="bg")
+    export_scene(bg, str(video / "bg.glb"))
+
+    textured = TriangleMesh(
+        vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+        faces=np.array([[0, 1, 2]], np.int64),
+        uv=np.array([[0, 0], [1, 0], [0, 1]], np.float32),
+        texture=np.full((4, 4, 3), 128, np.uint8),
+    )
+    fg = Scene()
+    fg.add_geometry(textured, node_name="000000")
+    export_scene(fg, str(video / "fg.glb"))
+
+    (video / "metadata.json").write_text(json.dumps(
+        {"fps": 30.0, "fov_y": 61, "num_frames": 1,
+         "use_vertex_colour_for_bg": True}))
+    return tmp_path
+
+
+@pytest.fixture()
+def server(export_dir):
+    srv = make_server(str(export_dir), port=0)  # ephemeral port
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield srv
+    srv.shutdown()
+
+
+def _get(server, path):
+    conn = http.client.HTTPConnection("localhost", server.server_address[1])
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp, body
+
+
+def test_root_serves_player(server):
+    resp, body = _get(server, "/?video=seq01")
+    assert resp.status == 200
+    assert resp.getheader("Content-Type").startswith("text/html")
+    assert b"parseGLB" in body
+
+
+def test_exported_artifacts_served(server):
+    for path in ("/seq01/bg.glb", "/seq01/fg.glb", "/seq01/metadata.json"):
+        resp, body = _get(server, path)
+        assert resp.status == 200, path
+        assert len(body) > 0
+
+    _, glb = _get(server, "/seq01/bg.glb")
+    assert glb[:4] == b"glTF"
+    (length,) = struct.unpack_from("<I", glb, 8)
+    assert length == len(glb)
+
+    _, meta = _get(server, "/seq01/metadata.json")
+    assert json.loads(meta)["num_frames"] == 1
+
+
+def test_missing_artifact_is_404(server):
+    resp, _ = _get(server, "/seq01/missing.glb")
+    assert resp.status == 404
+
+
+def test_player_covers_every_writer_feature(export_dir):
+    """Tripwire: each glTF feature export_scene emits is handled in the JS."""
+    html = VIEWER_HTML.read_text()
+
+    for video in ("seq01/bg.glb", "seq01/fg.glb"):
+        glb = (export_dir / video).read_bytes()
+        (length,) = struct.unpack_from("<I", glb, 12)
+        gltf = json.loads(glb[20:20 + length])
+
+        for mesh in gltf.get("meshes", []):
+            for prim in mesh["primitives"]:
+                for attr in prim["attributes"]:
+                    if attr == "NORMAL":
+                        continue  # unlit player: normals legitimately unused
+                    assert attr in html, f"player ignores {attr}"
+                index_ct = gltf["accessors"][prim["indices"]]["componentType"]
+                # WebGL2 drawElements accepts u8/u16/u32 via componentType.
+                assert index_ct in (5121, 5123, 5125)
+        for image in gltf.get("images", []):
+            assert image["mimeType"] == "image/png"
+            assert "image/png" in html or "mimeType" in html
+
+    # Frame-node naming contract (pipeline names fg nodes %06d).
+    assert "parseInt" in html
+    # Playback contract fields.
+    for key in ("fps", "num_frames", "fov_y"):
+        assert key in html, f"player ignores metadata.{key}"
