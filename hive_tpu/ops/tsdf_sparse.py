@@ -70,6 +70,7 @@ inside free space; band frames write colour wherever surfaces appear).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Sequence, Tuple, Union
 
@@ -274,6 +275,7 @@ class SparseTSDFVolume:
                  band_capacity_fraction: float = 0.25,
                  chunk_voxels: int = 1 << 16,
                  color_mode: str = "rgb565d16",
+                 gather_split: Optional[int] = None,
                  dtype=jnp.float32):
         """
         :param band_capacity_fraction: upper bound on the banded update's
@@ -337,6 +339,16 @@ class SparseTSDFVolume:
         if color_mode not in ("rgb565d16", "rgb888"):
             raise ValueError(f"unknown color_mode {color_mode!r}")
         self.color_mode = color_mode
+
+        # Number of independent gather ops the band pass's per-voxel pixel
+        # take is issued as. Gathers serialize per element on this part, but
+        # INDEPENDENT gather ops in one program partially overlap (two
+        # standalone u32 takes measured ~29 ns per element pair vs ~20 ns for
+        # one) — splitting the one big take shortens the serialized critical
+        # path without changing any value.
+        if gather_split is None:
+            gather_split = int(os.environ.get("HIVE_TSDF_GATHER_SPLIT", "1"))
+        self.gather_split = max(1, int(gather_split))
 
         Bx, By, Bz = self.block_size
         self.block_voxels = Bx * By * Bz
@@ -823,6 +835,24 @@ class SparseTSDFVolume:
         # backend (miscompiles). A complex64 pack gathers both words
         # correctly but costs the same as two plain takes (cost is
         # per-byte).
+        split = self.gather_split
+
+        def split_take(src, flat):
+            """The per-voxel pixel gather, issued as ``split`` independent
+            takes over contiguous row ranges of ``flat`` (K, BVS).
+
+            Identical values to one big take — only the op decomposition
+            changes, letting the hardware overlap the serialized gather
+            streams (see ``gather_split`` in ``__init__``).
+            """
+            k = flat.shape[0]
+            if split <= 1 or k % split:
+                return jnp.take(src, flat)
+            step = k // split
+            parts = [jnp.take(src, flat[i * step:(i + 1) * step])
+                     for i in range(split)]
+            return jnp.concatenate(parts, axis=0)
+
         if self.color_mode == "rgb565d16":
 
             def pack_frame(depth, color_im):
@@ -855,7 +885,7 @@ class SparseTSDFVolume:
                     return (jnp.full(flat.shape, 2.6, jnp.float32),
                             jnp.full((flat.shape[0], 3, flat.shape[1]), 128.0,
                                      jnp.float32))
-                w = jnp.take(sample[0].reshape(-1), flat)
+                w = split_take(sample[0].reshape(-1), flat)
                 depth_val = (w & 0xFFFF).astype(jnp.float32) * 1e-3
                 rgb = jnp.stack(
                     [((w >> 16) & 31).astype(jnp.float32) * (255.0 / 31.0),
@@ -876,8 +906,8 @@ class SparseTSDFVolume:
                             jnp.full((flat.shape[0], 3, flat.shape[1]), 128.0,
                                      jnp.float32))
                 depth, packed_color = sample
-                depth_val = jnp.take(depth.reshape(-1), flat)
-                packed = jnp.take(packed_color.reshape(-1), flat)
+                depth_val = split_take(depth.reshape(-1), flat)
+                packed = split_take(packed_color.reshape(-1), flat)
                 rgb = jnp.stack([(packed & 0xFF).astype(jnp.float32),
                                  ((packed >> 8) & 0xFF).astype(jnp.float32),
                                  ((packed >> 16) & 0xFF).astype(jnp.float32)],

@@ -267,6 +267,26 @@ class TestPackedSampling:
         assert np.abs(c_p - c_e)[both].max() < 9.0
         assert np.abs(c_p - c_e)[both].mean() < 3.0
 
+    def test_gather_split_is_value_identical(self):
+        # gather_split only re-decomposes the band pixel take into several
+        # independent gather ops (a latency-overlap optimisation on TPU);
+        # every split must produce bit-identical state.
+        depths, colors, poses = _frames()
+
+        reference = SparseTSDFVolume(BOUNDS, voxel_size=0.05, gather_split=1)
+        reference.integrate_frames(colors, depths, K, poses)
+
+        for split in (2, 4):
+            volume = SparseTSDFVolume(BOUNDS, voxel_size=0.05,
+                                      gather_split=split)
+            volume.integrate_frames(colors, depths, K, poses)
+
+            for field in ("tsdf", "weight", "color"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(volume.state, field)),
+                    np.asarray(getattr(reference.state, field)),
+                    err_msg=f"gather_split={split} changed {field}")
+
     def test_depth_beyond_u16_range_is_invalid_not_wrapped(self):
         # 70 m depth exceeds the u16 mm range; it must clamp (stay a huge
         # positive depth -> free-space update), never wrap around to small.
