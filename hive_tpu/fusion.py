@@ -113,13 +113,21 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
     est_dims = np.ceil((volume_bounds[:, 1] - volume_bounds[:, 0]) / voxel_size)
     dtype = jnp.bfloat16 if float(np.prod(est_dims)) > 1e8 else jnp.float32
 
-    if use_sparse:
-        from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
+    # Timed separately: the state allocation is the process's FIRST device
+    # op on cold runs, so backend attach (minutes-class behind a busy
+    # tunnel) bills here — keep it out of the integration number.
+    with stage("volume_init"):
+        if use_sparse:
+            from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
 
-        volume = SparseTSDFVolume(volume_bounds, voxel_size=voxel_size,
-                                  dtype=dtype)
-    else:
-        volume = TSDFVolume(volume_bounds, voxel_size=voxel_size, dtype=dtype)
+            volume = SparseTSDFVolume(volume_bounds, voxel_size=voxel_size,
+                                      dtype=dtype)
+        else:
+            volume = TSDFVolume(volume_bounds, voxel_size=voxel_size,
+                                dtype=dtype)
+        import jax
+
+        jax.block_until_ready(volume.state)
 
     # Multi-device runtime: block-shard the sparse volume over the mesh so
     # each device integrates its own slab of blocks (bit-identical to the
