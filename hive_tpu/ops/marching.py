@@ -470,7 +470,14 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
         packed_lanes, count = pending
         nv = 3 * int(count)
 
-        rows = np.asarray(packed_lanes[:, :nv])  # ONE transfer per chunk
+        # ONE transfer per chunk. The width is rounded up to a 4096 multiple:
+        # the slice-for-transfer is a tiny compiled program per DISTINCT
+        # width, and per-chunk arbitrary widths would compile a new one
+        # every chunk (~0.1 s each, cold). The ≤4095 extra elements per lane
+        # (~100 KB) are noise next to the per-transfer latency.
+        width = packed_lanes.shape[1]
+        nv_t = min(width, -(-nv // 4096) * 4096)
+        rows = np.asarray(packed_lanes[:, :nv_t])[:, :nv]
         for name, row in zip(("x", "y", "z", "col", "klo", "khi"), rows):
             if name in ("x", "y", "z"):
                 row = row.view(np.float32)
