@@ -334,6 +334,27 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     v_col = unflip(v_col)
     v_klo, v_khi = unflip(v_klo), unflip(v_khi)
 
+    # Per-vertex surface normal: within one tet the SDF is linear, so the
+    # isosurface patch is planar and its (outward) normal IS the tet
+    # gradient — already computed above for orientation. Oct-encoded
+    # snorm16x2 into one u32 lane; the host weld averages all incident-tet
+    # normals per welded vertex, replacing a multi-second host
+    # face-normal pass. (No unflip: the vertex swap stays within one
+    # triangle, hence within one tet — the lane values are equal.)
+    gxl, gyl, gzl = (g[:, _LANE_TET36] for g in (gx, gy, gz))
+    inv_len = jax.lax.rsqrt(gxl * gxl + gyl * gyl + gzl * gzl + 1e-20)
+    nxl, nyl, nzl = gxl * inv_len, gyl * inv_len, gzl * inv_len
+
+    l1 = jnp.maximum(jnp.abs(nxl) + jnp.abs(nyl) + jnp.abs(nzl), 1e-12)
+    ox, oy = nxl / l1, nyl / l1
+    fold_x = (1.0 - jnp.abs(oy)) * jnp.where(ox >= 0, 1.0, -1.0)
+    fold_y = (1.0 - jnp.abs(ox)) * jnp.where(oy >= 0, 1.0, -1.0)
+    ox = jnp.where(nzl < 0, fold_x, ox)
+    oy = jnp.where(nzl < 0, fold_y, oy)
+    ex = jnp.clip(jnp.round((ox + 1.0) * 32767.5), 0, 65535).astype(jnp.uint32)
+    ey = jnp.clip(jnp.round((oy + 1.0) * 32767.5), 0, 65535).astype(jnp.uint32)
+    v_nrm = ex | (ey << 16)
+
     # Compact valid triangles; padded cube slots carry none.
     slot_ok = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) < valid_count
     tri_valid = valid36[:, 0::3] & slot_ok                               # (M, 12)
@@ -353,14 +374,14 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     def as_u32(a):
         return jax.lax.bitcast_convert_type(gather_flat(a), jnp.uint32)
 
-    # Pack all six per-vertex lanes into ONE uint32 matrix (f32 positions and
-    # int32 weld keys bitcast) so each chunk pays a single device->host
-    # transfer instead of six — behind the high-latency device link the five
+    # Pack all seven per-vertex lanes into ONE uint32 matrix (f32 positions
+    # and int32 weld keys bitcast) so each chunk pays a single device->host
+    # transfer instead of several — behind the high-latency device link the
     # extra per-array dispatches dominated multi-chunk extractions. Row
-    # order: x, y, z (f32 bits), colour, key lo, key hi (see _unpack_lanes).
+    # order: x, y, z (f32 bits), colour, key lo, key hi, oct normal.
     packed_lanes = jnp.stack([as_u32(v_px), as_u32(v_py), as_u32(v_pz),
                               gather_flat(v_col), as_u32(v_klo),
-                              as_u32(v_khi)])
+                              as_u32(v_khi), gather_flat(v_nrm)])
     return packed_lanes, count
 
 
@@ -377,7 +398,8 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
     :param voxel_size: edge length of a voxel in meters.
     :param chunk_size: active cubes processed per device dispatch.
     :return: (vertices (V, 3) f32 world coords, faces (F, 3) int64,
-        vertex colors (V, 3) uint8).
+        vertex colors (V, 3) uint8, vertex normals (V, 3) f32 — averaged
+        incident-tet SDF gradients, unit length).
     """
     tsdf = jnp.asarray(tsdf)
     weight = jnp.asarray(weight)
@@ -392,7 +414,7 @@ def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
 
     if num_active == 0:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
-                np.zeros((0, 3), np.uint8))
+                np.zeros((0, 3), np.uint8), np.zeros((0, 3), np.float32))
 
     lin = _active_indices(mask_flat, num_active)
     cy, cz = (dims[1] - 1), (dims[2] - 1)
@@ -436,7 +458,7 @@ def _active_indices(mask_flat, num_active: int) -> np.ndarray:
 
 def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
                               chunk_size: int):
-    parts = {name: [] for name in ("x", "y", "z", "col", "klo", "khi")}
+    parts = {name: [] for name in ("x", "y", "z", "col", "klo", "khi", "nrm")}
 
     def dispatch(start):
         chunk = active[start:start + chunk_size]
@@ -478,7 +500,8 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
         width = packed_lanes.shape[1]
         nv_t = min(width, -(-nv // 4096) * 4096)
         rows = np.asarray(packed_lanes[:, :nv_t])[:, :nv]
-        for name, row in zip(("x", "y", "z", "col", "klo", "khi"), rows):
+        for name, row in zip(("x", "y", "z", "col", "klo", "khi", "nrm"),
+                             rows):
             if name in ("x", "y", "z"):
                 row = row.view(np.float32)
             elif name in ("klo", "khi"):
@@ -507,12 +530,38 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
     vertices = (flat_pos[first_idx] * voxel_size + np.asarray(origin)).astype(np.float32)
     faces = inverse.reshape(-1, 3).astype(np.int64)
 
+    normals = _decode_oct_average(flat["nrm"], inverse, len(first_idx))
+
     # Drop degenerate faces (duplicate welded vertices).
     ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
           & (faces[:, 0] != faces[:, 2]))
     faces = faces[ok]
 
-    return vertices, faces, colors
+    return vertices, faces, colors, normals
+
+
+def _decode_oct_average(packed, inverse, num_unique: int) -> np.ndarray:
+    """Decode per-emitted-vertex oct normals and average them per welded
+    vertex (every incident tet contributes its gradient — smoother than
+    area-weighted face normals, and ~10x cheaper than the host face-normal
+    pass it replaces)."""
+    ux = (packed & 0xFFFF).astype(np.float32) * (2.0 / 65535.0) - 1.0
+    uy = ((packed >> 16) & 0xFFFF).astype(np.float32) * (2.0 / 65535.0) - 1.0
+
+    nz = 1.0 - np.abs(ux) - np.abs(uy)
+    neg = nz < 0.0
+    fold_x = (1.0 - np.abs(uy)) * np.where(ux >= 0.0, 1.0, -1.0)
+    fold_y = (1.0 - np.abs(ux)) * np.where(uy >= 0.0, 1.0, -1.0)
+    nx = np.where(neg, fold_x, ux).astype(np.float32)
+    ny = np.where(neg, fold_y, uy).astype(np.float32)
+
+    acc = np.empty((num_unique, 3), np.float32)
+    for c, comp in enumerate((nx, ny, nz)):
+        acc[:, c] = np.bincount(inverse, weights=comp, minlength=num_unique)
+
+    length = np.sqrt(np.einsum("ij,ij->i", acc, acc))
+    acc /= np.where(length < 1e-12, 1.0, length)[:, None]
+    return acc
 
 
 def extract_isosurface_blocked(tsdf_b, weight_b, color_b, *, grid_blocks,
@@ -528,7 +577,7 @@ def extract_isosurface_blocked(tsdf_b, weight_b, color_b, *, grid_blocks,
     order — un-permute block-cyclic state first).
 
     :return: (vertices (V, 3) f32 world coords, faces (F, 3) int64,
-        vertex colors (V, 3) uint8).
+        vertex colors (V, 3) uint8, vertex normals (V, 3) f32).
     """
     grid_blocks = tuple(int(g) for g in grid_blocks)
     block_size = tuple(int(b) for b in block_size)
@@ -541,7 +590,7 @@ def extract_isosurface_blocked(tsdf_b, weight_b, color_b, *, grid_blocks,
 
     if num_active == 0:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
-                np.zeros((0, 3), np.uint8))
+                np.zeros((0, 3), np.uint8), np.zeros((0, 3), np.float32))
 
     lin = _active_indices(mask_flat, num_active)
     cy, cz = (dims[1] - 1), (dims[2] - 1)

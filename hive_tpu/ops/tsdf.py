@@ -240,16 +240,10 @@ class TSDFVolume:
         """
         from hive_tpu.ops.marching import extract_isosurface
 
-        verts, faces, colors = extract_isosurface(
+        verts, faces, colors, normals = extract_isosurface(
             self.state.tsdf.astype(jnp.float32), self.state.weight.astype(jnp.float32),
             self.state.color.astype(jnp.float32),
             origin=self.origin, voxel_size=self.voxel_size)
-
-        from hive_tpu.meshing.mesh import TriangleMesh
-
-        mesh = TriangleMesh(vertices=verts, faces=faces,
-                            vertex_colors=colors)
-        normals = mesh.compute_vertex_normals() if len(faces) else np.zeros_like(verts)
 
         return verts, faces, normals, colors
 

@@ -1343,7 +1343,6 @@ class SparseTSDFVolume:
         return np.asarray(tsdf), np.asarray(weight), color
 
     def get_mesh(self):
-        from hive_tpu.meshing.mesh import TriangleMesh
         from hive_tpu.ops.marching import extract_isosurface_blocked
 
         # Extraction reads the block-major state directly (no dense volume
@@ -1354,12 +1353,9 @@ class SparseTSDFVolume:
             inv = jnp.asarray(np.argsort(self._block_perm))
             tsdf_b, weight_b, color_b = tsdf_b[inv], weight_b[inv], color_b[inv]
 
-        verts, faces, colors = extract_isosurface_blocked(
+        verts, faces, colors, normals = extract_isosurface_blocked(
             tsdf_b, weight_b, color_b, grid_blocks=self.grid_blocks,
             block_size=self.block_size, origin=self.origin,
             voxel_size=self.voxel_size)
-
-        mesh = TriangleMesh(vertices=verts, faces=faces, vertex_colors=colors)
-        normals = mesh.compute_vertex_normals() if len(faces) else np.zeros_like(verts)
 
         return verts, faces, normals, colors

@@ -68,7 +68,7 @@ class TestIsosurfaceExtraction:
 
     def test_sphere_vertices_on_surface(self):
         tsdf, weight, color, voxel = self._sphere_volume()
-        verts, faces, colors = extract_isosurface(tsdf, weight, color,
+        verts, faces, colors, _ = extract_isosurface(tsdf, weight, color,
                                                   origin=np.array([0.5 * voxel - 0.5] * 3),
                                                   voxel_size=voxel)
 
@@ -81,7 +81,7 @@ class TestIsosurfaceExtraction:
     def test_sphere_is_watertight(self):
         """A closed surface: every edge must be shared by exactly two faces."""
         tsdf, weight, color, voxel = self._sphere_volume(n=32)
-        verts, faces, _ = extract_isosurface(tsdf, weight, color,
+        verts, faces, _, _ = extract_isosurface(tsdf, weight, color,
                                              origin=np.array([-0.5] * 3), voxel_size=voxel)
 
         edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
@@ -93,7 +93,7 @@ class TestIsosurfaceExtraction:
     def test_sphere_winding_consistent_outward(self):
         """Face normals should point away from the sphere centre (outward)."""
         tsdf, weight, color, voxel = self._sphere_volume(n=32)
-        verts, faces, _ = extract_isosurface(tsdf, weight, color,
+        verts, faces, _, _ = extract_isosurface(tsdf, weight, color,
                                              origin=np.array([-0.5] * 3), voxel_size=voxel)
 
         tri = verts[faces]
@@ -103,10 +103,27 @@ class TestIsosurfaceExtraction:
         outward = np.sum(normals * centroids, axis=-1)
         assert (outward > 0).mean() > 0.99
 
+    def test_sphere_vertex_normals_radial(self):
+        """Emitted normals (averaged incident-tet SDF gradients) must point
+        radially outward on a sphere, unit length."""
+        tsdf, weight, color, voxel = self._sphere_volume(n=32)
+        verts, _, _, normals = extract_isosurface(
+            tsdf, weight, color, origin=np.array([-0.5] * 3),
+            voxel_size=voxel)
+
+        lengths = np.linalg.norm(normals, axis=-1)
+        np.testing.assert_allclose(lengths, 1.0, atol=1e-3)
+
+        radial = verts / np.linalg.norm(verts, axis=-1, keepdims=True)
+        cosine = np.sum(normals * radial, axis=-1)
+        # Outward and tight: the analytic normal IS radial here.
+        assert cosine.min() > 0.9
+        assert cosine.mean() > 0.99
+
     def test_unobserved_region_produces_no_mesh(self):
         tsdf, weight, color, voxel = self._sphere_volume(n=32)
         weight[:] = 0.0
-        verts, faces, _ = extract_isosurface(tsdf, weight, color,
+        verts, faces, _, _ = extract_isosurface(tsdf, weight, color,
                                              origin=np.zeros(3), voxel_size=voxel)
         assert len(verts) == 0 and len(faces) == 0
 
@@ -114,7 +131,7 @@ class TestIsosurfaceExtraction:
         tsdf, weight, color, voxel = self._sphere_volume(n=24)
         color[..., 0] = 200.0
         color[..., 1] = 50.0
-        verts, faces, colors = extract_isosurface(tsdf, weight, color,
+        verts, faces, colors, _ = extract_isosurface(tsdf, weight, color,
                                                   origin=np.zeros(3), voxel_size=voxel)
         assert (colors[:, 0] == 200).all()
         assert (colors[:, 1] == 50).all()

@@ -351,7 +351,7 @@ class TestBlockedExtraction:
         verts_b, faces_b, _, cols_b = vol.get_mesh()
 
         tsdf, weight, color = vol._dense()
-        verts_d, faces_d, cols_d = extract_isosurface(
+        verts_d, faces_d, cols_d, _ = extract_isosurface(
             tsdf, weight, color, origin=vol.origin,
             voxel_size=vol.voxel_size)
 
