@@ -115,7 +115,9 @@ def _active_cubes_mask_blocked(tsdf_b, weight_b, *, grid_blocks, block_size):
 
     Assembles ONE dense plane (tsdf with unobserved voxels encoded as NaN —
     NaN < 0 is False and isfinite is the observed test) instead of the five
-    dense arrays the generic path would build.
+    dense arrays the generic path would build. (Kept for reference/AB — the
+    production sparse path uses the candidate-block pass below, which skips
+    the physical (nb, BV) -> (X, Y, Z) relayout this plane pays.)
     """
     nbx, nby, nbz = grid_blocks
     bx, by, bz = block_size
@@ -127,6 +129,116 @@ def _active_cubes_mask_blocked(tsdf_b, weight_b, *, grid_blocks, block_size):
     val = val.reshape(nbx * bx, nby * by, nbz * bz)
 
     return _cube_corner_reduce(jnp.isfinite(val), val < 0.0)
+
+
+@jax.jit
+def _block_codes(tsdf_b, weight_b):
+    """Per-voxel 2-bit class (0 unobserved / 1 outside / 2 inside) in the
+    block-major layout, plus the per-block any-inside flag. One elementwise
+    pass over the state — no relayout."""
+    observed = weight_b > 0
+    inside = observed & (tsdf_b < 0)
+    code = jnp.where(observed, jnp.where(inside, jnp.uint8(2), jnp.uint8(1)),
+                     jnp.uint8(0))
+    return code, jnp.any(inside, axis=1)
+
+
+@partial(jax.jit, static_argnames=("grid_blocks", "block_size"))
+def _cube_active_blocked(code_flat, cube_x, cube_y, cube_z, *, grid_blocks,
+                         block_size):
+    """Activity test (all corners observed + sign change) for explicit cube
+    bases, gathering the 2-bit codes corner-major (8, M) so no tiny minor
+    dim tile-pads."""
+    _, nby, nbz = grid_blocks
+    bx, by, bz = block_size
+    bv = bx * by * bz
+
+    off8 = jnp.asarray(CORNER_OFFSETS.T[:, :, None])                    # (3,8,1)
+    x = cube_x[None, :] + off8[0]                                        # (8, M)
+    y = cube_y[None, :] + off8[1]
+    z = cube_z[None, :] + off8[2]
+
+    block = ((x // bx) * nby + (y // by)) * nbz + (z // bz)
+    off = ((z % bz) * bx + (x % bx)) * by + (y % by)
+    code8 = jnp.take(code_flat, block * bv + off)                        # (8, M)
+
+    return (jnp.all(code8 > 0, axis=0) & jnp.any(code8 == 2, axis=0)
+            & ~jnp.all(code8 == 2, axis=0))
+
+
+def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks, block_size,
+                                 chunk: int = 1 << 20) -> np.ndarray:
+    """Sorted linear active-cube ids from block-major state, touching only
+    CANDIDATE blocks (any-inside blocks dilated one block backward: a cube
+    needs a negative corner, which can only live in an any-inside block).
+
+    Replaces the dense-plane mask for the sparse path: the plane's
+    (nb, BV) -> (X, Y, Z) relayout alone measured 5.8 s per 76M voxels on
+    this part, while surfaces typically touch a few percent of blocks.
+    """
+    nbx, nby, nbz = grid_blocks
+    bx, by, bz = block_size
+    dims = (nbx * bx, nby * by, nbz * bz)
+
+    code_b, inside_any = _block_codes(tsdf_b, weight_b)
+
+    inside3d = np.asarray(inside_any).reshape(grid_blocks)
+    cand = inside3d.copy()
+    # cand[b] |= inside[b + (dx,dy,dz)] for the 7 forward neighbors: a cube
+    # based in block b reads corners from b and its +1 neighbors only.
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                if dx or dy or dz:
+                    src = inside3d[dx:, dy:, dz:]
+                    cand[:src.shape[0], :src.shape[1], :src.shape[2]] |= src
+
+    cand_ids = np.flatnonzero(cand.reshape(-1))
+    if cand_ids.size == 0:
+        return np.zeros((0,), np.int64)
+
+    # Enumerate every cube based in a candidate block (host, vectorised).
+    cbx = (cand_ids // (nby * nbz)).astype(np.int32)
+    cby = ((cand_ids // nbz) % nby).astype(np.int32)
+    cbz = (cand_ids % nbz).astype(np.int32)
+
+    lx, ly, lz = np.meshgrid(np.arange(bx, dtype=np.int32),
+                             np.arange(by, dtype=np.int32),
+                             np.arange(bz, dtype=np.int32), indexing="ij")
+    gx = (cbx[:, None] * bx + lx.reshape(-1)[None]).reshape(-1)
+    gy = (cby[:, None] * by + ly.reshape(-1)[None]).reshape(-1)
+    gz = (cbz[:, None] * bz + lz.reshape(-1)[None]).reshape(-1)
+
+    # Cubes need a +1 corner in range.
+    keep = (gx < dims[0] - 1) & (gy < dims[1] - 1) & (gz < dims[2] - 1)
+    gx, gy, gz = gx[keep], gy[keep], gz[keep]
+
+    code_flat = code_b.reshape(-1)
+    actives = []
+    for start in range(0, len(gx), chunk):
+        cx, cy_, cz_ = (np.ascontiguousarray(g[start:start + chunk])
+                        for g in (gx, gy, gz))
+        n = len(cx)
+        if n < chunk and len(gx) > chunk:  # reuse one compiled shape
+            pad = chunk - n
+            cx, cy_, cz_ = (np.concatenate([g, np.zeros(pad, np.int32)])
+                            for g in (cx, cy_, cz_))
+        mask = np.asarray(_cube_active_blocked(
+            code_flat, jnp.asarray(cx), jnp.asarray(cy_), jnp.asarray(cz_),
+            grid_blocks=grid_blocks, block_size=block_size))[:n]
+        base = start
+        local = np.flatnonzero(mask)
+        if len(local):
+            actives.append((gx[base + local].astype(np.int64)
+                            * (dims[1] - 1) + gy[base + local])
+                           * (dims[2] - 1) + gz[base + local])
+
+    if not actives:
+        return np.zeros((0,), np.int64)
+
+    # Sorted linear order keeps emission (and so face order) identical to
+    # the dense-plane path — the blocked/dense bit-exactness contract.
+    return np.sort(np.concatenate(actives))
 
 
 # ---------------------------------------------------------------------------
@@ -583,16 +695,14 @@ def extract_isosurface_blocked(tsdf_b, weight_b, color_b, *, grid_blocks,
     block_size = tuple(int(b) for b in block_size)
     dims = tuple(g * b for g, b in zip(grid_blocks, block_size))
 
-    mask_flat = _active_cubes_mask_blocked(
-        tsdf_b, weight_b, grid_blocks=grid_blocks,
-        block_size=block_size).reshape(-1)
-    num_active = int(jnp.sum(mask_flat))
+    lin = _active_cubes_blocked_sparse(tsdf_b, weight_b,
+                                       grid_blocks=grid_blocks,
+                                       block_size=block_size)
 
-    if num_active == 0:
+    if len(lin) == 0:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
                 np.zeros((0, 3), np.uint8), np.zeros((0, 3), np.float32))
 
-    lin = _active_indices(mask_flat, num_active)
     cy, cz = (dims[1] - 1), (dims[2] - 1)
     active = np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
                       axis=-1).astype(np.int32)
