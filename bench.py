@@ -40,6 +40,7 @@ of host-side meshing on a small VM).
 import json
 import os
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -49,8 +50,13 @@ BASELINE_DEPTH_MS_PER_FRAME = 20.0   # DPT-Hybrid fp16, per-frame loop
 BASELINE_E2E_S_PER_FRAME = 10.0      # GT-data config, VGA, bg + fg meshing
 
 
-def bench_tsdf(jax, jnp):
-    """Sparse TSDF integrate throughput (voxel updates/s), median of 5."""
+def bench_tsdf(jax, jnp, small: bool = False):
+    """Sparse TSDF integrate throughput (voxel updates/s), median of 5.
+
+    ``small`` (CPU-fallback mode) shrinks the workload to a 128^3-class
+    volume x 8 frames so the bench terminates in minutes without an
+    accelerator; the throughput is still honestly computed.
+    """
     from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
 
     # Workload shape: VGA frames (the pipeline's default processing
@@ -61,7 +67,7 @@ def bench_tsdf(jax, jnp):
     # alone adds ~2.2 ms/frame); the pipeline integrates 30+ frame batches
     # in one scan, so a long scan is also the representative workload.
     height, width = 480, 640
-    num_frames = 64
+    num_frames = 8 if small else 64
 
     K = np.array([[580.0, 0, 319.5], [0, 580.0, 239.5], [0, 0, 1.0]],
                  dtype=np.float32)
@@ -85,7 +91,7 @@ def bench_tsdf(jax, jnp):
     poses[:, 0, 3] = np.linspace(0.0, 0.5, num_frames) + 0.0123
 
     bounds = np.array([[-2.0, 2.0], [-2.0, 2.0], [0.0, 4.0]], dtype=np.float32)
-    volume = SparseTSDFVolume(bounds, voxel_size=4.0 / 256)
+    volume = SparseTSDFVolume(bounds, voxel_size=4.0 / (128 if small else 256))
     num_voxels = volume.num_voxels
 
     def force():
@@ -209,11 +215,54 @@ def bench_e2e():
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _accelerator_alive(timeout_s: Optional[int] = None,
+                       retries: Optional[int] = None) -> bool:
+    """Probe the forced accelerator backend in a SUBPROCESS.
+
+    During tunnel outages an in-process attach hangs for ~45 min before
+    failing UNAVAILABLE and can never be cancelled (signals don't interrupt
+    the blocking C++ call). A subprocess probe is killable; killing an
+    attach-WAITING client is safe (the device-wedge hazard is killing
+    mid-computation). Healthy-but-busy attaches can take minutes, so the
+    per-attempt timeout is generous.
+    """
+    import subprocess
+    import sys
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("HIVE_BENCH_PROBE_TIMEOUT", "900"))
+    if retries is None:
+        retries = int(os.environ.get("HIVE_BENCH_PROBE_RETRIES", "3"))
+
+    for _ in range(retries):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.ones((8,)).sum()))"],
+                timeout=timeout_s, capture_output=True)
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
+
+
 def main():
     import jax
 
+    breakdown = {}
+
     # If the environment requests a backend that failed to register (e.g. a
     # tunnelled accelerator plugin in a stripped env), fall back to auto.
+    # If the backend registers but its device is unreachable (tunnel
+    # outage), fall back to CPU explicitly — and say so in the output —
+    # rather than hanging for the better part of an hour per jax call.
+    forced = os.environ.get("JAX_PLATFORMS", "")
+    if forced and forced != "cpu" and not _accelerator_alive():
+        jax.config.update("jax_platforms", "cpu")
+        breakdown["backend"] = "cpu-fallback (accelerator unreachable)"
+
     try:
         jax.devices()
     except RuntimeError:
@@ -227,20 +276,23 @@ def main():
 
     enable_compile_cache()
 
-    breakdown = {}
+    cpu_fallback = "backend" in breakdown
 
-    voxel_updates_per_second = bench_tsdf(jax, jnp)
+    voxel_updates_per_second = bench_tsdf(jax, jnp, small=cpu_fallback)
     breakdown["tsdf_voxel_updates_per_second"] = round(voxel_updates_per_second)
 
-    try:
-        depth_ms = bench_depth(jax, jnp)
-        breakdown["depth_ms_per_frame"] = round(depth_ms, 2)
-        breakdown["depth_vs_baseline"] = round(
-            BASELINE_DEPTH_MS_PER_FRAME / depth_ms, 3)
-    except Exception as exc:  # noqa: BLE001 — report partial results
-        breakdown["depth_error"] = f"{type(exc).__name__}: {exc}"[:200]
+    # The depth net and the e2e pipeline are pointless (hours-slow) on the
+    # CPU fallback; report the honest TSDF number alone.
+    if not cpu_fallback:
+        try:
+            depth_ms = bench_depth(jax, jnp)
+            breakdown["depth_ms_per_frame"] = round(depth_ms, 2)
+            breakdown["depth_vs_baseline"] = round(
+                BASELINE_DEPTH_MS_PER_FRAME / depth_ms, 3)
+        except Exception as exc:  # noqa: BLE001 — report partial results
+            breakdown["depth_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    if os.environ.get("HIVE_BENCH_E2E", "1") != "0":
+    if not cpu_fallback and os.environ.get("HIVE_BENCH_E2E", "1") != "0":
         try:
             e2e_s, stage_totals = bench_e2e()
             breakdown["e2e_s_per_frame"] = round(e2e_s, 2)
