@@ -216,22 +216,22 @@ def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks, block_size,
     code_flat = code_b.reshape(-1)
     actives = []
     for start in range(0, len(gx), chunk):
-        cx, cy_, cz_ = (np.ascontiguousarray(g[start:start + chunk])
-                        for g in (gx, gy, gz))
-        n = len(cx)
-        if n < chunk and len(gx) > chunk:  # reuse one compiled shape
-            pad = chunk - n
-            cx, cy_, cz_ = (np.concatenate([g, np.zeros(pad, np.int32)])
-                            for g in (cx, cy_, cz_))
+        n = min(chunk, len(gx) - start)
+        # Pad every dispatch up to a power-of-two size class (>= 4096):
+        # exact candidate counts differ per scene, and a per-count shape
+        # would compile a fresh program every extraction.
+        size = min(chunk, 1 << max(12, int(np.ceil(np.log2(n)))))
+        cx, cy_, cz_ = (np.concatenate(
+            [g[start:start + n], np.zeros(size - n, np.int32)])
+            for g in (gx, gy, gz))
         mask = np.asarray(_cube_active_blocked(
             code_flat, jnp.asarray(cx), jnp.asarray(cy_), jnp.asarray(cz_),
             grid_blocks=grid_blocks, block_size=block_size))[:n]
-        base = start
         local = np.flatnonzero(mask)
         if len(local):
-            actives.append((gx[base + local].astype(np.int64)
-                            * (dims[1] - 1) + gy[base + local])
-                           * (dims[2] - 1) + gz[base + local])
+            actives.append((gx[start + local].astype(np.int64)
+                            * (dims[1] - 1) + gy[start + local])
+                           * (dims[2] - 1) + gz[start + local])
 
     if not actives:
         return np.zeros((0,), np.int64)
