@@ -144,26 +144,51 @@ def _block_codes(tsdf_b, weight_b):
 
 
 @partial(jax.jit, static_argnames=("grid_blocks", "block_size"))
-def _cube_active_blocked(code_flat, cube_x, cube_y, cube_z, *, grid_blocks,
-                         block_size):
-    """Activity test (all corners observed + sign change) for explicit cube
-    bases, gathering the 2-bit codes corner-major (8, M) so no tiny minor
-    dim tile-pads."""
-    _, nby, nbz = grid_blocks
+def _cube_active_for_blocks(code_flat, block_ids, *, grid_blocks, block_size):
+    """(B,) candidate block ids -> (B, bv) activity mask for every cube
+    based in those blocks (local x-major order).
+
+    Activity = all 8 corners observed + a sign change. Cube bases are
+    enumerated ON DEVICE from the block ids (the host only ever touches the
+    compacted actives); corners accumulate over an 8-step loop of (B, bv)
+    elementwise ops + one code gather each, so no tiny minor dim tile-pads.
+    Cubes whose +1 corner would leave the volume are masked inactive.
+    """
+    nbx, nby, nbz = grid_blocks
     bx, by, bz = block_size
     bv = bx * by * bz
+    X, Y, Z = nbx * bx, nby * by, nbz * bz
 
-    off8 = jnp.asarray(CORNER_OFFSETS.T[:, :, None])                    # (3,8,1)
-    x = cube_x[None, :] + off8[0]                                        # (8, M)
-    y = cube_y[None, :] + off8[1]
-    z = cube_z[None, :] + off8[2]
+    cbx = block_ids // (nby * nbz)
+    cby = (block_ids // nbz) % nby
+    cbz = block_ids % nbz
 
-    block = ((x // bx) * nby + (y // by)) * nbz + (z // bz)
-    off = ((z % bz) * bx + (x % bx)) * by + (y % by)
-    code8 = jnp.take(code_flat, block * bv + off)                        # (8, M)
+    lidx = jnp.arange(bv, dtype=jnp.int32)
+    lx = lidx // (by * bz)
+    ly = (lidx // bz) % by
+    lz = lidx % bz
 
-    return (jnp.all(code8 > 0, axis=0) & jnp.any(code8 == 2, axis=0)
-            & ~jnp.all(code8 == 2, axis=0))
+    x = cbx[:, None] * bx + lx[None, :]                                  # (B, bv)
+    y = cby[:, None] * by + ly[None, :]
+    z = cbz[:, None] * bz + lz[None, :]
+
+    in_range = (x < X - 1) & (y < Y - 1) & (z < Z - 1)
+
+    all_observed = jnp.bool_(True)
+    any_inside = jnp.bool_(False)
+    all_inside = jnp.bool_(True)
+    for dx, dy, dz in CORNER_OFFSETS:
+        cx, cy_, cz_ = x + int(dx), y + int(dy), z + int(dz)
+        block = ((cx // bx) * nby + (cy_ // by)) * nbz + (cz_ // bz)
+        off = ((cz_ % bz) * bx + (cx % bx)) * by + (cy_ % by)
+        code = jnp.take(code_flat, jnp.minimum(block * bv + off,
+                                               code_flat.shape[0] - 1))
+        all_observed = all_observed & (code > 0)
+        inside = code == 2
+        any_inside = any_inside | inside
+        all_inside = all_inside & inside
+
+    return in_range & all_observed & any_inside & ~all_inside
 
 
 def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks, block_size,
@@ -193,45 +218,37 @@ def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks, block_size,
                     src = inside3d[dx:, dy:, dz:]
                     cand[:src.shape[0], :src.shape[1], :src.shape[2]] |= src
 
-    cand_ids = np.flatnonzero(cand.reshape(-1))
+    cand_ids = np.flatnonzero(cand.reshape(-1)).astype(np.int32)
     if cand_ids.size == 0:
         return np.zeros((0,), np.int64)
 
-    # Enumerate every cube based in a candidate block (host, vectorised).
-    cbx = (cand_ids // (nby * nbz)).astype(np.int32)
-    cby = ((cand_ids // nbz) % nby).astype(np.int32)
-    cbz = (cand_ids % nbz).astype(np.int32)
-
-    lx, ly, lz = np.meshgrid(np.arange(bx, dtype=np.int32),
-                             np.arange(by, dtype=np.int32),
-                             np.arange(bz, dtype=np.int32), indexing="ij")
-    gx = (cbx[:, None] * bx + lx.reshape(-1)[None]).reshape(-1)
-    gy = (cby[:, None] * by + ly.reshape(-1)[None]).reshape(-1)
-    gz = (cbz[:, None] * bz + lz.reshape(-1)[None]).reshape(-1)
-
-    # Cubes need a +1 corner in range.
-    keep = (gx < dims[0] - 1) & (gy < dims[1] - 1) & (gz < dims[2] - 1)
-    gx, gy, gz = gx[keep], gy[keep], gz[keep]
+    bv = bx * by * bz
+    block_chunk = max(64, chunk // bv)  # blocks per dispatch
 
     code_flat = code_b.reshape(-1)
     actives = []
-    for start in range(0, len(gx), chunk):
-        n = min(chunk, len(gx) - start)
-        # Pad every dispatch up to a power-of-two size class (>= 4096):
-        # exact candidate counts differ per scene, and a per-count shape
-        # would compile a fresh program every extraction.
-        size = min(chunk, 1 << max(12, int(np.ceil(np.log2(n)))))
-        cx, cy_, cz_ = (np.concatenate(
-            [g[start:start + n], np.zeros(size - n, np.int32)])
-            for g in (gx, gy, gz))
-        mask = np.asarray(_cube_active_blocked(
-            code_flat, jnp.asarray(cx), jnp.asarray(cy_), jnp.asarray(cz_),
-            grid_blocks=grid_blocks, block_size=block_size))[:n]
-        local = np.flatnonzero(mask)
-        if len(local):
-            actives.append((gx[start + local].astype(np.int64)
-                            * (dims[1] - 1) + gy[start + local])
-                           * (dims[2] - 1) + gz[start + local])
+    for start in range(0, len(cand_ids), block_chunk):
+        n = min(block_chunk, len(cand_ids) - start)
+        # Pad every dispatch up to a power-of-two size class: exact
+        # candidate counts differ per scene, and a per-count shape would
+        # compile a fresh program every extraction. Padding repeats block 0
+        # — its duplicate actives are trimmed by the [:n] slice.
+        size = min(block_chunk, 1 << max(6, int(np.ceil(np.log2(n)))))
+        ids = np.zeros(size, np.int32)
+        ids[:n] = cand_ids[start:start + n]
+        mask = np.asarray(_cube_active_for_blocks(
+            code_flat, jnp.asarray(ids), grid_blocks=grid_blocks,
+            block_size=block_size))[:n]                         # (n, bv)
+
+        flat = np.flatnonzero(mask)
+        if len(flat):
+            blk = cand_ids[start + flat // bv].astype(np.int64)
+            loc = flat % bv
+            # block coords + local x-major offsets -> global voxel coords
+            gx = (blk // (nby * nbz)) * bx + loc // (by * bz)
+            gy = ((blk // nbz) % nby) * by + (loc // bz) % by
+            gz = (blk % nbz) * bz + loc % bz
+            actives.append((gx * (dims[1] - 1) + gy) * (dims[2] - 1) + gz)
 
     if not actives:
         return np.zeros((0,), np.int64)
