@@ -179,13 +179,42 @@ class Pipeline:
             else:
                 self.options.num_frames = min(self.num_frames, dataset.num_frames)
 
-        with self.timed_block("Creating background mesh(es)...",
-                              ["timing", "background_reconstruction", "total"]):
-            background_scene = self._create_background_scene(dataset)
+        # Foreground meshing is pure host work (numpy/cv2 release the GIL);
+        # background reconstruction mostly blocks on the device. Run them
+        # concurrently so the host meshes frames while the TPU integrates —
+        # the host core is otherwise idle for the whole background stage.
+        # Each stage keeps its own wall-clock timer (their sum can exceed
+        # the run's wall time, like the reference's per-frame thread pool).
+        from concurrent.futures import ThreadPoolExecutor
 
-        with self.timed_block("Creating foreground mesh(es)...",
-                              ["timing", "foreground_reconstruction", "total"]):
-            foreground_scene = self._create_foreground_scene(dataset)
+        def foreground_job():
+            with self.timed_block(
+                    "Creating foreground mesh(es)...",
+                    ["timing", "foreground_reconstruction", "total"]):
+                return self._create_foreground_scene(dataset)
+
+        # EXCEPT when foreground trajectory smoothing is on: it temporarily
+        # swaps the dataset's trajectory (temporary_trajectory), which the
+        # background integration reads concurrently.
+        overlap = self.fts_options.num_epochs <= 0
+
+        if overlap:
+            with ThreadPoolExecutor(max_workers=1) as overlap_pool:
+                foreground_future = overlap_pool.submit(foreground_job)
+
+                with self.timed_block("Creating background mesh(es)...",
+                                      ["timing", "background_reconstruction",
+                                       "total"]):
+                    background_scene = self._create_background_scene(dataset)
+
+                foreground_scene = foreground_future.result()
+        else:
+            with self.timed_block("Creating background mesh(es)...",
+                                  ["timing", "background_reconstruction",
+                                   "total"]):
+                background_scene = self._create_background_scene(dataset)
+
+            foreground_scene = foreground_job()
 
         with self.timed_block("Centering foreground and background scenes...",
                               ["timing", "scene_centering"]):
