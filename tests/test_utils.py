@@ -86,6 +86,42 @@ class TestTqdmImap:
         result = tqdm_imap(lambda x: x * x, range(10), show_progress=False)
         assert result == [x * x for x in range(10)]
 
+    def test_multi_worker_preserves_order(self):
+        """Frames are embarrassingly parallel; with a genuinely concurrent
+        pool and jittered task durations the output order must still match
+        the input order (reference hive/utils.py:77-105 contract)."""
+        import threading
+        import time
+
+        seen_threads = set()
+
+        def work(x):
+            seen_threads.add(threading.get_ident())
+            time.sleep(0.005 * ((x * 7) % 4))
+            return x * x
+
+        result = tqdm_imap(work, range(24), num_workers=4, show_progress=False)
+
+        assert result == [x * x for x in range(24)]
+        assert len(seen_threads) > 1  # the pool really fanned out
+
+    def test_env_var_pins_pool_width(self, monkeypatch):
+        import threading
+        import time
+
+        monkeypatch.setenv("HIVE_NUM_WORKERS", "3")
+        seen_threads = set()
+
+        def work(x):
+            seen_threads.add(threading.get_ident())
+            time.sleep(0.005)
+            return x
+
+        result = tqdm_imap(work, range(12), show_progress=False)
+
+        assert result == list(range(12))
+        assert len(seen_threads) <= 3
+
 
 class TestTempSeed:
     def test_restores_state(self):
