@@ -39,6 +39,7 @@ of host-side meshing on a small VM).
 
 import json
 import os
+import signal
 import time
 from typing import Optional
 
@@ -235,16 +236,26 @@ def _accelerator_alive(timeout_s: Optional[int] = None,
         retries = int(os.environ.get("HIVE_BENCH_PROBE_RETRIES", "3"))
 
     for _ in range(retries):
+        # Popen + killpg rather than subprocess.run(capture_output=...): on
+        # timeout, run() kills only the direct child and then blocks in a
+        # timeout-less communicate() until pipe EOF — which never comes if an
+        # attach helper process inherited the pipes. A fresh session lets us
+        # kill the whole group and close our pipe ends unconditionally.
+        proc = subprocess.Popen(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.ones((8,)).sum()))"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True)
         try:
-            proc = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "print(float(jnp.ones((8,)).sum()))"],
-                timeout=timeout_s, capture_output=True)
-            if proc.returncode == 0:
+            if proc.wait(timeout=timeout_s) == 0:
                 return True
         except subprocess.TimeoutExpired:
-            pass
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            proc.wait()
     return False
 
 

@@ -131,6 +131,19 @@ def _active_cubes_mask_blocked(tsdf_b, weight_b, *, grid_blocks, block_size):
     return _cube_corner_reduce(jnp.isfinite(val), val < 0.0)
 
 
+def _state_voxel_address(x, y, z, *, grid_blocks, block_size):
+    """Global voxel coords -> (block id, in-block offset) for the block-major
+    sparse state. THE single definition of the storage addressing used by
+    extraction: block = ((x//Bx)*nby + y//By)*nbz + z//Bz, in-block order
+    Z-MAJOR (i = iz*Bx*By + ix*By + iy — set by tsdf_sparse._build_integrator,
+    where z-slabs must be contiguous for the banded update)."""
+    _, nby, nbz = grid_blocks
+    bx, by, bz = block_size
+    block = ((x // bx) * nby + (y // by)) * nbz + (z // bz)
+    off = ((z % bz) * bx + (x % bx)) * by + (y % by)
+    return block, off
+
+
 @jax.jit
 def _block_codes(tsdf_b, weight_b):
     """Per-voxel 2-bit class (0 unobserved / 1 outside / 2 inside) in the
@@ -179,8 +192,8 @@ def _cube_active_for_blocks(code_flat, block_ids, *, grid_blocks, block_size):
     all_inside = jnp.bool_(True)
     for dx, dy, dz in CORNER_OFFSETS:
         cx, cy_, cz_ = x + int(dx), y + int(dy), z + int(dz)
-        block = ((cx // bx) * nby + (cy_ // by)) * nbz + (cz_ // bz)
-        off = ((cz_ % bz) * bx + (cx % bx)) * by + (cy_ % by)
+        block, off = _state_voxel_address(cx, cy_, cz_, grid_blocks=grid_blocks,
+                                          block_size=block_size)
         code = jnp.take(code_flat, jnp.minimum(block * bv + off,
                                                code_flat.shape[0] - 1))
         all_observed = all_observed & (code > 0)
@@ -331,17 +344,14 @@ def _emit_triangles_blocked(tsdf_b_flat, color_b_flat, cube_idx, valid_count, *,
     state.color.reshape(-1) with per-block R|G|B channel segments
     (hive_tpu.ops.tsdf_sparse storage layout).
     """
-    _, nby, nbz = grid_blocks
     bx, by, bz = block_size
     bv = bx * by * bz
 
     xyz = cube_idx[:, :, None] + jnp.asarray(CORNER_OFFSETS.T)[None]     # (M,3,8)
     x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]                            # (M,8)
 
-    block = ((x // bx) * nby + (y // by)) * nbz + (z // bz)
-    # In-block voxel order is Z-MAJOR (hive_tpu.ops.tsdf_sparse layout:
-    # i = iz*Bx*By + ix*By + iy — z-slabs contiguous for banded updates).
-    off = ((z % bz) * bx + (x % bx)) * by + (y % by)
+    block, off = _state_voxel_address(x, y, z, grid_blocks=grid_blocks,
+                                      block_size=block_size)
 
     s8 = jnp.take(tsdf_b_flat, block * bv + off).astype(jnp.float32)
 
@@ -514,8 +524,9 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     return packed_lanes, count
 
 
-def extract_isosurface(tsdf, weight, color, origin, voxel_size: float,
-                       chunk_size: int = 1 << 15) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def extract_isosurface(
+        tsdf, weight, color, origin, voxel_size: float, chunk_size: int = 1 << 15,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Extract the zero level set of a TSDF volume.
 
     :param tsdf: (X, Y, Z) signed distances (device or host array).

@@ -198,16 +198,36 @@ class Pipeline:
         # background integration reads concurrently.
         overlap = self.fts_options.num_epochs <= 0
 
-        if overlap:
-            with ThreadPoolExecutor(max_workers=1) as overlap_pool:
-                foreground_future = overlap_pool.submit(foreground_job)
+        # With overlap on, both stage timers record wall time that includes
+        # the other stage's host contention (acute on 1-core hosts); flag it
+        # so profiling.json consumers don't read the stage split as exclusive.
+        set_key_path(self.profiling, ["timing", "stages_overlapped"], overlap)
 
+        if overlap:
+            overlap_pool = ThreadPoolExecutor(max_workers=1)
+            foreground_future = overlap_pool.submit(foreground_job)
+
+            try:
                 with self.timed_block("Creating background mesh(es)...",
                                       ["timing", "background_reconstruction",
                                        "total"]):
                     background_scene = self._create_background_scene(dataset)
+            except BaseException:
+                # Surface the background error now instead of blocking on the
+                # rest of the foreground stage, and don't drop a concurrent
+                # foreground failure — a running job can't be cancelled, so
+                # log it whenever it finishes.
+                def _log_foreground_failure(future):
+                    if not future.cancelled() and future.exception() is not None:
+                        logging.error("Foreground stage also failed: "
+                                      f"{future.exception()!r}")
 
-                foreground_scene = foreground_future.result()
+                foreground_future.add_done_callback(_log_foreground_failure)
+                overlap_pool.shutdown(wait=False, cancel_futures=True)
+                raise
+
+            foreground_scene = foreground_future.result()
+            overlap_pool.shutdown()
         else:
             with self.timed_block("Creating background mesh(es)...",
                                   ["timing", "background_reconstruction",
