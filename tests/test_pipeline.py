@@ -199,3 +199,82 @@ class TestHostParallelMeshing:
                 # Exactly the single moving blob (object id 1) per frame.
                 assert list(per_object[index].keys()) == [1]
                 assert per_object[index][1] >= 0.0
+
+
+class TestStageOverlapErrorHandling:
+    """A background-stage failure must propagate promptly (not wait for the
+    whole foreground stage) and must not swallow a concurrent foreground
+    failure (it is logged when the job finishes)."""
+
+    def _make_pipeline(self, tmp_path):
+        dataset_path = make_synthetic_hive_dataset(tmp_path / "ds", num_frames=2)
+        pipeline = Pipeline(
+            options=PipelineOptions(num_frames=-1, log_file=str(tmp_path / "l.log")),
+            storage_options=StorageOptions(dataset_path=dataset_path,
+                                           output_path=str(tmp_path / "out"),
+                                           overwrite_ok=True),
+            static_mesh_options=BackgroundMeshOptions(sdf_voxel_size=0.05,
+                                                      sdf_max_voxels=4_000_000,
+                                                      depth_mask_dilation_iterations=2),
+            webxr_options=WebXROptions(webxr_path=str(tmp_path / "webxr")),
+        )
+        return pipeline, HiveDataset(dataset_path)
+
+    def test_background_error_propagates_and_fg_failure_logged(self, tmp_path):
+        import logging as _logging
+        import threading
+        import time
+
+        pipeline, dataset = self._make_pipeline(tmp_path)
+
+        fg_started = threading.Event()
+
+        def slow_failing_foreground(*args, **kwargs):
+            fg_started.set()
+            time.sleep(0.5)
+            raise ValueError("foreground boom")
+
+        def failing_background(*args, **kwargs):
+            fg_started.wait(timeout=10.0)
+            raise RuntimeError("background boom")
+
+        pipeline._create_foreground_scene = slow_failing_foreground
+        pipeline._create_background_scene = failing_background
+
+        # Own handler on the root logger: setup_logger (run in the Pipeline
+        # constructor) rebuilds root handlers, which evicts pytest's caplog.
+        records = []
+
+        class _Collect(_logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        collector = _Collect(level=_logging.ERROR)
+        _logging.getLogger().addHandler(collector)
+        try:
+            start = time.time()
+            with pytest.raises(RuntimeError, match="background boom"):
+                pipeline.run(dataset=dataset)
+            elapsed = time.time() - start
+
+            # The raise must not have waited on a foreground stage that keeps
+            # running long after the error (bounded well under the fg sleep +
+            # run overhead if it had blocked on pool shutdown).
+            assert elapsed < 30.0
+
+            # The concurrent foreground failure surfaces in the log once the
+            # (uncancellable) job finishes.
+            deadline = time.time() + 5.0
+            while time.time() < deadline:
+                if any("Foreground stage also failed" in m for m in records):
+                    break
+                time.sleep(0.05)
+            assert any("Foreground stage also failed" in m and "foreground boom" in m
+                       for m in records)
+        finally:
+            _logging.getLogger().removeHandler(collector)
+
+    def test_overlap_flag_recorded(self, tmp_path):
+        pipeline, dataset = self._make_pipeline(tmp_path)
+        pipeline.run(dataset=dataset)
+        assert pipeline.profiling["timing"]["stages_overlapped"] is True
