@@ -39,7 +39,6 @@ of host-side meshing on a small VM).
 
 import json
 import os
-import signal
 import time
 from typing import Optional
 
@@ -218,45 +217,9 @@ def bench_e2e():
 
 def _accelerator_alive(timeout_s: Optional[int] = None,
                        retries: Optional[int] = None) -> bool:
-    """Probe the forced accelerator backend in a SUBPROCESS.
+    from hive_tpu.utils import accelerator_alive
 
-    During tunnel outages an in-process attach hangs for ~45 min before
-    failing UNAVAILABLE and can never be cancelled (signals don't interrupt
-    the blocking C++ call). A subprocess probe is killable; killing an
-    attach-WAITING client is safe (the device-wedge hazard is killing
-    mid-computation). Healthy-but-busy attaches can take minutes, so the
-    per-attempt timeout is generous.
-    """
-    import subprocess
-    import sys
-
-    if timeout_s is None:
-        timeout_s = int(os.environ.get("HIVE_BENCH_PROBE_TIMEOUT", "900"))
-    if retries is None:
-        retries = int(os.environ.get("HIVE_BENCH_PROBE_RETRIES", "3"))
-
-    for _ in range(retries):
-        # Popen + killpg rather than subprocess.run(capture_output=...): on
-        # timeout, run() kills only the direct child and then blocks in a
-        # timeout-less communicate() until pipe EOF — which never comes if an
-        # attach helper process inherited the pipes. A fresh session lets us
-        # kill the whole group and close our pipe ends unconditionally.
-        proc = subprocess.Popen(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "print(float(jnp.ones((8,)).sum()))"],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            start_new_session=True)
-        try:
-            if proc.wait(timeout=timeout_s) == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            try:
-                os.killpg(proc.pid, signal.SIGKILL)
-            except (ProcessLookupError, PermissionError):
-                pass
-            proc.wait()
-    return False
+    return accelerator_alive(timeout_s=timeout_s, retries=retries)
 
 
 def main():

@@ -154,8 +154,11 @@ class Pipeline:
         # Multi-device runtime: every shardable stage (TSDF integration, DPT
         # depth batches, pose residuals) picks this mesh up automatically.
         from hive_tpu.parallel.runtime import configure
-        from hive_tpu.utils import enable_compile_cache
+        from hive_tpu.utils import enable_compile_cache, ensure_responsive_backend
 
+        # Outage detection BEFORE any backend init: a dead tunnelled
+        # accelerator otherwise hangs the first device op for ~45 min.
+        ensure_responsive_backend()
         configure(self.options.num_devices)
         enable_compile_cache()
 

@@ -142,6 +142,83 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
         logging.debug(f"Could not enable the compilation cache: {exc}")
 
 
+def accelerator_alive(timeout_s: Optional[int] = None,
+                      retries: Optional[int] = None) -> bool:
+    """Probe the forced accelerator backend in a KILLABLE subprocess.
+
+    During tunnel outages an in-process attach hangs for ~45 min before
+    failing UNAVAILABLE and cannot be cancelled (signals don't interrupt the
+    blocking C++ call). A subprocess probe is killable; killing an
+    attach-WAITING client is safe (the device-wedge hazard is killing
+    mid-computation). Healthy-but-busy attaches can take minutes, so the
+    per-attempt timeout is generous. The child runs in its own session and
+    the whole group is killed on timeout — attach helper processes must not
+    keep the probe's pipes (and so the caller) alive.
+    """
+    import signal
+    import subprocess
+    import sys
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("HIVE_BENCH_PROBE_TIMEOUT", "900"))
+    if retries is None:
+        retries = int(os.environ.get("HIVE_BENCH_PROBE_RETRIES", "3"))
+
+    for _ in range(retries):
+        proc = subprocess.Popen(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.ones((8,)).sum()))"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True)
+        try:
+            if proc.wait(timeout=timeout_s) == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            proc.wait()
+    return False
+
+
+def ensure_responsive_backend() -> bool:
+    """Fall back to CPU (with a warning) when the forced accelerator backend
+    is unreachable, instead of hanging for ~45 min at the first device op.
+
+    Must run BEFORE JAX initialises its backends (config updates are ignored
+    afterwards). Returns True when the fallback was taken. Opt out with
+    HIVE_PROBE_ACCELERATOR=0 (the probe itself pays one extra attach, which
+    on a busy-but-healthy tunnel can take minutes).
+    """
+    forced = os.environ.get("JAX_PLATFORMS", "")
+
+    if (not forced or forced == "cpu"
+            or os.environ.get("HIVE_PROBE_ACCELERATOR", "1") == "0"):
+        return False
+
+    import jax
+
+    # A caller that already forced CPU via jax.config (the reliable switch —
+    # the env var alone doesn't stop the sitecustomize-registered backend)
+    # needs no probe.
+    if getattr(jax.config, "jax_platforms", None) == "cpu":
+        return False
+
+    if accelerator_alive():
+        return False
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:  # backends already initialised; too late to switch
+        return False
+
+    logging.warning(f"Accelerator backend '{forced}' is unreachable "
+                    "(tunnel outage?) — running this process on CPU.")
+    return True
+
+
 @contextlib.contextmanager
 def temp_seed(seed: int):
     """Temporarily seed NumPy's global RNG."""

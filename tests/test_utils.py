@@ -174,3 +174,34 @@ class TestInterfaceForm:
         assert pipeline.options.num_frames == 5
         assert pipeline.options.estimate_depth is True
         assert pipeline.storage_options.dataset_path == "in"
+
+
+class TestEnsureResponsiveBackend:
+    """Outage fallback (utils.ensure_responsive_backend): never probes when
+    CPU is already forced, falls back to CPU when the accelerator is dead."""
+
+    def test_no_probe_when_env_forces_cpu(self, monkeypatch):
+        from hive_tpu import utils
+
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        monkeypatch.setattr(utils, "accelerator_alive",
+                            lambda **kw: pytest.fail("must not probe"))
+        assert utils.ensure_responsive_backend() is False
+
+    def test_no_probe_when_config_forces_cpu(self, monkeypatch):
+        from hive_tpu import utils
+
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setattr(utils, "accelerator_alive",
+                            lambda **kw: pytest.fail("must not probe"))
+        # conftest already pinned jax.config to cpu for the whole suite.
+        assert utils.ensure_responsive_backend() is False
+
+    def test_opt_out_env(self, monkeypatch):
+        from hive_tpu import utils
+
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")
+        monkeypatch.setenv("HIVE_PROBE_ACCELERATOR", "0")
+        monkeypatch.setattr(utils, "accelerator_alive",
+                            lambda **kw: pytest.fail("must not probe"))
+        assert utils.ensure_responsive_backend() is False
