@@ -23,9 +23,12 @@ _GLB_MAGIC = 0x46546C67  # 'glTF'
 _CHUNK_JSON = 0x4E4F534A
 _CHUNK_BIN = 0x004E4942
 
-_FLOAT = 5126
+_BYTE = 5120
 _UBYTE = 5121
+_SHORT = 5122
+_USHORT = 5123
 _UINT = 5125
+_FLOAT = 5126
 
 _ARRAY_BUFFER = 34962
 _ELEMENT_ARRAY_BUFFER = 34963
@@ -63,8 +66,19 @@ class _BufferBuilder:
         return blob + b"\x00" * padding
 
 
-def export_scene(scene: Scene, output_path: str):
-    """Write a :class:`Scene` as a binary glTF file."""
+def export_scene(scene: Scene, output_path: str, quantize: bool = False):
+    """Write a :class:`Scene` as a binary glTF file.
+
+    With ``quantize=True`` vertex attributes are stored quantized under the
+    standard ``KHR_mesh_quantization`` extension (supported by conforming
+    renderers, e.g. three.js): positions as normalized uint16 on a UNIFORM
+    per-mesh grid (the node carries the dequantizing translation + scale —
+    uniform so normals need no inverse-transpose correction), normals as
+    normalized int8, UVs as normalized uint16, and face indices as uint16
+    whenever the mesh has < 65536 vertices. This is the native fallback for
+    the reference's draco_transcoder stage (ref hive/pipeline.py:938-980)
+    when the external binary is unavailable.
+    """
     builder = _BufferBuilder()
     accessors: List[dict] = []
     meshes: List[dict] = []
@@ -91,22 +105,56 @@ def export_scene(scene: Scene, output_path: str):
             continue
 
         positions = np.ascontiguousarray(mesh.vertices, dtype=np.float32)
-        pos_view = builder.add_view(positions.tobytes(), target=_ARRAY_BUFFER)
-        pos_acc = add_accessor(pos_view, _FLOAT, len(positions), "VEC3",
-                               minmax=(positions.min(axis=0).tolist(),
-                                       positions.max(axis=0).tolist()))
+        node_transform = {}
 
-        indices = np.ascontiguousarray(mesh.faces.reshape(-1), dtype=np.uint32)
-        idx_view = builder.add_view(indices.tobytes(), target=_ELEMENT_ARRAY_BUFFER)
-        idx_acc = add_accessor(idx_view, _UINT, len(indices), "SCALAR")
+        if quantize:
+            lo = positions.min(axis=0)
+            extent = float(max(positions.max(axis=0) - lo)) or 1.0
+            q = np.round((positions - lo) / extent * 65535.0)
+            q4 = np.zeros((len(q), 4), dtype=np.uint16)  # stride padded to 8B
+            q4[:, :3] = np.clip(q, 0, 65535)
+
+            pos_view = builder.add_view(q4.tobytes(), target=_ARRAY_BUFFER,
+                                        byte_stride=8)
+            pos_acc = add_accessor(pos_view, _USHORT, len(q4), "VEC3",
+                                   normalized=True,
+                                   minmax=(q4[:, :3].min(axis=0).tolist(),
+                                           q4[:, :3].max(axis=0).tolist()))
+            # Dequantize: p = translation + scale * (stored / 65535).
+            node_transform = {"translation": lo.astype(float).tolist(),
+                              "scale": [extent] * 3}
+        else:
+            pos_view = builder.add_view(positions.tobytes(), target=_ARRAY_BUFFER)
+            pos_acc = add_accessor(pos_view, _FLOAT, len(positions), "VEC3",
+                                   minmax=(positions.min(axis=0).tolist(),
+                                           positions.max(axis=0).tolist()))
+
+        if quantize and len(positions) < 65536:
+            indices16 = np.ascontiguousarray(mesh.faces.reshape(-1), dtype=np.uint16)
+            idx_view = builder.add_view(indices16.tobytes(),
+                                        target=_ELEMENT_ARRAY_BUFFER)
+            idx_acc = add_accessor(idx_view, _USHORT, len(indices16), "SCALAR")
+        else:
+            indices = np.ascontiguousarray(mesh.faces.reshape(-1), dtype=np.uint32)
+            idx_view = builder.add_view(indices.tobytes(), target=_ELEMENT_ARRAY_BUFFER)
+            idx_acc = add_accessor(idx_view, _UINT, len(indices), "SCALAR")
 
         attributes = {"POSITION": pos_acc}
         primitive = {"attributes": attributes, "indices": idx_acc, "mode": 4}
 
         if mesh.vertex_normals is not None:
             normals = np.ascontiguousarray(mesh.vertex_normals, dtype=np.float32)
-            norm_view = builder.add_view(normals.tobytes(), target=_ARRAY_BUFFER)
-            attributes["NORMAL"] = add_accessor(norm_view, _FLOAT, len(normals), "VEC3")
+            if quantize:
+                n4 = np.zeros((len(normals), 4), dtype=np.int8)  # stride 4B
+                n4[:, :3] = np.clip(np.round(normals * 127.0), -127, 127)
+                norm_view = builder.add_view(n4.tobytes(), target=_ARRAY_BUFFER,
+                                             byte_stride=4)
+                attributes["NORMAL"] = add_accessor(norm_view, _BYTE, len(n4),
+                                                    "VEC3", normalized=True)
+            else:
+                norm_view = builder.add_view(normals.tobytes(), target=_ARRAY_BUFFER)
+                attributes["NORMAL"] = add_accessor(norm_view, _FLOAT,
+                                                    len(normals), "VEC3")
 
         if mesh.vertex_colors is not None:
             rgba = mesh.vertex_colors
@@ -123,8 +171,16 @@ def export_scene(scene: Scene, output_path: str):
             # internal convention, hive/pipeline.py:866); glTF uses top-left.
             uv = np.ascontiguousarray(mesh.uv, dtype=np.float32).copy()
             uv[:, 1] = 1.0 - uv[:, 1]
-            uv_view = builder.add_view(uv.tobytes(), target=_ARRAY_BUFFER)
-            attributes["TEXCOORD_0"] = add_accessor(uv_view, _FLOAT, len(uv), "VEC2")
+            if quantize:
+                uv16 = np.clip(np.round(uv * 65535.0), 0, 65535).astype(np.uint16)
+                uv_view = builder.add_view(uv16.tobytes(), target=_ARRAY_BUFFER)
+                attributes["TEXCOORD_0"] = add_accessor(uv_view, _USHORT,
+                                                        len(uv16), "VEC2",
+                                                        normalized=True)
+            else:
+                uv_view = builder.add_view(uv.tobytes(), target=_ARRAY_BUFFER)
+                attributes["TEXCOORD_0"] = add_accessor(uv_view, _FLOAT, len(uv),
+                                                        "VEC2")
 
             png = io.BytesIO()
             Image.fromarray(mesh.texture.astype(np.uint8)).save(png, format="PNG")
@@ -154,7 +210,7 @@ def export_scene(scene: Scene, output_path: str):
             primitive["material"] = len(materials) - 1
 
         meshes.append({"primitives": [primitive], "name": name})
-        nodes.append({"mesh": len(meshes) - 1, "name": name})
+        nodes.append({"mesh": len(meshes) - 1, "name": name, **node_transform})
 
     gltf: Dict = {
         "asset": {"version": "2.0", "generator": "hive_tpu"},
@@ -166,6 +222,10 @@ def export_scene(scene: Scene, output_path: str):
         "bufferViews": builder.views,
         "buffers": [{"byteLength": len(builder.tobytes())}],
     }
+
+    if quantize:
+        gltf["extensionsUsed"] = ["KHR_mesh_quantization"]
+        gltf["extensionsRequired"] = ["KHR_mesh_quantization"]
 
     if materials:
         gltf["materials"] = materials
@@ -225,12 +285,42 @@ def load_glb(path: str) -> Scene:
         view = gltf["bufferViews"][accessor["bufferView"]]
         dtype = _COMPONENT_DTYPES[accessor["componentType"]]
         width = _TYPE_WIDTHS[accessor["type"]]
+        count = accessor["count"]
 
         start = view.get("byteOffset", 0) + accessor.get("byteOffset", 0)
-        count = accessor["count"] * width
-        data = np.frombuffer(binary, dtype=dtype, count=count, offset=start)
+        itemsize = np.dtype(dtype).itemsize
+        stride_elems = view.get("byteStride", width * itemsize) // itemsize
 
-        return data.reshape(accessor["count"], width) if width > 1 else data
+        data = np.frombuffer(binary, dtype=dtype,
+                             count=(count - 1) * stride_elems + width,
+                             offset=start)
+        if stride_elems != width:  # quantized attributes pad to 4B elements
+            # The final element carries only ``width`` components; pad the
+            # tail so the strided reshape is rectangular.
+            full = np.zeros(count * stride_elems, dtype=dtype)
+            full[:data.size] = data
+            data = full.reshape(count, stride_elems)[:, :width].reshape(-1)
+
+        data = data.reshape(count, width) if width > 1 else data
+
+        if accessor.get("normalized") and not np.issubdtype(dtype, np.floating):
+            info = np.iinfo(dtype)
+            denom = float(info.max)
+            data = data.astype(np.float32) / denom
+            if info.min < 0:
+                data = np.maximum(data, -1.0)
+
+        return data
+
+    def dequantized_positions(attributes: dict, node: dict) -> np.ndarray:
+        positions = read_accessor(attributes["POSITION"]).astype(np.float32)
+        # KHR_mesh_quantization exports carry the dequantizing transform on
+        # the node (uniform scale, see export_scene).
+        if "scale" in node:
+            positions = positions * np.asarray(node["scale"], np.float32)
+        if "translation" in node:
+            positions = positions + np.asarray(node["translation"], np.float32)
+        return positions
 
     scene = Scene()
 
@@ -242,16 +332,21 @@ def load_glb(path: str) -> Scene:
         primitive = mesh_spec["primitives"][0]
         attributes = primitive["attributes"]
 
-        vertices = read_accessor(attributes["POSITION"]).astype(np.float32)
+        vertices = dequantized_positions(attributes, node)
         faces = read_accessor(primitive["indices"]).reshape(-1, 3).astype(np.int64)
 
         mesh = TriangleMesh(vertices=vertices, faces=faces)
 
         if "NORMAL" in attributes:
-            mesh.vertex_normals = read_accessor(attributes["NORMAL"]).astype(np.float32)
+            normals = read_accessor(attributes["NORMAL"]).astype(np.float32)
+            norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+            mesh.vertex_normals = normals / np.maximum(norm, 1e-12)
 
         if "COLOR_0" in attributes:
-            mesh.vertex_colors = read_accessor(attributes["COLOR_0"]).astype(np.uint8)
+            colors = read_accessor(attributes["COLOR_0"])
+            if colors.dtype != np.uint8:  # normalized accessor -> back to u8
+                colors = np.round(colors * 255.0)
+            mesh.vertex_colors = colors.astype(np.uint8)
 
         if "TEXCOORD_0" in attributes:
             uv = read_accessor(attributes["TEXCOORD_0"]).astype(np.float32).copy()
@@ -270,3 +365,23 @@ def load_glb(path: str) -> Scene:
         scene.add_geometry(mesh, node_name=node.get("name", f"node_{len(scene.geometry)}"))
 
     return scene
+
+
+def quantize_glb(path: str, output_path: Optional[str] = None) -> Tuple[int, int]:
+    """Re-encode a .glb with quantized vertex attributes (KHR_mesh_quantization).
+
+    The native fallback for the reference's external draco_transcoder
+    compression stage (ref hive/pipeline.py:938-980): positions uint16 on a
+    uniform grid, normals int8, UVs uint16, uint16 indices for small meshes.
+    Lossy only below the export's practical precision (sub-0.1 mm positions
+    at room scale, ~0.5° normals).
+
+    :return: (bytes before, bytes after).
+    """
+    import os
+
+    size_before = os.path.getsize(path)
+    scene = load_glb(path)
+    export_scene(scene, output_path or path, quantize=True)
+
+    return size_before, os.path.getsize(output_path or path)

@@ -749,24 +749,31 @@ class Pipeline:
         return output_path
 
     def _compress_with_draco(self, path_to_glb: str):
-        """Compress a .glb with the external draco_transcoder (optional)."""
-        if shutil.which("draco_transcoder") is None:
-            logging.warning("draco_transcoder not found on PATH; skipping compression.")
-            return
-
+        """Compress a .glb: external draco_transcoder when available, else a
+        native quantized re-encode (KHR_mesh_quantization — any conforming
+        renderer decodes it; ref draco stage hive/pipeline.py:938-980)."""
         src_path = Path(path_to_glb)
         tmp_path = src_path.parent / f"{src_path.stem}_tmp{src_path.suffix}"
 
-        command = ["draco_transcoder", "-i", str(src_path), "-o", str(tmp_path)]
+        if shutil.which("draco_transcoder") is not None:
+            method = "draco"
+            command = ["draco_transcoder", "-i", str(src_path), "-o", str(tmp_path)]
 
-        with subprocess.Popen(command, stdout=subprocess.PIPE, bufsize=1,
-                              universal_newlines=True) as p:
-            for line in p.stdout:
-                logging.debug(line.rstrip("\n"))
+            with subprocess.Popen(command, stdout=subprocess.PIPE, bufsize=1,
+                                  universal_newlines=True) as p:
+                for line in p.stdout:
+                    logging.debug(line.rstrip("\n"))
 
-        if (return_code := p.wait()) != 0:
-            logging.warning(f"draco_transcoder exited with code {return_code}.")
-            return
+            if (return_code := p.wait()) != 0:
+                logging.warning(f"draco_transcoder exited with code {return_code}.")
+                return
+        else:
+            method = "quantization"
+            logging.info("draco_transcoder not found on PATH; compressing with "
+                         "native vertex quantization (KHR_mesh_quantization).")
+            from hive_tpu.meshing.gltf import quantize_glb
+
+            quantize_glb(str(src_path), str(tmp_path))
 
         size_before = os.path.getsize(src_path)
         size_after = os.path.getsize(tmp_path)
@@ -776,7 +783,7 @@ class Pipeline:
 
         shutil.move(tmp_path, src_path)
 
-        logging.info(f"Compressed {src_path} with draco successfully "
+        logging.info(f"Compressed {src_path} with {method} successfully "
                      f"({format_bytes(size_before)} before, {format_bytes(size_after)} after, "
                      f"{data_saving * 100:.2f}% data saving, "
                      f"{compression_ratio:.2f}:1 compression ratio).")
@@ -788,6 +795,7 @@ class Pipeline:
             "compressed_file_size": size_after,
             "data_saving": data_saving,
             "compression_ratio": compression_ratio,
+            "method": method,
         })
 
     @staticmethod

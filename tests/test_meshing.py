@@ -167,6 +167,95 @@ class TestSceneGLB:
         assert load_glb(path).node_names == []
 
 
+class TestQuantizedGLB:
+    """KHR_mesh_quantization export (the native draco-fallback compression,
+    ref hive/pipeline.py:938-980): smaller files, lossless faces/colors,
+    positions within half a grid step, standard extension declared."""
+
+    def _make_scene(self, seed=0, n=500):
+        rng = np.random.default_rng(seed)
+        verts = rng.uniform(-2.0, 3.0, (n, 3)).astype(np.float32)
+        faces = rng.integers(0, n, (2 * n, 3)).astype(np.int64)
+        colors = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        normals = rng.normal(size=(n, 3)).astype(np.float32)
+        normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+
+        mesh = TriangleMesh(vertices=verts, faces=faces, vertex_colors=colors)
+        mesh.vertex_normals = normals
+        scene = Scene()
+        scene.add_geometry(mesh, node_name="000000")
+        return scene, mesh
+
+    def test_quantized_roundtrip(self, tmp_path):
+        scene, mesh = self._make_scene()
+        path = str(tmp_path / "q.glb")
+        export_scene(scene, path, quantize=True)
+
+        out = load_glb(path).geometry["000000"]
+
+        extent = (mesh.vertices.max(axis=0) - mesh.vertices.min(axis=0)).max()
+        np.testing.assert_allclose(out.vertices, mesh.vertices,
+                                   atol=extent / 65535 * 0.51)
+        np.testing.assert_array_equal(out.faces, mesh.faces)
+        np.testing.assert_array_equal(out.vertex_colors[:, :3], mesh.vertex_colors)
+        # int8 normals: ~0.5 degree worst case.
+        dots = np.sum(out.vertex_normals * mesh.vertex_normals, axis=-1)
+        assert dots.min() > 0.999
+
+    def test_quantized_textured_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        verts = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+        faces = rng.integers(0, 64, (100, 3)).astype(np.int64)
+        uv = rng.uniform(0, 1, (64, 2)).astype(np.float32)
+        texture = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+
+        mesh = TriangleMesh(vertices=verts, faces=faces, uv=uv, texture=texture)
+        scene = Scene()
+        scene.add_geometry(mesh, node_name="frame")
+
+        path = str(tmp_path / "qt.glb")
+        export_scene(scene, path, quantize=True)
+        out = load_glb(path).geometry["frame"]
+
+        np.testing.assert_allclose(out.uv, uv, atol=1.5 / 65535)
+        np.testing.assert_array_equal(out.texture, texture)
+        np.testing.assert_array_equal(out.faces, faces)
+
+    def test_quantize_glb_shrinks_and_declares_extension(self, tmp_path):
+        import json as json_mod
+        import struct as struct_mod
+
+        from hive_tpu.meshing.gltf import quantize_glb
+
+        scene, _ = self._make_scene(n=2000)
+        path = str(tmp_path / "plain.glb")
+        export_scene(scene, path)
+
+        before, after = quantize_glb(path)  # in place
+        assert after < before * 0.7  # u16 positions+indices, int8 normals
+
+        with open(path, "rb") as fh:
+            fh.seek(12)
+            json_len, _ = struct_mod.unpack("<II", fh.read(8))
+            gltf = json_mod.loads(fh.read(json_len))
+        assert gltf["extensionsRequired"] == ["KHR_mesh_quantization"]
+
+    def test_large_mesh_keeps_uint32_indices(self, tmp_path):
+        rng = np.random.default_rng(2)
+        n = 70000  # > uint16 range
+        verts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        faces = np.stack([np.arange(n - 2), np.arange(1, n - 1),
+                          np.arange(2, n)], axis=-1).astype(np.int64)
+        scene = Scene()
+        scene.add_geometry(TriangleMesh(vertices=verts, faces=faces),
+                           node_name="big")
+
+        path = str(tmp_path / "big.glb")
+        export_scene(scene, path, quantize=True)
+        out = load_glb(path).geometry["big"]
+        np.testing.assert_array_equal(out.faces, faces)
+
+
 class TestPLY:
     def test_roundtrip(self, tmp_path):
         verts, faces = make_icosphere(1)

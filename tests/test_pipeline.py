@@ -105,6 +105,20 @@ class TestPipelineEndToEnd:
         assert {"count", "total", "mean"} <= set(rollup)
         assert rollup["count"] > 0
 
+    def test_mesh_compression_stats(self, pipeline_run):
+        """Without draco on PATH, the native KHR_mesh_quantization fallback
+        must still compress and record the reference stats schema."""
+        with open(pjoin(pipeline_run["dataset_path"], "profiling.json")) as f:
+            profiling = json.load(f)
+
+        compression = profiling["mesh_compression"]
+        for part in ("foreground", "background"):
+            stats = compression[part]
+            assert stats["compressed_file_size"] < stats["uncompressed_file_size"]
+            assert stats["compression_ratio"] > 1.0
+            assert 0.0 < stats["data_saving"] < 1.0
+            assert stats["method"] in ("draco", "quantization")
+
     def test_foreground_object_position(self, pipeline_run):
         """The fg blob sits at z=1.5 in front of the z=2 wall; after the
         180° flip + centering, it must be inside the scene bounds and closer
