@@ -66,6 +66,31 @@ class _BufferBuilder:
         return blob + b"\x00" * padding
 
 
+def _split_faces_for_uint16(faces: np.ndarray,
+                            window: int = 60000) -> Optional[List[Tuple]]:
+    """Partition faces into groups whose vertex sets fit uint16 indices.
+
+    Faces are grouped by ``min_vertex_id // window``; each group's vertex set
+    is its referenced ids (sorted), with faces re-indexed locally. Relies on
+    welded vertices being sorted spatially (extraction emits them that way),
+    so groups only exceed the window by boundary-straddling faces. Returns
+    None when any group still exceeds uint16 range (degenerate connectivity —
+    caller falls back to one uint32 primitive).
+    """
+    group_of = faces.min(axis=1) // window
+    groups = []
+
+    for g in np.unique(group_of):
+        f_g = faces[group_of == g]
+        vertex_ids = np.unique(f_g)
+        if len(vertex_ids) >= 65536:
+            return None
+        local = np.searchsorted(vertex_ids, f_g)
+        groups.append((vertex_ids, local))
+
+    return groups
+
+
 def export_scene(scene: Scene, output_path: str, quantize: bool = False):
     """Write a :class:`Scene` as a binary glTF file.
 
@@ -105,83 +130,53 @@ def export_scene(scene: Scene, output_path: str, quantize: bool = False):
             continue
 
         positions = np.ascontiguousarray(mesh.vertices, dtype=np.float32)
+        faces = np.ascontiguousarray(mesh.faces, dtype=np.int64)
         node_transform = {}
 
+        # ---- per-vertex attribute arrays (quantized or raw), built once ----
         if quantize:
             lo = positions.min(axis=0)
             extent = float(max(positions.max(axis=0) - lo)) or 1.0
             q = np.round((positions - lo) / extent * 65535.0)
-            q4 = np.zeros((len(q), 4), dtype=np.uint16)  # stride padded to 8B
-            q4[:, :3] = np.clip(q, 0, 65535)
-
-            pos_view = builder.add_view(q4.tobytes(), target=_ARRAY_BUFFER,
-                                        byte_stride=8)
-            pos_acc = add_accessor(pos_view, _USHORT, len(q4), "VEC3",
-                                   normalized=True,
-                                   minmax=(q4[:, :3].min(axis=0).tolist(),
-                                           q4[:, :3].max(axis=0).tolist()))
+            pos_arr = np.zeros((len(q), 4), dtype=np.uint16)  # stride pads to 8B
+            pos_arr[:, :3] = np.clip(q, 0, 65535)
             # Dequantize: p = translation + scale * (stored / 65535).
             node_transform = {"translation": lo.astype(float).tolist(),
                               "scale": [extent] * 3}
         else:
-            pos_view = builder.add_view(positions.tobytes(), target=_ARRAY_BUFFER)
-            pos_acc = add_accessor(pos_view, _FLOAT, len(positions), "VEC3",
-                                   minmax=(positions.min(axis=0).tolist(),
-                                           positions.max(axis=0).tolist()))
+            pos_arr = positions
 
-        if quantize and len(positions) < 65536:
-            indices16 = np.ascontiguousarray(mesh.faces.reshape(-1), dtype=np.uint16)
-            idx_view = builder.add_view(indices16.tobytes(),
-                                        target=_ELEMENT_ARRAY_BUFFER)
-            idx_acc = add_accessor(idx_view, _USHORT, len(indices16), "SCALAR")
-        else:
-            indices = np.ascontiguousarray(mesh.faces.reshape(-1), dtype=np.uint32)
-            idx_view = builder.add_view(indices.tobytes(), target=_ELEMENT_ARRAY_BUFFER)
-            idx_acc = add_accessor(idx_view, _UINT, len(indices), "SCALAR")
-
-        attributes = {"POSITION": pos_acc}
-        primitive = {"attributes": attributes, "indices": idx_acc, "mode": 4}
-
+        normals_arr = None
         if mesh.vertex_normals is not None:
             normals = np.ascontiguousarray(mesh.vertex_normals, dtype=np.float32)
             if quantize:
-                n4 = np.zeros((len(normals), 4), dtype=np.int8)  # stride 4B
-                n4[:, :3] = np.clip(np.round(normals * 127.0), -127, 127)
-                norm_view = builder.add_view(n4.tobytes(), target=_ARRAY_BUFFER,
-                                             byte_stride=4)
-                attributes["NORMAL"] = add_accessor(norm_view, _BYTE, len(n4),
-                                                    "VEC3", normalized=True)
+                normals_arr = np.zeros((len(normals), 4), dtype=np.int8)  # 4B
+                normals_arr[:, :3] = np.clip(np.round(normals * 127.0), -127, 127)
             else:
-                norm_view = builder.add_view(normals.tobytes(), target=_ARRAY_BUFFER)
-                attributes["NORMAL"] = add_accessor(norm_view, _FLOAT,
-                                                    len(normals), "VEC3")
+                normals_arr = normals
 
+        rgba = None
         if mesh.vertex_colors is not None:
             rgba = mesh.vertex_colors
             if rgba.shape[1] == 3:
                 rgba = np.concatenate(
                     [rgba, np.full((len(rgba), 1), 255, dtype=rgba.dtype)], axis=-1)
             rgba = np.ascontiguousarray(rgba, dtype=np.uint8)
-            col_view = builder.add_view(rgba.tobytes(), target=_ARRAY_BUFFER)
-            attributes["COLOR_0"] = add_accessor(col_view, _UBYTE, len(rgba), "VEC4",
-                                                 normalized=True)
 
+        uv_arr = None
         if mesh.uv is not None and mesh.texture is not None:
             # Mesh UVs use a bottom-left origin (matching the reference's
             # internal convention, hive/pipeline.py:866); glTF uses top-left.
             uv = np.ascontiguousarray(mesh.uv, dtype=np.float32).copy()
             uv[:, 1] = 1.0 - uv[:, 1]
             if quantize:
-                uv16 = np.clip(np.round(uv * 65535.0), 0, 65535).astype(np.uint16)
-                uv_view = builder.add_view(uv16.tobytes(), target=_ARRAY_BUFFER)
-                attributes["TEXCOORD_0"] = add_accessor(uv_view, _USHORT,
-                                                        len(uv16), "VEC2",
-                                                        normalized=True)
+                uv_arr = np.clip(np.round(uv * 65535.0), 0, 65535).astype(np.uint16)
             else:
-                uv_view = builder.add_view(uv.tobytes(), target=_ARRAY_BUFFER)
-                attributes["TEXCOORD_0"] = add_accessor(uv_view, _FLOAT, len(uv),
-                                                        "VEC2")
+                uv_arr = uv
 
+        # ---- one material per mesh, shared by all its primitives ----------
+        material_index = None
+        if uv_arr is not None:
             png = io.BytesIO()
             Image.fromarray(mesh.texture.astype(np.uint8)).save(png, format="PNG")
             img_view = builder.add_view(png.getvalue())
@@ -201,15 +196,90 @@ def export_scene(scene: Scene, output_path: str, quantize: bool = False):
                 },
                 "name": f"{name}_material",
             })
-            primitive["material"] = len(materials) - 1
-        elif mesh.vertex_colors is not None:
+            material_index = len(materials) - 1
+        elif rgba is not None:
             materials.append({
                 "pbrMetallicRoughness": {"metallicFactor": 0.0, "roughnessFactor": 1.0},
                 "name": f"{name}_material",
             })
-            primitive["material"] = len(materials) - 1
+            material_index = len(materials) - 1
 
-        meshes.append({"primitives": [primitive], "name": name})
+        def emit_primitive(vsel, local_faces) -> dict:
+            """One glTF primitive over vertex subset ``vsel`` (None = all)."""
+            def rows(a):
+                return a if vsel is None else np.ascontiguousarray(a[vsel])
+
+            p = rows(pos_arr)
+            if quantize:
+                pos_view = builder.add_view(p.tobytes(), target=_ARRAY_BUFFER,
+                                            byte_stride=8)
+                pos_acc = add_accessor(pos_view, _USHORT, len(p), "VEC3",
+                                       normalized=True,
+                                       minmax=(p[:, :3].min(axis=0).tolist(),
+                                               p[:, :3].max(axis=0).tolist()))
+            else:
+                pos_view = builder.add_view(p.tobytes(), target=_ARRAY_BUFFER)
+                pos_acc = add_accessor(pos_view, _FLOAT, len(p), "VEC3",
+                                       minmax=(p.min(axis=0).tolist(),
+                                               p.max(axis=0).tolist()))
+
+            if quantize and len(p) < 65536:
+                flat = np.ascontiguousarray(local_faces.reshape(-1), dtype=np.uint16)
+                idx_view = builder.add_view(flat.tobytes(),
+                                            target=_ELEMENT_ARRAY_BUFFER)
+                idx_acc = add_accessor(idx_view, _USHORT, len(flat), "SCALAR")
+            else:
+                flat = np.ascontiguousarray(local_faces.reshape(-1), dtype=np.uint32)
+                idx_view = builder.add_view(flat.tobytes(),
+                                            target=_ELEMENT_ARRAY_BUFFER)
+                idx_acc = add_accessor(idx_view, _UINT, len(flat), "SCALAR")
+
+            attributes = {"POSITION": pos_acc}
+            primitive = {"attributes": attributes, "indices": idx_acc, "mode": 4}
+
+            if normals_arr is not None:
+                n = rows(normals_arr)
+                if quantize:
+                    norm_view = builder.add_view(n.tobytes(), target=_ARRAY_BUFFER,
+                                                 byte_stride=4)
+                    attributes["NORMAL"] = add_accessor(norm_view, _BYTE, len(n),
+                                                        "VEC3", normalized=True)
+                else:
+                    norm_view = builder.add_view(n.tobytes(), target=_ARRAY_BUFFER)
+                    attributes["NORMAL"] = add_accessor(norm_view, _FLOAT,
+                                                        len(n), "VEC3")
+
+            if rgba is not None:
+                c = rows(rgba)
+                col_view = builder.add_view(c.tobytes(), target=_ARRAY_BUFFER)
+                attributes["COLOR_0"] = add_accessor(col_view, _UBYTE, len(c),
+                                                     "VEC4", normalized=True)
+
+            if uv_arr is not None:
+                u = rows(uv_arr)
+                uv_view = builder.add_view(u.tobytes(), target=_ARRAY_BUFFER)
+                attributes["TEXCOORD_0"] = add_accessor(
+                    uv_view, _USHORT if quantize else _FLOAT, len(u), "VEC2",
+                    normalized=quantize)
+
+            if material_index is not None:
+                primitive["material"] = material_index
+
+            return primitive
+
+        # Large quantized meshes split into < 65536-vertex primitives so the
+        # (size-dominating) indices also drop to uint16. Vertices are welded
+        # in sorted spatial order by extraction, so in-order face windows
+        # duplicate only the few boundary-straddling vertices.
+        groups = (_split_faces_for_uint16(faces)
+                  if quantize and len(positions) >= 65536 else None)
+
+        if groups is None:
+            primitives = [emit_primitive(None, faces)]
+        else:
+            primitives = [emit_primitive(vids, local) for vids, local in groups]
+
+        meshes.append({"primitives": primitives, "name": name})
         nodes.append({"mesh": len(meshes) - 1, "name": name, **node_transform})
 
     gltf: Dict = {
@@ -329,38 +399,61 @@ def load_glb(path: str) -> Scene:
             continue
 
         mesh_spec = gltf["meshes"][node["mesh"]]
-        primitive = mesh_spec["primitives"][0]
-        attributes = primitive["attributes"]
 
-        vertices = dequantized_positions(attributes, node)
-        faces = read_accessor(primitive["indices"]).reshape(-1, 3).astype(np.int64)
+        # Merge all primitives (quantized exports split big meshes into
+        # < 65536-vertex primitives so indices fit uint16).
+        all_vertices, all_faces = [], []
+        all_normals, all_colors, all_uv = [], [], []
+        texture = None
+        vertex_offset = 0
 
-        mesh = TriangleMesh(vertices=vertices, faces=faces)
+        for primitive in mesh_spec["primitives"]:
+            attributes = primitive["attributes"]
 
-        if "NORMAL" in attributes:
-            normals = read_accessor(attributes["NORMAL"]).astype(np.float32)
-            norm = np.linalg.norm(normals, axis=-1, keepdims=True)
-            mesh.vertex_normals = normals / np.maximum(norm, 1e-12)
+            vertices = dequantized_positions(attributes, node)
+            faces = read_accessor(primitive["indices"]).reshape(-1, 3)
+            all_vertices.append(vertices)
+            all_faces.append(faces.astype(np.int64) + vertex_offset)
+            vertex_offset += len(vertices)
 
-        if "COLOR_0" in attributes:
-            colors = read_accessor(attributes["COLOR_0"])
-            if colors.dtype != np.uint8:  # normalized accessor -> back to u8
-                colors = np.round(colors * 255.0)
-            mesh.vertex_colors = colors.astype(np.uint8)
+            if "NORMAL" in attributes:
+                normals = read_accessor(attributes["NORMAL"]).astype(np.float32)
+                norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+                all_normals.append(normals / np.maximum(norm, 1e-12))
 
-        if "TEXCOORD_0" in attributes:
-            uv = read_accessor(attributes["TEXCOORD_0"]).astype(np.float32).copy()
-            uv[:, 1] = 1.0 - uv[:, 1]
-            mesh.uv = uv
+            if "COLOR_0" in attributes:
+                colors = read_accessor(attributes["COLOR_0"])
+                if colors.dtype != np.uint8:  # normalized accessor -> u8
+                    colors = np.round(colors * 255.0)
+                all_colors.append(colors.astype(np.uint8))
 
-            material = gltf["materials"][primitive["material"]]
-            texture_index = material["pbrMetallicRoughness"]["baseColorTexture"]["index"]
-            image_index = gltf["textures"][texture_index]["source"]
-            image_view = gltf["bufferViews"][gltf["images"][image_index]["bufferView"]]
+            if "TEXCOORD_0" in attributes:
+                uv = read_accessor(attributes["TEXCOORD_0"]).astype(np.float32).copy()
+                uv[:, 1] = 1.0 - uv[:, 1]
+                all_uv.append(uv)
 
-            start = image_view.get("byteOffset", 0)
-            png_bytes = binary[start:start + image_view["byteLength"]]
-            mesh.texture = np.asarray(Image.open(io.BytesIO(png_bytes)).convert("RGB"))
+                if texture is None and "material" in primitive:
+                    material = gltf["materials"][primitive["material"]]
+                    texture_index = (material["pbrMetallicRoughness"]
+                                     ["baseColorTexture"]["index"])
+                    image_index = gltf["textures"][texture_index]["source"]
+                    image_view = gltf["bufferViews"][
+                        gltf["images"][image_index]["bufferView"]]
+
+                    start = image_view.get("byteOffset", 0)
+                    png_bytes = binary[start:start + image_view["byteLength"]]
+                    texture = np.asarray(
+                        Image.open(io.BytesIO(png_bytes)).convert("RGB"))
+
+        mesh = TriangleMesh(vertices=np.concatenate(all_vertices),
+                            faces=np.concatenate(all_faces))
+        if all_normals:
+            mesh.vertex_normals = np.concatenate(all_normals)
+        if all_colors:
+            mesh.vertex_colors = np.concatenate(all_colors)
+        if all_uv:
+            mesh.uv = np.concatenate(all_uv)
+            mesh.texture = texture
 
         scene.add_geometry(mesh, node_name=node.get("name", f"node_{len(scene.geometry)}"))
 

@@ -240,9 +240,12 @@ class TestQuantizedGLB:
             gltf = json_mod.loads(fh.read(json_len))
         assert gltf["extensionsRequired"] == ["KHR_mesh_quantization"]
 
-    def test_large_mesh_keeps_uint32_indices(self, tmp_path):
+    def test_large_mesh_splits_into_uint16_primitives(self, tmp_path):
+        import json as json_mod
+        import struct as struct_mod
+
         rng = np.random.default_rng(2)
-        n = 70000  # > uint16 range
+        n = 150000  # well past uint16 range -> must split
         verts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
         faces = np.stack([np.arange(n - 2), np.arange(1, n - 1),
                           np.arange(2, n)], axis=-1).astype(np.int64)
@@ -252,8 +255,27 @@ class TestQuantizedGLB:
 
         path = str(tmp_path / "big.glb")
         export_scene(scene, path, quantize=True)
+
+        with open(path, "rb") as fh:
+            fh.seek(12)
+            json_len, _ = struct_mod.unpack("<II", fh.read(8))
+            gltf = json_mod.loads(fh.read(json_len))
+
+        primitives = gltf["meshes"][0]["primitives"]
+        assert len(primitives) >= 3
+        for primitive in primitives:
+            # Both positions and indices stay uint16 in every split.
+            assert gltf["accessors"][primitive["indices"]]["componentType"] == 5123
+            pos = gltf["accessors"][primitive["attributes"]["POSITION"]]
+            assert pos["componentType"] == 5123 and pos["count"] < 65536
+
+        # Geometric equivalence: same triangles in order, within the
+        # quantization grid (vertex ids shift at split boundaries).
         out = load_glb(path).geometry["big"]
-        np.testing.assert_array_equal(out.faces, faces)
+        assert len(out.faces) == len(faces)
+        extent = (verts.max(axis=0) - verts.min(axis=0)).max()
+        np.testing.assert_allclose(out.vertices[out.faces], verts[faces],
+                                   atol=extent / 65535 * 0.51)
 
 
 class TestPLY:
