@@ -453,8 +453,8 @@ class Experiments:
         configs = configs or list(self.CONFIGS)
         have_draco = _shutil.which("draco_transcoder") is not None
         if not have_draco:
-            logging.warning("draco_transcoder not on PATH; recording "
-                            "uncompressed sizes only.")
+            logging.info("draco_transcoder not on PATH; compressing with the "
+                         "native KHR_mesh_quantization encoder instead.")
 
         results: Dict[str, dict] = {}
         summaries = {"compression_ratio": MeanSummary(),
@@ -508,30 +508,38 @@ class Experiments:
                     export_scene(scene, raw_path)
                     stats = {"uncompressed_file_size": os.path.getsize(raw_path)}
 
+                    drc_path = pjoin(compressed_dir, f"{name}.glb")
                     if have_draco:
                         import subprocess
 
-                        drc_path = pjoin(compressed_dir, f"{name}.glb")
                         rc = subprocess.run(
                             ["draco_transcoder", "-i", raw_path, "-o", drc_path],
                             capture_output=True).returncode
-                        if rc == 0 and os.path.isfile(drc_path):
-                            stats["compressed_file_size"] = os.path.getsize(drc_path)
-                            stats["compression_ratio"] = (
-                                stats["uncompressed_file_size"]
-                                / max(stats["compressed_file_size"], 1))
-                            stats["data_saving"] = 1 - (
-                                stats["compressed_file_size"]
-                                / stats["uncompressed_file_size"])
-                            summaries["compression_ratio"].update(
-                                stats["compression_ratio"])
+                        compressed_ok = rc == 0 and os.path.isfile(drc_path)
+                        stats["method"] = "draco"
+                    else:
+                        from hive_tpu.meshing.gltf import quantize_glb
+
+                        quantize_glb(raw_path, drc_path)
+                        compressed_ok = os.path.isfile(drc_path)
+                        stats["method"] = "quantization"
+
+                    if compressed_ok:
+                        stats["compressed_file_size"] = os.path.getsize(drc_path)
+                        stats["compression_ratio"] = (
+                            stats["uncompressed_file_size"]
+                            / max(stats["compressed_file_size"], 1))
+                        stats["data_saving"] = 1 - (
+                            stats["compressed_file_size"]
+                            / stats["uncompressed_file_size"])
+                        summaries["compression_ratio"].update(
+                            stats["compression_ratio"])
 
                     entry[name] = stats
 
                 # Render the two background variants from the first camera and
                 # score the compression loss.
-                if have_draco and "bg" in entry \
-                        and "compressed_file_size" in entry["bg"]:
+                if "bg" in entry and "compressed_file_size" in entry["bg"]:
                     pose = dataset.camera_trajectory.to_homogenous_transforms()[0]
                     R, t = pose[:3, :3], pose[:3, 3:]
 
