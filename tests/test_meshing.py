@@ -207,7 +207,11 @@ class TestQuantizedGLB:
         verts = rng.uniform(0, 1, (64, 3)).astype(np.float32)
         faces = rng.integers(0, 64, (100, 3)).astype(np.int64)
         uv = rng.uniform(0, 1, (64, 2)).astype(np.float32)
-        texture = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        # A smooth camera-crop-like texture (the compressed encoding stores
+        # JPEG, whose error is bounded on smooth content, unlike noise).
+        yy, xx = np.mgrid[0:64, 0:64].astype(np.float32)
+        texture = np.stack([xx * 4, yy * 4, (xx + yy) * 2],
+                           axis=-1).clip(0, 255).astype(np.uint8)
 
         mesh = TriangleMesh(vertices=verts, faces=faces, uv=uv, texture=texture)
         scene = Scene()
@@ -218,8 +222,25 @@ class TestQuantizedGLB:
         out = load_glb(path).geometry["frame"]
 
         np.testing.assert_allclose(out.uv, uv, atol=1.5 / 65535)
-        np.testing.assert_array_equal(out.texture, texture)
+        err = np.abs(out.texture.astype(int) - texture.astype(int))
+        assert err.mean() < 3.0 and err.max() < 32  # JPEG q92 on smooth content
         np.testing.assert_array_equal(out.faces, faces)
+
+    def test_plain_export_keeps_lossless_png_texture(self, tmp_path):
+        rng = np.random.default_rng(3)
+        verts = rng.uniform(0, 1, (16, 3)).astype(np.float32)
+        faces = rng.integers(0, 16, (20, 3)).astype(np.int64)
+        uv = rng.uniform(0, 1, (16, 2)).astype(np.float32)
+        texture = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+
+        mesh = TriangleMesh(vertices=verts, faces=faces, uv=uv, texture=texture)
+        scene = Scene()
+        scene.add_geometry(mesh, node_name="frame")
+
+        path = str(tmp_path / "plain_tex.glb")
+        export_scene(scene, path)  # primary export: PNG, bit-exact
+        out = load_glb(path).geometry["frame"]
+        np.testing.assert_array_equal(out.texture, texture)
 
     def test_quantize_glb_shrinks_and_declares_extension(self, tmp_path):
         import json as json_mod
