@@ -181,13 +181,20 @@ def export_scene(scene: Scene, output_path: str, quantize: bool = False):
             # (quantize) encoding also tries JPEG q92 — spec-core, ~3-6x
             # smaller than PNG on camera crops (which dominate foreground
             # mesh size) — and keeps whichever is smaller per texture (PNG
-            # wins on flat synthetic content).
+            # wins on flat synthetic content). A payload cached by load_glb
+            # (same texture array object) skips the PNG re-encode entirely.
             image = Image.fromarray(mesh.texture.astype(np.uint8))
-            png = io.BytesIO()
-            image.save(png, format="PNG")
-            payload, mime = png.getvalue(), "image/png"
+            cached = getattr(mesh, "_texture_payload", None)
 
-            if quantize:
+            if cached is not None and cached[2] is mesh.texture:
+                payload, mime = cached[0], cached[1]
+            else:
+                png = io.BytesIO()
+                image.save(png, format="PNG")
+                payload, mime = png.getvalue(), "image/png"
+
+            # JPEG cannot carry alpha; only offer it for RGB textures.
+            if quantize and image.mode == "RGB":
                 jpeg = io.BytesIO()
                 image.save(jpeg, format="JPEG", quality=92)
                 if jpeg.getbuffer().nbytes < len(payload):
@@ -346,6 +353,38 @@ _COMPONENT_DTYPES = {5120: np.int8, 5121: np.uint8, 5122: np.int16,
 _TYPE_WIDTHS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
 
 
+def _read_glb_json(path: str) -> dict:
+    """Parse just the JSON chunk of a .glb."""
+    with open(path, "rb") as fh:
+        magic, _, _ = struct.unpack("<III", fh.read(12))
+        if magic != _GLB_MAGIC:
+            raise ValueError(f"{path} is not a binary glTF file")
+        json_len, chunk_type = struct.unpack("<II", fh.read(8))
+        assert chunk_type == _CHUNK_JSON
+        return json.loads(fh.read(json_len))
+
+
+def _patch_glb_json(path: str, updates: dict) -> None:
+    """Rewrite a .glb with extra top-level glTF JSON keys, bin chunk intact."""
+    with open(path, "rb") as fh:
+        magic, version, _ = struct.unpack("<III", fh.read(12))
+        json_len, chunk_type = struct.unpack("<II", fh.read(8))
+        assert chunk_type == _CHUNK_JSON
+        gltf = json.loads(fh.read(json_len))
+        rest = fh.read()
+
+    gltf.update(updates)
+    json_blob = json.dumps(gltf, separators=(",", ":")).encode("utf-8")
+    json_blob += b" " * ((-len(json_blob)) % 4)
+
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<III", magic, version,
+                             12 + 8 + len(json_blob) + len(rest)))
+        fh.write(struct.pack("<II", len(json_blob), _CHUNK_JSON))
+        fh.write(json_blob)
+        fh.write(rest)
+
+
 def load_glb(path: str) -> Scene:
     """Read a .glb file written by :func:`export_scene` (or any simple glTF)."""
     with open(path, "rb") as fh:
@@ -396,13 +435,18 @@ def load_glb(path: str) -> Scene:
 
         return data
 
+    # Only KHR_mesh_quantization exports get their node translation/scale
+    # baked into vertices (that transform exists purely to dequantize, see
+    # export_scene). Foreign files with real node transforms (which may also
+    # rotate — not modelled here) keep their local-space geometry untouched,
+    # as before.
+    is_quantized = "KHR_mesh_quantization" in gltf.get("extensionsRequired", [])
+
     def dequantized_positions(attributes: dict, node: dict) -> np.ndarray:
         positions = read_accessor(attributes["POSITION"]).astype(np.float32)
-        # KHR_mesh_quantization exports carry the dequantizing transform on
-        # the node (uniform scale, see export_scene).
-        if "scale" in node:
+        if is_quantized and "scale" in node:
             positions = positions * np.asarray(node["scale"], np.float32)
-        if "translation" in node:
+        if is_quantized and "translation" in node:
             positions = positions + np.asarray(node["translation"], np.float32)
         return positions
 
@@ -419,6 +463,7 @@ def load_glb(path: str) -> Scene:
         all_vertices, all_faces = [], []
         all_normals, all_colors, all_uv = [], [], []
         texture = None
+        texture_payload = None
         vertex_offset = 0
 
         for primitive in mesh_spec["primitives"]:
@@ -451,13 +496,15 @@ def load_glb(path: str) -> Scene:
                     texture_index = (material["pbrMetallicRoughness"]
                                      ["baseColorTexture"]["index"])
                     image_index = gltf["textures"][texture_index]["source"]
-                    image_view = gltf["bufferViews"][
-                        gltf["images"][image_index]["bufferView"]]
+                    image_spec = gltf["images"][image_index]
+                    image_view = gltf["bufferViews"][image_spec["bufferView"]]
 
                     start = image_view.get("byteOffset", 0)
-                    png_bytes = binary[start:start + image_view["byteLength"]]
+                    image_bytes = binary[start:start + image_view["byteLength"]]
                     texture = np.asarray(
-                        Image.open(io.BytesIO(png_bytes)).convert("RGB"))
+                        Image.open(io.BytesIO(image_bytes)).convert("RGB"))
+                    texture_payload = (image_bytes, image_spec["mimeType"],
+                                       texture)
 
         mesh = TriangleMesh(vertices=np.concatenate(all_vertices),
                             faces=np.concatenate(all_faces))
@@ -468,6 +515,10 @@ def load_glb(path: str) -> Scene:
         if all_uv:
             mesh.uv = np.concatenate(all_uv)
             mesh.texture = texture
+            if texture is not None:
+                # Lets a quantized re-export pass the still-encoded payload
+                # through instead of re-encoding PNG (slow on one core).
+                mesh._texture_payload = texture_payload
 
         scene.add_geometry(mesh, node_name=node.get("name", f"node_{len(scene.geometry)}"))
 
@@ -488,7 +539,16 @@ def quantize_glb(path: str, output_path: Optional[str] = None) -> Tuple[int, int
     import os
 
     size_before = os.path.getsize(path)
+    # Scene-level glTF entries our Scene container doesn't model (cameras)
+    # must survive the re-encode verbatim.
+    preserved = {key: value
+                 for key, value in _read_glb_json(path).items()
+                 if key in ("cameras",)}
+
     scene = load_glb(path)
     export_scene(scene, output_path or path, quantize=True)
+
+    if preserved:
+        _patch_glb_json(output_path or path, preserved)
 
     return size_before, os.path.getsize(output_path or path)

@@ -773,7 +773,15 @@ class Pipeline:
                          "native vertex quantization (KHR_mesh_quantization).")
             from hive_tpu.meshing.gltf import quantize_glb
 
-            quantize_glb(str(src_path), str(tmp_path))
+            try:
+                quantize_glb(str(src_path), str(tmp_path))
+            except Exception as exc:
+                # Same degradation contract as a failed draco transcode: keep
+                # the uncompressed mesh, never abort a finished reconstruction.
+                logging.warning(f"Native mesh compression failed ({exc!r}); "
+                                "keeping the uncompressed mesh.")
+                tmp_path.unlink(missing_ok=True)
+                return
 
         size_before = os.path.getsize(src_path)
         size_after = os.path.getsize(tmp_path)

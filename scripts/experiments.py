@@ -516,15 +516,16 @@ class Experiments:
                             ["draco_transcoder", "-i", raw_path, "-o", drc_path],
                             capture_output=True).returncode
                         compressed_ok = rc == 0 and os.path.isfile(drc_path)
-                        stats["method"] = "draco"
+                        method = "draco"
                     else:
                         from hive_tpu.meshing.gltf import quantize_glb
 
                         quantize_glb(raw_path, drc_path)
                         compressed_ok = os.path.isfile(drc_path)
-                        stats["method"] = "quantization"
+                        method = "quantization"
 
                     if compressed_ok:
+                        stats["method"] = method
                         stats["compressed_file_size"] = os.path.getsize(drc_path)
                         stats["compression_ratio"] = (
                             stats["uncompressed_file_size"]

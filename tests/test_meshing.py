@@ -565,3 +565,85 @@ class TestNativeWeld:
 
         first, inverse = weld_unique(np.zeros(0, np.uint64))
         assert len(first) == 0 and len(inverse) == 0
+
+
+class TestQuantizedGLBEdgeCases:
+    def test_rgba_texture_quantizes_without_crash(self, tmp_path):
+        """JPEG cannot carry alpha; RGBA textures must stay PNG, not crash."""
+        rng = np.random.default_rng(4)
+        verts = rng.uniform(0, 1, (16, 3)).astype(np.float32)
+        faces = rng.integers(0, 16, (20, 3)).astype(np.int64)
+        uv = rng.uniform(0, 1, (16, 2)).astype(np.float32)
+        texture = rng.integers(0, 256, (8, 8, 4)).astype(np.uint8)  # RGBA
+
+        mesh = TriangleMesh(vertices=verts, faces=faces, uv=uv, texture=texture)
+        scene = Scene()
+        scene.add_geometry(mesh, node_name="frame")
+
+        path = str(tmp_path / "rgba.glb")
+        export_scene(scene, path, quantize=True)
+        out = load_glb(path).geometry["frame"]
+        assert out.texture is not None
+
+    def test_cameras_survive_quantize_glb(self, tmp_path):
+        import json as json_mod
+        import struct as struct_mod
+
+        from hive_tpu.meshing.gltf import quantize_glb
+
+        verts, faces = make_icosphere(1)
+        scene = Scene(camera_resolution=(640, 480), camera_focal=(580.0, 580.0))
+        scene.add_geometry(TriangleMesh(vertices=verts.astype(np.float32),
+                                        faces=faces), node_name="000000")
+
+        path = str(tmp_path / "cam.glb")
+        export_scene(scene, path)
+
+        def read_json(p):
+            with open(p, "rb") as fh:
+                fh.seek(12)
+                json_len, _ = struct_mod.unpack("<II", fh.read(8))
+                return json_mod.loads(fh.read(json_len))
+
+        assert "cameras" in read_json(path)
+        quantize_glb(path)
+        gltf = read_json(path)
+        assert "cameras" in gltf
+        assert gltf["cameras"][0]["type"] == "perspective"
+        # File still loads after the JSON patch.
+        assert load_glb(path).node_names == ["000000"]
+
+    def test_foreign_node_transforms_not_applied(self, tmp_path):
+        """Plain (non-quantized) glTF node translation/scale must be left
+        alone — we don't model rotations, so partially applying TRS would
+        corrupt foreign files."""
+        import json as json_mod
+        import struct as struct_mod
+
+        verts, faces = make_icosphere(0)
+        scene = Scene()
+        scene.add_geometry(TriangleMesh(vertices=verts.astype(np.float32),
+                                        faces=faces), node_name="n")
+        path = str(tmp_path / "foreign.glb")
+        export_scene(scene, path)
+
+        # Inject a node transform as a foreign exporter would.
+        with open(path, "rb") as fh:
+            header = fh.read(12)
+            json_len, _ = struct_mod.unpack("<II", fh.read(8))
+            gltf = json_mod.loads(fh.read(json_len))
+            rest = fh.read()
+        gltf["nodes"][0]["translation"] = [5.0, 0.0, 0.0]
+        gltf["nodes"][0]["scale"] = [2.0, 2.0, 2.0]
+        blob = json_mod.dumps(gltf, separators=(",", ":")).encode()
+        blob += b" " * ((-len(blob)) % 4)
+        with open(path, "wb") as fh:
+            fh.write(struct_mod.pack("<III", 0x46546C67, 2,
+                                     12 + 8 + len(blob) + len(rest)))
+            fh.write(struct_mod.pack("<II", len(blob), 0x4E4F534A))
+            fh.write(blob)
+            fh.write(rest)
+
+        out = load_glb(path).geometry["n"]
+        np.testing.assert_allclose(out.vertices, verts.astype(np.float32),
+                                   atol=1e-6)
