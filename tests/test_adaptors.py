@@ -237,3 +237,73 @@ class TestGetDataset:
 
         frames, subset = DatasetAdaptor._get_frame_subset(9, 4)
         assert subset == [0, 4, 8]
+
+
+class TestEstimatePoseEndToEnd:
+    def test_convert_with_native_pnp_odometry(self, tmp_path):
+        """convert(estimate_pose=True) without a COLMAP binary must fall back
+        to the native PnP odometry (hive_tpu.sfm) and produce a coherent
+        metric trajectory (ref _estimate_camera_parameters :339-398 hard-fails
+        without COLMAP; here it degrades). Frames are the TUM-native 640x480
+        (the adaptor pins the Kinect intrinsics for that geometry, like the
+        reference)."""
+        import cv2
+
+        width, height, num_frames = 640, 480, 4
+        shift = 12  # px/frame of simulated camera translation at 1 m depth
+
+        base_path = str(tmp_path / "tum")
+        os.makedirs(pjoin(base_path, "rgb"), exist_ok=True)
+        os.makedirs(pjoin(base_path, "depth"), exist_ok=True)
+
+        rng = np.random.default_rng(7)
+        # A wide textured wall; each frame crops a window sliding right —
+        # exactly the image motion of a camera translating left along x at
+        # constant 1 m depth. Smoothed so SIFT finds stable blobs.
+        wall = rng.integers(0, 255,
+                            (height, width + shift * num_frames, 3),
+                            dtype=np.uint8)
+        wall = cv2.GaussianBlur(wall, (0, 0), 1.5)
+
+        rgb_lines, depth_lines, pose_lines = (["# rgb"], ["# depth"], ["# gt"])
+        for i in range(num_frames):
+            t = 1000.0 + i * 0.033
+            Image.fromarray(wall[:, i * shift:i * shift + width]) \
+                .save(pjoin(base_path, "rgb", f"{t:.6f}.png"))
+            rgb_lines.append(f"{t:.6f} rgb/{t:.6f}.png")
+
+            depth_t = t + 0.004
+            depth = np.full((height, width), 5000, np.uint16)  # 1 m
+            Image.fromarray(depth).save(
+                pjoin(base_path, "depth", f"{depth_t:.6f}.png"))
+            depth_lines.append(f"{depth_t:.6f} depth/{depth_t:.6f}.png")
+            pose_lines.append(f"{t:.6f} 0 0 0 0 0 0 1")
+
+        for filename, lines in (("rgb.txt", rgb_lines),
+                                ("depth.txt", depth_lines),
+                                ("groundtruth.txt", pose_lines)):
+            with open(pjoin(base_path, filename), "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+
+        output = str(tmp_path / "converted")
+        adaptor = TUMAdaptor(base_path=base_path, output_path=output)
+
+        dataset = adaptor.convert(estimate_pose=True, estimate_depth=False,
+                                  inpainting_mode=InpaintingMode.Off,
+                                  static_camera=False, no_cache=True)
+
+        transforms = dataset.camera_trajectory.to_homogenous_transforms()
+        assert transforms.shape == (num_frames, 4, 4)
+        assert np.all(np.isfinite(transforms))
+
+        # Normalised trajectory: first pose is identity.
+        np.testing.assert_allclose(transforms[0], np.eye(4), atol=1e-5)
+
+        # The camera translates dominantly along x, roughly shift*Z/fx per
+        # frame (TUM Kinect fx=580), with a consistent direction.
+        step = np.diff(transforms[:, :3, 3], axis=0)
+        assert np.all(np.abs(step[:, 0]) > 1e-3)
+        assert np.abs(step[:, 0]).mean() > 2 * np.abs(step[:, 1:]).mean()
+        assert len(set(np.sign(step[:, 0]))) == 1  # no direction flips
+        expected = shift * 1.0 / 580.0
+        assert 0.5 * expected < np.abs(step[:, 0]).mean() < 2 * expected
