@@ -17,11 +17,16 @@ import numpy as np
 
 
 def _flatten(tree: Any, prefix: str = "") -> dict:
+    """Flatten a pytree into path -> array. List nodes encode as ``#i`` keys
+    and tuple nodes as ``%i`` keys so _unflatten can rebuild the exact
+    container types."""
     flat = {}
 
     if isinstance(tree, dict):
         items = tree.items()
-    elif isinstance(tree, (list, tuple)):
+    elif isinstance(tree, tuple):
+        items = ((f"%{i}", v) for i, v in enumerate(tree))
+    elif isinstance(tree, list):
         items = ((f"#{i}", v) for i, v in enumerate(tree))
     else:
         return {prefix or "value": np.asarray(tree)}
@@ -33,7 +38,7 @@ def _flatten(tree: Any, prefix: str = "") -> dict:
     return flat
 
 
-def _unflatten(flat: dict) -> dict:
+def _unflatten(flat: dict) -> Any:
     tree: dict = {}
 
     for key, value in flat.items():
@@ -43,7 +48,18 @@ def _unflatten(flat: dict) -> dict:
             node = node.setdefault(part, {})
         node[parts[-1]] = value
 
-    return tree
+    def rebuild(node):
+        if not isinstance(node, dict):
+            return node
+
+        keys = list(node.keys())
+        if keys and all(k.startswith("#") for k in keys):
+            return [rebuild(node[f"#{i}"]) for i in range(len(keys))]
+        if keys and all(k.startswith("%") for k in keys):
+            return tuple(rebuild(node[f"%{i}"]) for i in range(len(keys)))
+        return {k: rebuild(v) for k, v in node.items()}
+
+    return rebuild(tree)
 
 
 class CheckpointManager:

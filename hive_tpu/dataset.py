@@ -228,8 +228,16 @@ class CMUPanopticDataset:
             raise RuntimeError(f"Kinect frame data for frame index {frame_index:,d} "
                                f"are too far apart.")
 
-        return (self.get_image(kinect_node=kinect_node, index=frame_index),
-                self.get_depth_map(kinect_node=kinect_node, index=frame_index))
+        # Fetch the frames the sync search actually selected — the Kinect
+        # streams drift from the HD index whenever frames drop (that is the
+        # sync tables' purpose): the JPEG filename carries the colour
+        # stream's own frame number (sync `index` value), while depthdata.dat
+        # stores received frames contiguously, so the depth seek position is
+        # the ROW in the depth sync stream.
+        color_frame_number = int(color_sync.index[color_index])
+
+        return (self.get_image(kinect_node=kinect_node, index=color_frame_number),
+                self.get_depth_map(kinect_node=kinect_node, index=depth_index))
 
     # -- geometry -------------------------------------------------------------
     def kinect_to_world_coordinates(self, kinect_node: int) -> np.ndarray:

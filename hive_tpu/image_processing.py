@@ -72,7 +72,9 @@ def bin_depth(depth_map: np.ndarray, min_depth: float = 0.0, max_depth: float = 
               num_bins: int = 128) -> np.ndarray:
     """Quantise depth values into ordered bins of increasing size."""
     bins = get_bins(min_depth, max_depth, num_bins=num_bins)
-    indices = np.digitize(depth_map, bins)
+    # digitize returns len(bins) for values >= bins[-1] (e.g. depths clamped
+    # exactly at max_depth — the NYU cap); clamp into the last bin.
+    indices = np.minimum(np.digitize(depth_map, bins), len(bins) - 1)
     return bins[indices]
 
 

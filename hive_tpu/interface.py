@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import argparse
 import html
-import io
-import json
 import logging
 import threading
 import traceback
@@ -21,7 +19,7 @@ from typing import Dict, List, Optional, Tuple
 from urllib.parse import parse_qs
 
 from hive_tpu.options import (BackgroundMeshOptions, COLMAPOptions,
-                              ForegroundTrajectorySmoothingOptions, MaskDilationOptions,
+                              MaskDilationOptions,
                               MeshDecimationOptions, MeshFilteringOptions, PipelineOptions,
                               StorageOptions, WebXROptions)
 
@@ -77,7 +75,16 @@ def build_pipeline_from_form(form: Dict[str, str]):
     parser = argparse.ArgumentParser()
     for group in ALL_OPTION_GROUPS:
         group.add_args(parser)
-    args = parser.parse_args(argv)
+
+    try:
+        args = parser.parse_args(argv)
+    except SystemExit:
+        # argparse exits on errors (missing --dataset_path, bad int, ...);
+        # SystemExit is a BaseException that would escape the web handler's
+        # `except Exception` and kill the request with no response.
+        raise ValueError("Invalid pipeline options "
+                         f"({' '.join(argv) if argv else 'empty form'}); "
+                         "dataset_path and output_path are required.")
 
     return Pipeline(
         options=PipelineOptions.from_args(args),

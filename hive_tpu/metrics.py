@@ -94,6 +94,8 @@ def batch_ssim_psnr(frames_a: np.ndarray, frames_b: np.ndarray,
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
 
+    pad = kernel.shape[0] // 2
+
     @jax.jit
     def compute(a, b):
         a = a.astype(jnp.float32)
@@ -102,15 +104,19 @@ def batch_ssim_psnr(frames_a: np.ndarray, frames_b: np.ndarray,
         mse = jnp.mean((a - b) ** 2, axis=(1, 2, 3))
         psnr_values = 10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse, 1e-12))
 
-        # Depthwise Gaussian filtering via conv per channel.
+        # Depthwise Gaussian filtering via conv per channel. Reflect-pad
+        # explicitly ('SAME' pads with ZEROS, which depresses mu/sigma in the
+        # outer ring and makes device SSIM disagree with the host path's
+        # cv2 BORDER_REFLECT near borders).
         k = kernel[:, :, None, None]
 
         def blur(x):
-            # (N, H, W, C) -> depthwise conv
             c = x.shape[-1]
+            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                        mode="reflect")
             return jax.lax.conv_general_dilated(
                 x, jnp.tile(k, (1, 1, 1, c)), window_strides=(1, 1),
-                padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=c)
 
         mu_a, mu_b = blur(a), blur(b)

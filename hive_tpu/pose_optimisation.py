@@ -776,9 +776,8 @@ def optimise_packed_features(features: dict, intrinsics, params,
         restored, meta = manager.restore()
 
         if restored is not None:
-            template_leaves, treedef = jax.tree.flatten((params, opt_state))
-            leaves = [jnp.asarray(restored[f"#{i}"])
-                      for i in range(len(template_leaves))]
+            _, treedef = jax.tree.flatten((params, opt_state))
+            leaves = [jnp.asarray(leaf) for leaf in restored]
             params, opt_state = jax.tree.unflatten(treedef, leaves)
             epochs_done = int(meta.get("epochs_done", 0))
             lr = float(meta.get("lr", lr))
@@ -823,8 +822,7 @@ def optimise_packed_features(features: dict, intrinsics, params,
         if manager is not None \
                 and chunks_since_checkpoint >= options.checkpoint_every_chunks:
             leaves, _ = jax.tree.flatten((params, opt_state))
-            manager.save(epochs_done,
-                         {f"#{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
+            manager.save(epochs_done, [np.asarray(leaf) for leaf in leaves],
                          metadata={"epochs_done": epochs_done, "lr": lr})
             chunks_since_checkpoint = 0
 

@@ -37,14 +37,31 @@ class PnPOdometry:
     def __init__(self, camera_matrix: np.ndarray, min_matches: int = 20,
                  max_features: int = 2048, ratio_threshold: float = 0.75,
                  pnp_reprojection_error: float = 4.0):
+        import threading
+
         self.camera_matrix = np.asarray(camera_matrix, dtype=np.float64)
         self.min_matches = min_matches
+        self.max_features = max_features
         self.ratio_threshold = ratio_threshold
         self.pnp_reprojection_error = pnp_reprojection_error
 
-        self.sift = cv2.SIFT_create(nfeatures=max_features)
-        self.matcher = cv2.FlannBasedMatcher(dict(algorithm=1, trees=5),
-                                             dict(checks=50))
+        # cv2 detector/matcher instances are not documented thread-safe and
+        # pair solving fans out over tqdm_imap's thread pool on multi-core
+        # hosts — keep one instance per worker thread.
+        self._tls = threading.local()
+
+    @property
+    def sift(self):
+        if not hasattr(self._tls, "sift"):
+            self._tls.sift = cv2.SIFT_create(nfeatures=self.max_features)
+        return self._tls.sift
+
+    @property
+    def matcher(self):
+        if not hasattr(self._tls, "matcher"):
+            self._tls.matcher = cv2.FlannBasedMatcher(dict(algorithm=1, trees=5),
+                                                      dict(checks=50))
+        return self._tls.matcher
 
     # -- feature helpers ------------------------------------------------------
     def _detect(self, gray: np.ndarray, mask: Optional[np.ndarray]):
@@ -74,14 +91,20 @@ class PnPOdometry:
         return good
 
     # -- relative pose --------------------------------------------------------
-    def relative_pose(self, gray_i, depth_i, gray_j, mask_i=None,
-                      mask_j=None) -> Optional[np.ndarray]:
+    def relative_pose(self, gray_i, depth_i, gray_j, mask_i=None, mask_j=None,
+                      features_i=None, features_j=None) -> Optional[np.ndarray]:
         """World-to-camera transform of frame j in frame i's camera frame.
 
+        :param features_i/features_j: Optional precomputed ``(keypoints,
+            descriptors)`` for the two frames — SIFT detection dominates
+            odometry cost and interior frames appear in two pairs, so
+            estimate_trajectory detects once per frame and passes them here.
         :return: (4, 4) matrix, or None when the pair cannot be solved.
         """
-        kp_i, desc_i = self._detect(gray_i, mask_i)
-        kp_j, desc_j = self._detect(gray_j, mask_j)
+        kp_i, desc_i = (features_i if features_i is not None
+                        else self._detect(gray_i, mask_i))
+        kp_j, desc_j = (features_j if features_j is not None
+                        else self._detect(gray_j, mask_j))
 
         matches = self._match(desc_i, desc_j)
 
@@ -155,11 +178,16 @@ class PnPOdometry:
         if masks is None:
             masks = [None] * num_frames
 
+        logging.info("Estimating frame-to-frame poses (PnP odometry)...")
+        # One SIFT pass per frame (interior frames are in two pairs).
+        features = tqdm_imap(lambda i: self._detect(grays[i], masks[i]),
+                             range(num_frames), show_progress=False)
+
         def solve_pair(i):
             return self.relative_pose(grays[i], depths[i], grays[i + 1],
-                                      masks[i], masks[i + 1])
+                                      features_i=features[i],
+                                      features_j=features[i + 1])
 
-        logging.info("Estimating frame-to-frame poses (PnP odometry)...")
         relative = tqdm_imap(solve_pair, range(num_frames - 1))
 
         poses = [np.eye(4)]
@@ -205,8 +233,9 @@ def estimate_camera_poses_native(rgb_frames: Sequence[np.ndarray],
     if subset[-1] != num_frames - 1:
         subset.append(num_frames - 1)
 
-    grays = [cv2.cvtColor(np.asarray(f)[..., :3], cv2.COLOR_RGB2GRAY)
-             for f in rgb_frames]
+    # Only the subset frames are ever solved — convert just those.
+    grays = {i: cv2.cvtColor(np.asarray(rgb_frames[i])[..., :3],
+                             cv2.COLOR_RGB2GRAY) for i in subset}
 
     odometry = PnPOdometry(camera_matrix)
     subset_trajectory = odometry.estimate_trajectory(

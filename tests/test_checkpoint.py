@@ -49,10 +49,17 @@ class TestCheckpointManager:
         tree, metadata = manager.restore()
         assert tree is None and metadata is None
 
-    def test_tuple_flattening(self, tmp_path):
+    def test_container_types_roundtrip(self, tmp_path):
+        """Lists and tuples restore as their original container types (a
+        restored optax state must re-enter jax.tree.unflatten unchanged)."""
         manager = CheckpointManager(str(tmp_path))
-        manager.save(0, ({"q": np.zeros(3)}, np.ones(2)))
+        tree = ({"q": np.zeros(3)}, [np.ones(2), np.full(1, 7.0)])
+        manager.save(0, tree)
 
         restored, _ = manager.restore()
-        np.testing.assert_array_equal(restored["#0"]["q"], np.zeros(3))
-        np.testing.assert_array_equal(restored["#1"], np.ones(2))
+        assert isinstance(restored, tuple) and len(restored) == 2
+        assert isinstance(restored[0], dict)
+        assert isinstance(restored[1], list)
+        np.testing.assert_array_equal(restored[0]["q"], np.zeros(3))
+        np.testing.assert_array_equal(restored[1][0], np.ones(2))
+        np.testing.assert_array_equal(restored[1][1], np.full(1, 7.0))

@@ -92,7 +92,10 @@ class TestMetrics:
 
         for i in range(2):
             assert psnr_batch[i] == pytest.approx(psnr(a[i], b[i]), abs=0.1)
-            assert ssim_batch[i] == pytest.approx(ssim(a[i], b[i]), abs=0.03)
+            # Reflect-padded device conv matches the host cv2 BORDER_REFLECT
+            # path to float precision (zero 'SAME' padding used to disagree
+            # by ~0.03 at this size).
+            assert ssim_batch[i] == pytest.approx(ssim(a[i], b[i]), abs=1e-3)
 
     def test_mifd_identical_is_zero(self, rng):
         # A textured image so SIFT finds features.
@@ -169,3 +172,17 @@ class TestTexturedRendering:
         assert covered.sum() > 50
         # The three colour channels all appear.
         assert image[covered].max(axis=0).min() > 100
+
+
+class TestBinDepth:
+    def test_max_depth_value_does_not_crash(self):
+        """Depths clamped exactly at max_depth (the NYU cap) fall in the last
+        bin instead of indexing out of bounds."""
+        from hive_tpu.image_processing import bin_depth
+
+        depth = np.array([[0.0, 5.0], [10.0, 12.5]], dtype=np.float32)
+        binned = bin_depth(depth, min_depth=0.0, max_depth=10.0, num_bins=128)
+
+        assert binned.shape == depth.shape
+        assert np.all(np.isfinite(binned))
+        assert binned[1, 0] == binned[1, 1] == 10.0

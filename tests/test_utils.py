@@ -205,3 +205,20 @@ class TestEnsureResponsiveBackend:
         monkeypatch.setattr(utils, "accelerator_alive",
                             lambda **kw: pytest.fail("must not probe"))
         assert utils.ensure_responsive_backend() is False
+
+
+class TestInterfaceErrorHandling:
+    def test_empty_form_raises_value_error_not_system_exit(self):
+        """argparse SystemExit must not escape the web handler's
+        `except Exception` (the browser would get an empty reply)."""
+        from hive_tpu.interface import build_pipeline_from_form
+
+        with pytest.raises(ValueError, match="dataset_path"):
+            build_pipeline_from_form({})
+
+    def test_bad_value_raises_value_error(self):
+        from hive_tpu.interface import build_pipeline_from_form
+
+        with pytest.raises(ValueError):
+            build_pipeline_from_form({"dataset_path": "in", "output_path": "out",
+                                      "num_frames": "not-a-number"})
