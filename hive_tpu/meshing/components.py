@@ -60,6 +60,11 @@ def cleanup_with_connected_components(vertices: np.ndarray, faces: np.ndarray,
     sizes = np.bincount(labels, minlength=num_components)
 
     if is_object:
+        # Components below min_components are discarded BEFORE picking the
+        # largest (reference filters with min_len first, hive/pipeline.py:761
+        # — a noise blob smaller than the threshold yields an empty mesh).
+        if sizes.max() < min_components:
+            return np.zeros((0, 3), vertices.dtype), np.zeros((0, 3), faces.dtype)
         keep = labels == np.argmax(sizes)
     else:
         keep = sizes[labels] >= min_components

@@ -88,10 +88,35 @@ def load_ply(path: str) -> TriangleMesh:
                     idx_code = {"u1": "B", "i1": "b", "u2": "H", "i2": "h",
                                 "u4": "I", "i4": "i"}[idx_t]
 
-                    for _ in range(count):
-                        (n,) = struct.unpack("<" + idx_code, fh.read(idx_size))
-                        values = np.frombuffer(fh.read(val_size * n), dtype="<" + val_t)
-                        faces.append(values.tolist())
+                    # Bulk-read the remainder, decode in memory, and seek
+                    # back past the unconsumed tail — per-face fh.read calls
+                    # cost minutes at multi-million faces on this host.
+                    blob = fh.read()
+                    offset = 0
+
+                    # Uniform-triangle fast path (what save_ply and
+                    # BundleFusion write): one structured-dtype decode.
+                    record_size = idx_size + 3 * val_size
+                    if (count and len(blob) >= record_size * count):
+                        tri_dtype = np.dtype([("n", "<" + idx_t),
+                                              ("v", "<" + val_t, (3,))])
+                        records = np.frombuffer(blob, dtype=tri_dtype,
+                                                count=count)
+                        if np.all(records["n"] == 3):
+                            faces = records["v"].astype(np.int64)
+                            offset = record_size * count
+
+                    if count and len(faces) == 0:  # mixed polygon sizes
+                        for _ in range(count):
+                            (n,) = struct.unpack_from("<" + idx_code, blob,
+                                                      offset)
+                            offset += idx_size
+                            values = np.frombuffer(blob, dtype="<" + val_t,
+                                                   count=n, offset=offset)
+                            offset += val_size * n
+                            faces.append(values.tolist())
+
+                    fh.seek(offset - len(blob), 1)
 
                 data[name] = {"vertex_indices": faces}
 
@@ -109,14 +134,18 @@ def load_ply(path: str) -> TriangleMesh:
                            axis=-1).astype(np.float32)
 
     face_lists = data.get("face", {}).get("vertex_indices", [])
-    triangles = []
-    for poly in face_lists:
-        # Fan-triangulate polygons with more than 3 vertices.
-        for i in range(1, len(poly) - 1):
-            triangles.append([poly[0], poly[i], poly[i + 1]])
 
-    faces = (np.asarray(triangles, dtype=np.int64) if triangles
-             else np.zeros((0, 3), np.int64))
+    if isinstance(face_lists, np.ndarray):  # uniform-triangle fast path
+        faces = face_lists
+    else:
+        triangles = []
+        for poly in face_lists:
+            # Fan-triangulate polygons with more than 3 vertices.
+            for i in range(1, len(poly) - 1):
+                triangles.append([poly[0], poly[i], poly[i + 1]])
+
+        faces = (np.asarray(triangles, dtype=np.int64) if triangles
+                 else np.zeros((0, 3), np.int64))
 
     return TriangleMesh(vertices=positions, faces=faces,
                         vertex_colors=colors, vertex_normals=normals)

@@ -134,8 +134,12 @@ def _sample_texture_bilinear(texture: np.ndarray, uv: np.ndarray,
     th, tw = texture.shape[:2]
     tex = texture[..., :3].astype(np.float32)
 
-    us = np.clip(uv[..., 0], 0.0, 1.0) * (tw - 1)
-    vs = (1.0 - np.clip(uv[..., 1], 0.0, 1.0)) * (th - 1)
+    # pack_textures normalises atlas pixel coordinates by canvas size
+    # (u = p / tw with texel centers at integer p), so the inverse is u * tw
+    # — scaling by (tw - 1) compressed the mapping by one texel across the
+    # atlas, drifting texture samples toward the origin at the far edge.
+    us = np.clip(np.clip(uv[..., 0], 0.0, 1.0) * tw, 0.0, tw - 1)
+    vs = np.clip((1.0 - np.clip(uv[..., 1], 0.0, 1.0)) * th, 0.0, th - 1)
 
     u0 = np.floor(us).astype(np.int64)
     v0 = np.floor(vs).astype(np.int64)
@@ -179,14 +183,27 @@ def render_mesh(mesh: TriangleMesh, camera_matrix: np.ndarray, rotation: np.ndar
     else:
         attrs = np.full((len(mesh.vertices), 3), 180.0, dtype=np.float32)
 
+    # Pad BOTH the face and vertex counts up to power-of-two size classes —
+    # jit keys on input shapes, and per-mesh-size programs recompile for
+    # every scene (seconds each; same policy as the extraction dispatches,
+    # see CLAUDE.md). Padding faces are degenerate (all-vertex-0, invisible);
+    # padding vertices copy vertex 0 and are never referenced.
     faces = np.asarray(mesh.faces, dtype=np.int32)
-    # Pad the face list to a chunk multiple with degenerate (invisible) faces.
-    pad = (-len(faces)) % chunk_size
-    if pad:
-        faces = np.concatenate([faces, np.zeros((pad, 3), np.int32)])
+    face_count = 1 << int(np.ceil(np.log2(max(len(faces), chunk_size))))
+    face_count += (-face_count) % chunk_size  # non-pow2 chunk sizes
+    if face_count > len(faces):
+        faces = np.concatenate(
+            [faces, np.zeros((face_count - len(faces), 3), np.int32)])
+
+    vertices = np.asarray(mesh.vertices, dtype=np.float32)
+    vertex_count = 1 << int(np.ceil(np.log2(max(len(vertices), 1))))
+    if vertex_count > len(vertices):
+        extra = vertex_count - len(vertices)
+        vertices = np.concatenate([vertices, np.tile(vertices[:1], (extra, 1))])
+        attrs = np.concatenate([attrs, np.tile(attrs[:1], (extra, 1))])
 
     attr_image, depth = _rasterize_device(
-        jnp.asarray(mesh.vertices, dtype=jnp.float32),
+        jnp.asarray(vertices),
         jnp.asarray(faces),
         jnp.asarray(attrs),
         jnp.asarray(camera_matrix, dtype=jnp.float32),

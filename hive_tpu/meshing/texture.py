@@ -39,7 +39,10 @@ def get_mesh_texture_and_uv(vertices: np.ndarray, image: np.ndarray, camera_matr
     max_u, max_v = np.clip(rounded_max, 0, [image.shape[1], image.shape[0]])
 
     texture = image[min_v:max_v, min_u:max_u, :].copy()
-    uv = uv - rounded_min
+    # UVs are relative to the CLIPPED crop origin — vertices can reproject
+    # outside the frame after decimation/billboard moves them, and
+    # subtracting the unclipped min would shift every UV off the crop.
+    uv = uv - np.asarray([min_u, min_v], dtype=uv.dtype)
 
     return texture, uv
 

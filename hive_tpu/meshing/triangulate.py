@@ -33,10 +33,13 @@ def triangulate_grid(valid_mask: np.ndarray, depth: np.ndarray,
     """Triangulate the valid pixels of a mask directly on the pixel grid.
 
     Each 2x2 quad of valid pixels emits two triangles whose edges satisfy the
-    depth-discontinuity threshold. At the default ``max_pixel_distance=2``
-    this produces the same surface as Delaunay + face filtering (Delaunay
-    edges longer than one pixel step are filtered out anyway) but is fully
-    vectorised — no O(N log N) host triangulation per object.
+    depth-discontinuity threshold — fully vectorised, no O(N log N) host
+    triangulation per object. On hole-free regions this matches Delaunay +
+    face filtering; the divergence is isolated invalid pixels: every quad
+    needs all four corners valid, so a single bad depth pixel punches a
+    one-pixel hole, while Delaunay at the default ``max_pixel_distance=2``
+    can bridge it with a 2-px edge. Choose ``--triangulation delaunay`` for
+    depth maps with salt-and-pepper dropouts.
 
     :param valid_mask: (H, W) bool pixels to mesh.
     :param depth: (H, W) float depth map.

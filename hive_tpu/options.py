@@ -200,8 +200,9 @@ class MeshFilteringOptions(Options):
         group.add_argument("--triangulation", type=str, default="grid",
                            choices=["grid", "delaunay"],
                            help="Per-frame depth meshing strategy: vectorised pixel-grid "
-                                "quads (default, equivalent to Delaunay + filtering at the "
-                                "default thresholds) or Delaunay triangulation.")
+                                "quads (default; matches Delaunay + filtering on hole-free "
+                                "regions but drops faces bridging isolated invalid pixels) "
+                                "or Delaunay triangulation.")
 
     @staticmethod
     def from_args(args) -> "MeshFilteringOptions":

@@ -53,8 +53,15 @@ def get_device_mesh(n_devices: Optional[int] = None,
             raise ValueError(f"Requested {n_devices} devices but only "
                              f"{len(devices)} are available.")
 
+    if len(tuple(axis_names)) != 1:
+        # Loud failure beats silently dropping axes: a NamedSharding over a
+        # missing axis errors far from the cause (or runs unsharded).
+        raise ValueError("get_device_mesh builds 1-D meshes; got axis_names="
+                         f"{tuple(axis_names)}. Build multi-axis meshes with "
+                         "jax.sharding.Mesh directly.")
+
     mesh_devices = np.array(devices[:n_devices]).reshape(n_devices)
-    return Mesh(mesh_devices, axis_names=tuple(axis_names)[:1])
+    return Mesh(mesh_devices, axis_names=tuple(axis_names))
 
 
 def shard_batch(mesh: Mesh, array, axis: int = 0):

@@ -647,3 +647,26 @@ class TestQuantizedGLBEdgeCases:
         out = load_glb(path).geometry["n"]
         np.testing.assert_allclose(out.vertices, verts.astype(np.float32),
                                    atol=1e-6)
+
+
+class TestPLYFormats:
+    def test_mixed_polygon_sizes_fan_triangulate(self, tmp_path):
+        """Non-uniform face lists (quads + tris) bypass the bulk triangle
+        decode and fan-triangulate correctly."""
+        import struct
+
+        header = (b"ply\nformat binary_little_endian 1.0\n"
+                  b"element vertex 5\n"
+                  b"property float x\nproperty float y\nproperty float z\n"
+                  b"element face 2\n"
+                  b"property list uchar int vertex_indices\nend_header\n")
+        verts = np.arange(15, dtype="<f4").tobytes()
+        face_blob = (struct.pack("<B4i", 4, 0, 1, 2, 3)
+                     + struct.pack("<B3i", 3, 0, 2, 4))
+
+        path = str(tmp_path / "mixed.ply")
+        with open(path, "wb") as fh:
+            fh.write(header + verts + face_blob)
+
+        mesh = load_ply(path)
+        assert mesh.faces.tolist() == [[0, 1, 2], [0, 2, 3], [0, 2, 4]]
