@@ -21,7 +21,6 @@ import logging
 import os
 import shutil
 from abc import ABC
-from functools import lru_cache
 from os.path import join as pjoin
 from pathlib import Path
 from typing import List, Optional, Tuple, Union
@@ -358,7 +357,16 @@ class DatasetAdaptor(Dataset, ABC):
 
         nonzero = (colmap_depth > 0.0) & (est_depth > 0.0)
 
-        scaling_factor = np.median(est_depth[nonzero] / colmap_depth[nonzero])
+        if not nonzero.any():
+            # median of an empty selection is NaN and would silently corrupt
+            # every pose; an unscaled trajectory is at least usable.
+            logging.warning("No pixel has both COLMAP and estimated depth — "
+                            "cannot recover metric scale; keeping COLMAP's "
+                            "arbitrary scale (factor 1.0).")
+            scaling_factor = 1.0
+        else:
+            scaling_factor = float(
+                np.median(est_depth[nonzero] / colmap_depth[nonzero]))
         logging.info(f"Depth scale: {scaling_factor:.4f}")
 
         scaled = camera_poses.copy()
@@ -666,9 +674,16 @@ class VideoAdaptorBase(DatasetAdaptor, ABC):
             logging.info(f"Will resize frames from {self.source_width}x{self.source_height} "
                          f"to {self.target_width}x{self.target_height} (width x height).")
 
-    @lru_cache
     def _count_frames(self) -> int:
-        """Exact frame count by decoding (metadata counts can lie, ref :907-928)."""
+        """Exact frame count by decoding (metadata counts can lie, ref :907-928).
+
+        Memoised on the instance — lru_cache on a method keys on ``self`` in
+        a module-global cache, pinning every adaptor (and its arrays) for the
+        process lifetime.
+        """
+        if getattr(self, "_cached_frame_count", None) is not None:
+            return self._cached_frame_count
+
         logging.debug(f"Counting frames for the video {self.video_path}...")
         count = 0
 
@@ -679,6 +694,7 @@ class VideoAdaptorBase(DatasetAdaptor, ABC):
         finally:
             capture.release()
 
+        self._cached_frame_count = count
         return count
 
     def get_full_num_frames(self) -> int:
@@ -778,7 +794,12 @@ class VideoAdaptor(VideoAdaptorBase):
             video_path = str(path)
             base_path = str(path.parent)
         else:
-            mp4s = [f for f in os.listdir(path) if f.endswith(".mp4")]
+            # Sorted: os.listdir order is arbitrary and the chosen video must
+            # be deterministic across machines/runs.
+            mp4s = sorted(f for f in os.listdir(path) if f.endswith(".mp4"))
+            if not mp4s:
+                raise InvalidDatasetFormatError(
+                    f"No .mp4 file found in {path}.")
             video_path = pjoin(str(path), mp4s[0])
 
         super().__init__(base_path=base_path, output_path=output_path, video_path=video_path,

@@ -39,7 +39,10 @@ def adjust_voxel_size(dataset: HiveDataset, options: BackgroundMeshOptions,
     # TSDF fusion needs cam-to-world poses; dataset trajectories are world-to-cam.
     cam_to_world = dataset.camera_trajectory.inverse().to_homogenous_transforms()
 
-    depths = np.stack([dataset.bg_depth_dataset[i] for i in frame_set])
+    from hive_tpu.utils import tqdm_imap
+
+    depths = np.stack(tqdm_imap(dataset.bg_depth_dataset.__getitem__,
+                                list(frame_set), show_progress=False))
     poses = cam_to_world[list(frame_set)]
 
     vol_bnds = estimate_volume_bounds(depths, dataset.camera_matrix, poses)

@@ -58,10 +58,19 @@ def pose_vec2mat(pose: np.ndarray) -> np.ndarray:
 
 
 def pose_mat2vec(pose: np.ndarray) -> np.ndarray:
-    """4x4 homogeneous matrix → pose 7-vector [q, t]."""
+    """4x4 homogeneous matrix → pose 7-vector [q, t] (scalar-last quat).
+
+    Host-side scipy on purpose: this is a scalar setup helper called from
+    conversion/IO loops (e.g. per COLMAP image) — a jnp implementation would
+    trigger the minutes-long tunnelled-backend attach mid-setup and dispatch
+    one tiny device op per call (CLAUDE.md: keep device use out of setup
+    steps that only need scalars).
+    """
+    from scipy.spatial.transform import Rotation
+
     validate_shape(pose, "pose", expected_shape=(4, 4))
 
-    q = np.asarray(T.matrix_to_quat(jnp.asarray(pose[:3, :3], dtype=jnp.float32)))
+    q = Rotation.from_matrix(np.asarray(pose[:3, :3], dtype=np.float64)).as_quat()
     return np.hstack((q, pose[:3, 3]))
 
 

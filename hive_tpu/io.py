@@ -67,12 +67,15 @@ def load_raw_float32_image(file_name: File) -> np.ndarray:
 
         data = np.frombuffer(f.read(), dtype=np.float32)
 
-    # Stored column-major (Fortran) with channels innermost when transposed —
-    # the same on-disk layout as the reference writer.
+    # On-disk body is plain C-order (h, w[, c]) float32: the reference writer
+    # iterates the transposed image in Fortran order, which visits elements
+    # in the ORIGINAL image's C order (ref hive/io.py:88-132) — its own
+    # loader reshapes (h, w, d) directly. Bit-compatibility verified against
+    # a byte-level emulation of the reference writer in tests/test_io.py.
     if channels == 1:
-        return data.reshape((w, h)).T.copy()
+        return data.reshape((h, w)).copy()
 
-    return data.reshape((channels, w, h)).transpose(2, 1, 0).copy()
+    return data.reshape((h, w, channels)).copy()
 
 
 def save_raw_float32_image(file_name: File, image: np.ndarray):
@@ -82,10 +85,13 @@ def save_raw_float32_image(file_name: File, image: np.ndarray):
     if image.ndim == 2:
         h, w = image.shape
         channels = 1
-        payload = image.astype(np.float32).T
     else:
         h, w, channels = image.shape
-        payload = image.astype(np.float32).transpose(2, 1, 0)
+
+    # Body is the image's C-order float32 bytes — what the reference's
+    # F-order iteration over the transposed image actually emits
+    # (ref hive/io.py:88-132).
+    payload = image.astype(np.float32)
 
     if channels > _CV_CN_MAX:
         raise ValueError("Cannot save image with more than 512 channels")
@@ -329,8 +335,18 @@ class COLMAPProcessor:
                 f"movement COLMAP needs.")
 
         sparse_recon_path = pjoin(self.sparse_path, models[0])
-        logging.debug(f"Reading COLMAP model from {sparse_recon_path}...")
-        return colmap_model.read_model(sparse_recon_path, ext=".bin")
+
+        # Parse once per processor: load_camera_params and
+        # get_sparse_depth_maps both run during one conversion, and
+        # points3D.bin reaches hundreds of MB on long videos.
+        if getattr(self, "_model_cache", None) is None \
+                or self._model_cache[0] != sparse_recon_path:
+            logging.debug(f"Reading COLMAP model from {sparse_recon_path}...")
+            self._model_cache = (sparse_recon_path,
+                                 colmap_model.read_model(sparse_recon_path,
+                                                         ext=".bin"))
+
+        return self._model_cache[1]
 
     def load_camera_params(self, raw_pose: bool = True,
                            camera_id: int = 1) -> Tuple[np.ndarray, Trajectory]:
@@ -510,11 +526,14 @@ class VideoMetadata:
                 f"height={self.height}, num_frames={self.num_frames}, fps={self.fps})")
 
     def save(self, f: Union[File, IO]):
+        # str(path): the File alias allows pathlib.Path, which json rejects.
+        payload = {**self.__dict__, "path": str(self.path)}
+
         if isinstance(f, (str, Path)):
             with open(f, "w") as fh:
-                json.dump(self.__dict__, fh)
+                json.dump(payload, fh)
         else:
-            json.dump(self.__dict__, f)
+            json.dump(payload, f)
 
     @staticmethod
     def load(f: Union[File, IO]) -> "VideoMetadata":

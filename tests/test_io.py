@@ -30,6 +30,43 @@ class TestRawFloatCodec:
         save_raw_float32_image(path, image)
         np.testing.assert_array_equal(load_raw_float32_image(path), image)
 
+    @staticmethod
+    def _reference_writer_bytes(image: np.ndarray) -> bytes:
+        """Byte-level emulation of the reference writer (ref hive/io.py:88-132):
+        header (h, w, cv_type, pixel_size) + F-order iteration over the
+        transposed image — which emits the ORIGINAL image's C-order bytes."""
+        import struct
+
+        if image.ndim == 2:
+            h, w = image.shape
+            d = 1
+            payload = np.transpose(image).astype(np.float32)
+        else:
+            h, w, d = image.shape
+            payload = np.transpose(image, [2, 1, 0]).astype(np.float32)
+
+        out = struct.pack("iii", h, w, 5 + ((d - 1) << 3)) + struct.pack("Q", d * 4)
+        chunks = [chunk.tobytes("C") for chunk in
+                  np.nditer(payload, flags=["external_loop", "buffered",
+                                            "zerosize_ok"], order="F")]
+        return out + b"".join(chunks)
+
+    def test_bit_compatible_with_reference_writer(self, tmp_path, rng):
+        """Files written by the reference toolchain must load unscrambled,
+        and files written here must be byte-identical to the reference's."""
+        for shape in ((6, 9), (5, 7, 3)):
+            image = rng.normal(size=shape).astype(np.float32)
+
+            ref_path = str(tmp_path / f"ref_{len(shape)}.raw")
+            with open(ref_path, "wb") as fh:
+                fh.write(self._reference_writer_bytes(image))
+            np.testing.assert_array_equal(load_raw_float32_image(ref_path), image)
+
+            our_path = str(tmp_path / f"ours_{len(shape)}.raw")
+            save_raw_float32_image(our_path, image)
+            with open(our_path, "rb") as fh:
+                assert fh.read() == self._reference_writer_bytes(image)
+
 
 class TestHiveDataset:
     def test_loads_and_validates(self, dataset_path):
