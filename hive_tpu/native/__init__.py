@@ -96,6 +96,12 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
         ]
 
+        lib.hive_oct_average.restype = None
+        lib.hive_oct_average.argtypes = [
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
+            ct.c_int64, ct.c_int64, ct.POINTER(ct.c_float),
+        ]
+
         _lib = lib
         return _lib
 
@@ -134,3 +140,31 @@ def weld_unique(keys):
         return first_index.astype(np.int64), inverse.astype(np.int64)
 
     return first_index[:count].copy(), inverse
+
+
+def oct_average(packed, inverse, num_unique: int):
+    """Average oct-encoded normals per welded vertex (one native pass).
+
+    :param packed: (N,) uint32 oct-encoded normals (snorm16 x, y halves).
+    :param inverse: (N,) int64 welded ranks from :func:`weld_unique`.
+    :param num_unique: number of welded vertices.
+    :return: (num_unique, 3) float32 unit normals, or ``None`` when the
+        native library is unavailable (callers fall back to numpy).
+    """
+    import numpy as np
+
+    lib = get_native_lib()
+    if lib is None:
+        return None
+
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    inverse = np.ascontiguousarray(inverse, dtype=np.int64)
+    out = np.empty((num_unique, 3), dtype=np.float32)
+
+    lib.hive_oct_average(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        inverse.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(packed), num_unique,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+
+    return out

@@ -14,6 +14,7 @@
 // the lowest original index); inverse[i] = rank of keys[i].
 
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -93,6 +94,59 @@ int64_t hive_weld_unique(const uint64_t* keys, int64_t n,
     }
 
     return unique_count;
+}
+
+// Per-welded-vertex average of oct-encoded (snorm16x2) normals, one pass.
+//
+// Replaces the numpy pipeline in hive_tpu/ops/marching.py
+// (_decode_oct_average): decode u16x2 -> octahedral fold -> three
+// bincount accumulations -> normalize. numpy makes ~10 full passes over
+// the emitted-vertex arrays (millions of elements); this fuses decode +
+// accumulate into one pass and normalizes over the (much smaller) unique
+// set. No allocations, so no failure mode.
+//
+// packed:  n oct-encoded normals (low 16 bits = x, high = y, each
+//          snorm-mapped to [0, 65535]).
+// inverse: n welded ranks in [0, num_unique) (from hive_weld_unique).
+// out:     num_unique * 3 floats (caller-allocated, overwritten).
+void hive_oct_average(const uint32_t* packed, const int64_t* inverse,
+                      int64_t n, int64_t num_unique, float* out) {
+    std::memset(out, 0, sizeof(float) * 3 * num_unique);
+
+    constexpr float kScale = 2.0f / 65535.0f;
+
+    for (int64_t i = 0; i < n; ++i) {
+        const uint32_t p = packed[i];
+        const float ux = static_cast<float>(p & 0xFFFF) * kScale - 1.0f;
+        const float uy = static_cast<float>(p >> 16) * kScale - 1.0f;
+
+        const float ax = ux < 0.0f ? -ux : ux;
+        const float ay = uy < 0.0f ? -uy : uy;
+        const float nz = 1.0f - ax - ay;
+
+        float nx = ux;
+        float ny = uy;
+        if (nz < 0.0f) {  // fold the lower hemisphere back out
+            nx = (1.0f - ay) * (ux >= 0.0f ? 1.0f : -1.0f);
+            ny = (1.0f - ax) * (uy >= 0.0f ? 1.0f : -1.0f);
+        }
+
+        float* acc = out + 3 * inverse[i];
+        acc[0] += nx;
+        acc[1] += ny;
+        acc[2] += nz;
+    }
+
+    for (int64_t r = 0; r < num_unique; ++r) {
+        float* acc = out + 3 * r;
+        const float len2 = acc[0] * acc[0] + acc[1] * acc[1] + acc[2] * acc[2];
+        if (len2 > 1e-24f) {
+            const float inv = 1.0f / std::sqrt(len2);
+            acc[0] *= inv;
+            acc[1] *= inv;
+            acc[2] *= inv;
+        }
+    }
 }
 
 }  // extern "C"

@@ -370,11 +370,15 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
 
     Inputs are the per-cube corner values: s8 (M, 8) signed distances,
     packed8 (M, 8) uint32 colours, corner_lin (M, 8) global corner ids (the
-    weld keys). Returns 7 values: per-VERTEX flat arrays x, y, z (f32, voxel
-    units), packed colour (uint32 r|g<<8|b<<16), key lo, key hi (int32
-    global corner ids; lo == hi marks a vertex snapped onto a grid corner),
-    and the valid triangle count. Each array has 3*capacity entries; entries
-    beyond 3*count are garbage. Only compacted data crosses to the host.
+    weld keys). Returns a (5, 3*capacity) uint32 lane matrix — per-vertex
+    edge fraction (f32 bits, measured lo -> hi along the canonical weld
+    edge), packed colour (uint32 r|g<<8|b<<16), key lo, key hi (int32
+    global corner ids; lo == hi marks a vertex snapped onto a grid corner)
+    and oct-encoded normal — plus the valid triangle count. Vertex
+    POSITIONS never cross the device link: the host reconstructs them from
+    (key lo, key hi, fraction) for welded-unique vertices only, saving 2/7
+    of the transferred bytes and most of the host assembly. Entries beyond
+    3*count are garbage.
     """
     M = cube_idx.shape[0]
     f32 = jnp.float32
@@ -405,6 +409,8 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
         return (cube_idx[:, axis, None].astype(f32)
                 + a[None, :] + frac * (b - a)[None, :])
 
+    # Positions are only needed on device for triangle orientation (the
+    # gradient dot below); the host rebuilds them from the weld key + frac.
     px, py, pz = lerp_pos(0), lerp_pos(1), lerp_pos(2)                   # (M, 36)
 
     def chan(p, shift):
@@ -422,6 +428,11 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     klo = jnp.where(snap_a, la, jnp.where(snap_b, lb, kmin))
     khi = jnp.where(snap_a, la, jnp.where(snap_b, lb, kmax))
 
+    # Edge fraction re-measured along the canonical (klo -> khi) direction
+    # so the host can lerp corner(klo) -> corner(khi). Snapped vertices
+    # (klo == khi) decode to corner(klo) for any fraction.
+    frac_c = jnp.where(klo == la, frac, 1.0 - frac)
+
     # Sign case per tet -> per-vertex edge slot via the flat triangle table.
     inside8 = (s8 < 0.0).astype(jnp.int32)
     case = (inside8[:, TETS[:, 0]] | (inside8[:, TETS[:, 1]] << 1)
@@ -438,6 +449,7 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     v_px, v_py, v_pz = sel(px), sel(py), sel(pz)                         # (M, 36)
     v_col = sel(col36)
     v_klo, v_khi = sel(klo), sel(khi)
+    v_frac = sel(frac_c)
 
     # Orientation: flip triangles whose normal opposes the per-tet SDF
     # gradient (static adjugate coefficients — inside is negative).
@@ -472,6 +484,7 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     v_px, v_py, v_pz = unflip(v_px), unflip(v_py), unflip(v_pz)
     v_col = unflip(v_col)
     v_klo, v_khi = unflip(v_klo), unflip(v_khi)
+    v_frac = unflip(v_frac)
 
     # Per-vertex surface normal: within one tet the SDF is linear, so the
     # isosurface patch is planar and its (outward) normal IS the tet
@@ -513,14 +526,14 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     def as_u32(a):
         return jax.lax.bitcast_convert_type(gather_flat(a), jnp.uint32)
 
-    # Pack all seven per-vertex lanes into ONE uint32 matrix (f32 positions
+    # Pack all five per-vertex lanes into ONE uint32 matrix (f32 fraction
     # and int32 weld keys bitcast) so each chunk pays a single device->host
     # transfer instead of several — behind the high-latency device link the
     # extra per-array dispatches dominated multi-chunk extractions. Row
-    # order: x, y, z (f32 bits), colour, key lo, key hi, oct normal.
-    packed_lanes = jnp.stack([as_u32(v_px), as_u32(v_py), as_u32(v_pz),
-                              gather_flat(v_col), as_u32(v_klo),
-                              as_u32(v_khi), gather_flat(v_nrm)])
+    # order: edge fraction (f32 bits), colour, key lo, key hi, oct normal.
+    packed_lanes = jnp.stack([as_u32(v_frac), gather_flat(v_col),
+                              as_u32(v_klo), as_u32(v_khi),
+                              gather_flat(v_nrm)])
     return packed_lanes, count
 
 
@@ -598,7 +611,12 @@ def _active_indices(mask_flat, num_active: int) -> np.ndarray:
 
 def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
                               chunk_size: int):
-    parts = {name: [] for name in ("x", "y", "z", "col", "klo", "khi", "nrm")}
+    import os
+    import time
+    stats = os.environ.get("HIVE_EXTRACT_STATS") == "1"
+    t_start = time.perf_counter()
+
+    parts = {name: [] for name in ("frac", "col", "klo", "khi", "nrm")}
 
     def dispatch(start):
         chunk = active[start:start + chunk_size]
@@ -640,15 +658,16 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
         width = packed_lanes.shape[1]
         nv_t = min(width, -(-nv // 4096) * 4096)
         rows = np.asarray(packed_lanes[:, :nv_t])[:, :nv]
-        for name, row in zip(("x", "y", "z", "col", "klo", "khi", "nrm"),
-                             rows):
-            if name in ("x", "y", "z"):
+        for name, row in zip(("frac", "col", "klo", "khi", "nrm"), rows):
+            if name == "frac":
                 row = row.view(np.float32)
             elif name in ("klo", "khi"):
                 row = row.view(np.int32)
             parts[name].append(row)
 
         pending = upcoming
+
+    t_collect = time.perf_counter()
 
     flat = {name: np.concatenate(chunks) for name, chunks in parts.items()}
 
@@ -662,12 +681,30 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
             + flat["khi"].astype(np.uint64))
     first_idx, inverse = weld_unique(keys)
 
-    flat_pos = np.stack([flat["x"], flat["y"], flat["z"]], axis=-1)
+    t_weld = time.perf_counter()
+
     packed = flat["col"][first_idx]
     colors = np.stack([packed & 0xFF, (packed >> 8) & 0xFF,
                        (packed >> 16) & 0xFF], axis=-1).astype(np.uint8)
 
-    vertices = (flat_pos[first_idx] * voxel_size + np.asarray(origin)).astype(np.float32)
+    # Rebuild positions for the UNIQUE vertices only: decode the weld-edge
+    # endpoints from their global corner ids and lerp by the (canonical
+    # lo -> hi) edge fraction. Per-axis corner deltas are exact small
+    # integers, so this f32 lerp reproduces the device's vertex positions
+    # to 1 ulp of the fraction.
+    klo_u = flat["klo"][first_idx].astype(np.int64)
+    khi_u = flat["khi"][first_idx].astype(np.int64)
+    frac_u = flat["frac"][first_idx]
+    YZ = dims[1] * dims[2]
+    pos = np.empty((len(first_idx), 3), np.float32)
+    for axis, (a, b) in enumerate((
+            (klo_u // YZ, khi_u // YZ),
+            ((klo_u // dims[2]) % dims[1], (khi_u // dims[2]) % dims[1]),
+            (klo_u % dims[2], khi_u % dims[2]))):
+        ca = a.astype(np.float32)
+        pos[:, axis] = ca + frac_u * (b - a).astype(np.float32)
+
+    vertices = (pos * voxel_size + np.asarray(origin)).astype(np.float32)
     faces = inverse.reshape(-1, 3).astype(np.int64)
 
     normals = _decode_oct_average(flat["nrm"], inverse, len(first_idx))
@@ -677,6 +714,14 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
           & (faces[:, 0] != faces[:, 2]))
     faces = faces[ok]
 
+    if stats:
+        t_end = time.perf_counter()
+        print(f"[extract] chunks={len(starts)} emitted={len(keys)} "
+              f"unique={len(first_idx)} faces={len(faces)} | "
+              f"dispatch+collect {t_collect - t_start:.2f}s  "
+              f"concat+weld {t_weld - t_collect:.2f}s  "
+              f"assembly+normals {t_end - t_weld:.2f}s", flush=True)
+
     return vertices, faces, colors, normals
 
 
@@ -684,7 +729,14 @@ def _decode_oct_average(packed, inverse, num_unique: int) -> np.ndarray:
     """Decode per-emitted-vertex oct normals and average them per welded
     vertex (every incident tet contributes its gradient — smoother than
     area-weighted face normals, and ~10x cheaper than the host face-normal
-    pass it replaces)."""
+    pass it replaces). Native single-pass decode+accumulate when available
+    (the numpy path below makes ~10 full passes over the emitted arrays)."""
+    from hive_tpu.native import oct_average
+
+    native = oct_average(packed, inverse, num_unique)
+    if native is not None:
+        return native
+
     ux = (packed & 0xFFFF).astype(np.float32) * (2.0 / 65535.0) - 1.0
     uy = ((packed >> 16) & 0xFFFF).astype(np.float32) * (2.0 / 65535.0) - 1.0
 

@@ -566,6 +566,31 @@ class TestNativeWeld:
         first, inverse = weld_unique(np.zeros(0, np.uint64))
         assert len(first) == 0 and len(inverse) == 0
 
+    def test_oct_average_matches_numpy(self):
+        """Native single-pass oct-normal averaging == the numpy reference
+        path (decode + bincount + normalize) to f32 tolerance."""
+        from hive_tpu.native import get_native_lib, oct_average
+        from hive_tpu.ops import marching
+
+        assert get_native_lib() is not None
+
+        rng = np.random.default_rng(1)
+        n, num_unique = 5000, 700
+        # Include the oct corner/edge cases: 0, 65535 halves.
+        packed = rng.integers(0, 2 ** 32, n, dtype=np.uint64).astype(np.uint32)
+        packed[:4] = [0, 0xFFFF, 0xFFFF0000, 0xFFFFFFFF]
+        inverse = rng.integers(0, num_unique, n).astype(np.int64)
+        inverse[:num_unique] = np.arange(num_unique)  # every rank hit
+
+        native = oct_average(packed, inverse, num_unique)
+
+        # numpy reference: force the fallback branch.
+        import unittest.mock as mock
+        with mock.patch("hive_tpu.native.oct_average", return_value=None):
+            ref = marching._decode_oct_average(packed, inverse, num_unique)
+
+        np.testing.assert_allclose(native, ref, atol=2e-5)
+
 
 class TestQuantizedGLBEdgeCases:
     def test_rgba_texture_quantizes_without_crash(self, tmp_path):
