@@ -297,6 +297,22 @@ _SWAP36 = (np.arange(36) // 3) * 3 + np.array([0, 2, 1])[np.arange(36) % 3]
 _TRI_OF_LANE36 = np.arange(36) // 3                            # vert lane -> tri 0..11
 _TET_OF_TRI12 = np.arange(12) // 2                             # tri -> tet
 
+# Per-lane edge direction codes: per-axis corner delta d in {-1, 0, +1}
+# packed as (d+1) into 2-bit fields (x in bits [0:2], y [2:4], z [4:6]).
+# FWD encodes A -> B, BWD encodes B -> A; the snap code 0b010101 (= 21)
+# is the all-zero delta, unreachable by any real edge.
+_EDGE_DELTA = (CORNER_OFFSETS[_EDGE_B] - CORNER_OFFSETS[_EDGE_A])  # (36, 3)
+
+
+def _encode_edge_delta(d):
+    return ((d[:, 0] + 1) | ((d[:, 1] + 1) << 2)
+            | ((d[:, 2] + 1) << 4)).astype(np.uint32)
+
+
+_CODE_FWD = _encode_edge_delta(_EDGE_DELTA)                    # (36,)
+_CODE_BWD = _encode_edge_delta(-_EDGE_DELTA)
+_CODE_SNAP = np.uint32(0b010101)
+
 # Static per-tet SDF-gradient coefficients: tet edge vectors are cube-corner
 # offsets, so the adjugate solve collapses to constant vectors.
 _E1 = (CORNER_OFFSETS[TETS[:, 1]] - CORNER_OFFSETS[TETS[:, 0]]).astype(np.float64)
@@ -370,14 +386,20 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
 
     Inputs are the per-cube corner values: s8 (M, 8) signed distances,
     packed8 (M, 8) uint32 colours, corner_lin (M, 8) global corner ids (the
-    weld keys). Returns a (5, 3*capacity) uint32 lane matrix — per-vertex
-    edge fraction (f32 bits, measured lo -> hi along the canonical weld
-    edge), packed colour (uint32 r|g<<8|b<<16), key lo, key hi (int32
-    global corner ids; lo == hi marks a vertex snapped onto a grid corner)
-    and oct-encoded normal — plus the valid triangle count. Vertex
-    POSITIONS never cross the device link: the host reconstructs them from
-    (key lo, key hi, fraction) for welded-unique vertices only, saving 2/7
-    of the transferred bytes and most of the host assembly. Entries beyond
+    weld keys). Returns a (3, 3*capacity) uint32 lane matrix — per vertex:
+
+    * lane 0: key lo (global corner id of the canonical lower edge endpoint)
+    * lane 1: colour r|g<<8|b<<16 | edge code << 24 (per-axis 2-bit signed
+      deltas lo -> hi, (d+1) in bits [0:2]/[2:4]/[4:6]; code 0b010101 =
+      all-zero delta marks a vertex snapped onto the lo grid corner)
+    * lane 2: edge fraction quantised to 16 bits (lo -> hi) | oct-encoded
+      normal (8+8 snorm) << 16
+
+    plus the valid triangle count. Vertex POSITIONS never cross the device
+    link: the host reconstructs them from (key lo, edge code, fraction) for
+    welded-unique vertices only — 12 bytes/vertex instead of the 28 a
+    positions+attributes transfer would pay (fraction quantisation error is
+    <= 0.5/65535 voxel, nanometres at real voxel sizes). Entries beyond
     3*count are garbage.
     """
     M = cube_idx.shape[0]
@@ -424,14 +446,21 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
         col36 = col36 | (c << shift)                                     # (M, 36)
 
     kmin = jnp.minimum(la, lb)
-    kmax = jnp.maximum(la, lb)
     klo = jnp.where(snap_a, la, jnp.where(snap_b, lb, kmin))
-    khi = jnp.where(snap_a, la, jnp.where(snap_b, lb, kmax))
+    fwd = klo == la
+
+    # 6-bit edge direction code: (klo, code) is the weld key AND determines
+    # the hi endpoint (khi = klo + decoded per-axis delta), so khi never
+    # needs its own lane. Snapped vertices get the all-zero-delta code.
+    code36 = jnp.where(snap_a | snap_b, _CODE_SNAP,
+                       jnp.where(fwd, jnp.asarray(_CODE_FWD)[None, :],
+                                 jnp.asarray(_CODE_BWD)[None, :]))
 
     # Edge fraction re-measured along the canonical (klo -> khi) direction
     # so the host can lerp corner(klo) -> corner(khi). Snapped vertices
-    # (klo == khi) decode to corner(klo) for any fraction.
-    frac_c = jnp.where(klo == la, frac, 1.0 - frac)
+    # decode to corner(klo) for any fraction (zero delta), and frac_c is 0
+    # for them anyway (snap_a: frac = 0; snap_b: klo = lb so 1 - frac = 0).
+    frac_c = jnp.where(fwd, frac, 1.0 - frac)
 
     # Sign case per tet -> per-vertex edge slot via the flat triangle table.
     inside8 = (s8 < 0.0).astype(jnp.int32)
@@ -448,7 +477,8 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
 
     v_px, v_py, v_pz = sel(px), sel(py), sel(pz)                         # (M, 36)
     v_col = sel(col36)
-    v_klo, v_khi = sel(klo), sel(khi)
+    v_klo = sel(klo)
+    v_code = sel(code36)
     v_frac = sel(frac_c)
 
     # Orientation: flip triangles whose normal opposes the per-tet SDF
@@ -481,9 +511,11 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     def unflip(a):
         return jnp.where(flip36, a[:, _SWAP36], a)
 
-    v_px, v_py, v_pz = unflip(v_px), unflip(v_py), unflip(v_pz)
+    # (Positions are NOT unflipped/emitted: they were only needed above, in
+    # their pre-flip slot order, for the orientation dot product.)
     v_col = unflip(v_col)
-    v_klo, v_khi = unflip(v_klo), unflip(v_khi)
+    v_klo = unflip(v_klo)
+    v_code = unflip(v_code)
     v_frac = unflip(v_frac)
 
     # Per-vertex surface normal: within one tet the SDF is linear, so the
@@ -503,9 +535,12 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     fold_y = (1.0 - jnp.abs(ox)) * jnp.where(oy >= 0, 1.0, -1.0)
     ox = jnp.where(nzl < 0, fold_x, ox)
     oy = jnp.where(nzl < 0, fold_y, oy)
-    ex = jnp.clip(jnp.round((ox + 1.0) * 32767.5), 0, 65535).astype(jnp.uint32)
-    ey = jnp.clip(jnp.round((oy + 1.0) * 32767.5), 0, 65535).astype(jnp.uint32)
-    v_nrm = ex | (ey << 16)
+    # 8+8 snorm oct: worst-case ~1 degree error, invisible after the host
+    # averages every incident tet's normal per welded vertex — and it frees
+    # 16 bits of the lane for the quantised edge fraction.
+    ex = jnp.clip(jnp.round((ox + 1.0) * 127.5), 0, 255).astype(jnp.uint32)
+    ey = jnp.clip(jnp.round((oy + 1.0) * 127.5), 0, 255).astype(jnp.uint32)
+    v_nrm = ex | (ey << 8)
 
     # Compact valid triangles; padded cube slots carry none.
     slot_ok = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) < valid_count
@@ -523,17 +558,17 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     def gather_flat(a):
         return jnp.take(a.reshape(-1), idxv)
 
-    def as_u32(a):
-        return jax.lax.bitcast_convert_type(gather_flat(a), jnp.uint32)
-
-    # Pack all five per-vertex lanes into ONE uint32 matrix (f32 fraction
-    # and int32 weld keys bitcast) so each chunk pays a single device->host
-    # transfer instead of several — behind the high-latency device link the
-    # extra per-array dispatches dominated multi-chunk extractions. Row
-    # order: edge fraction (f32 bits), colour, key lo, key hi, oct normal.
-    packed_lanes = jnp.stack([as_u32(v_frac), gather_flat(v_col),
-                              as_u32(v_klo), as_u32(v_khi),
-                              gather_flat(v_nrm)])
+    # Pack the three per-vertex lanes into ONE uint32 matrix (int32 weld key
+    # bitcast) so each chunk pays a single device->host transfer — behind
+    # the high-latency device link the extra per-array dispatches dominated
+    # multi-chunk extractions, and the lane packing above (vs the earlier
+    # 5-lane frac/col/klo/khi/nrm layout) cuts the transferred bytes 40%.
+    fq = jnp.clip(jnp.round(v_frac * 65535.0), 0, 65535).astype(jnp.uint32)
+    packed_lanes = jnp.stack([
+        jax.lax.bitcast_convert_type(gather_flat(v_klo), jnp.uint32),
+        gather_flat(v_col | (v_code << 24)),
+        gather_flat(fq | (v_nrm << 16)),
+    ])
     return packed_lanes, count
 
 
@@ -616,7 +651,7 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
     stats = os.environ.get("HIVE_EXTRACT_STATS") == "1"
     t_start = time.perf_counter()
 
-    parts = {name: [] for name in ("frac", "col", "klo", "khi", "nrm")}
+    parts = {name: [] for name in ("klo", "colcode", "fracnrm")}
 
     def dispatch(start):
         chunk = active[start:start + chunk_size]
@@ -658,10 +693,8 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
         width = packed_lanes.shape[1]
         nv_t = min(width, -(-nv // 4096) * 4096)
         rows = np.asarray(packed_lanes[:, :nv_t])[:, :nv]
-        for name, row in zip(("frac", "col", "klo", "khi", "nrm"), rows):
-            if name == "frac":
-                row = row.view(np.float32)
-            elif name in ("klo", "khi"):
+        for name, row in zip(("klo", "colcode", "fracnrm"), rows):
+            if name == "klo":
                 row = row.view(np.int32)
             parts[name].append(row)
 
@@ -671,43 +704,50 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
 
     flat = {name: np.concatenate(chunks) for name, chunks in parts.items()}
 
-    # Weld: each vertex is uniquely identified by its (lo, hi) grid-edge key
-    # (lo == hi for vertices snapped onto a grid corner). Native radix-sort
-    # unique (hive_tpu.native.weld_unique) — millions of keys per
-    # extraction; numpy fallback inside.
+    # Weld: each vertex is uniquely identified by (lo corner id, 6-bit edge
+    # direction code) — the code fully determines the hi endpoint, and the
+    # snap code (all-zero delta, vertices ON a grid corner) can't collide
+    # with any real edge. Native radix-sort unique
+    # (hive_tpu.native.weld_unique) — millions of keys per extraction;
+    # numpy fallback inside.
     from hive_tpu.native import weld_unique
 
-    keys = (flat["klo"].astype(np.uint64) * np.uint64(np.prod(dims))
-            + flat["khi"].astype(np.uint64))
+    code_all = flat["colcode"] >> 24
+    keys = (flat["klo"].astype(np.uint64) << np.uint64(6)) | code_all
     first_idx, inverse = weld_unique(keys)
 
     t_weld = time.perf_counter()
 
-    packed = flat["col"][first_idx]
+    packed = flat["colcode"][first_idx]
     colors = np.stack([packed & 0xFF, (packed >> 8) & 0xFF,
                        (packed >> 16) & 0xFF], axis=-1).astype(np.uint8)
 
-    # Rebuild positions for the UNIQUE vertices only: decode the weld-edge
-    # endpoints from their global corner ids and lerp by the (canonical
-    # lo -> hi) edge fraction. Per-axis corner deltas are exact small
-    # integers, so this f32 lerp reproduces the device's vertex positions
-    # to 1 ulp of the fraction.
+    # Rebuild positions for the UNIQUE vertices only: decode the lo corner
+    # from its global id, the hi endpoint from the edge code's per-axis
+    # deltas, and lerp by the dequantised (canonical lo -> hi) fraction.
+    # Deltas are exact small integers, so this f32 lerp reproduces the
+    # device's vertex positions to the fraction's 16-bit quantisation
+    # (<= 0.5/65535 voxel — nanometres at real voxel sizes).
     klo_u = flat["klo"][first_idx].astype(np.int64)
-    khi_u = flat["khi"][first_idx].astype(np.int64)
-    frac_u = flat["frac"][first_idx]
+    code_u = packed >> 24
+    frac_u = ((flat["fracnrm"][first_idx] & 0xFFFF).astype(np.float32)
+              * np.float32(1.0 / 65535.0))
     YZ = dims[1] * dims[2]
     pos = np.empty((len(first_idx), 3), np.float32)
-    for axis, (a, b) in enumerate((
-            (klo_u // YZ, khi_u // YZ),
-            ((klo_u // dims[2]) % dims[1], (khi_u // dims[2]) % dims[1]),
-            (klo_u % dims[2], khi_u % dims[2]))):
-        ca = a.astype(np.float32)
-        pos[:, axis] = ca + frac_u * (b - a).astype(np.float32)
+    for axis, lo in enumerate((klo_u // YZ, (klo_u // dims[2]) % dims[1],
+                               klo_u % dims[2])):
+        delta = ((code_u >> (2 * axis)) & 3).astype(np.float32) - 1.0
+        pos[:, axis] = lo.astype(np.float32) + frac_u * delta
 
     vertices = (pos * voxel_size + np.asarray(origin)).astype(np.float32)
     faces = inverse.reshape(-1, 3).astype(np.int64)
 
-    normals = _decode_oct_average(flat["nrm"], inverse, len(first_idx))
+    # Expand the 8+8 oct normals to the snorm16x2 layout the averaging
+    # kernel expects: x * 257 maps 0..255 onto 0..65535 exactly (and
+    # linearly), so the decode is bit-equivalent to an 8-bit dequantise.
+    p8 = flat["fracnrm"] >> 16
+    nrm16 = ((p8 & 0xFF) * np.uint32(257)) | (((p8 >> 8) * np.uint32(257)) << 16)
+    normals = _decode_oct_average(nrm16, inverse, len(first_idx))
 
     # Drop degenerate faces (duplicate welded vertices).
     ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
