@@ -102,6 +102,22 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             ct.c_int64, ct.c_int64, ct.POINTER(ct.c_float),
         ]
 
+        lib.hive_weld_unique_lanes.restype = ct.c_int64
+        lib.hive_weld_unique_lanes.argtypes = [
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_uint32), ct.c_int64,
+            ct.POINTER(ct.c_int64), ct.POINTER(ct.c_int64),
+        ]
+
+        lib.hive_extract_assemble.restype = ct.c_int64
+        lib.hive_extract_assemble.argtypes = [
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_uint32),
+            ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int64),
+            ct.POINTER(ct.c_int64), ct.c_int64, ct.c_int64,
+            ct.c_int64, ct.c_int64, ct.c_double, ct.POINTER(ct.c_double),
+            ct.POINTER(ct.c_float), ct.POINTER(ct.c_uint8),
+            ct.POINTER(ct.c_float),
+        ]
+
         _lib = lib
         return _lib
 
@@ -140,6 +156,69 @@ def weld_unique(keys):
         return first_index.astype(np.int64), inverse.astype(np.int64)
 
     return first_index[:count].copy(), inverse
+
+
+def extract_assemble(klo, colcode, fracnrm, dims, voxel_size: float, origin):
+    """Weld + assemble an extracted mesh from the raw isosurface lanes
+    (hive_tpu/ops/marching.py 3-lane layout) in one native pass: key build,
+    radix-sort weld, position/colour decode for unique vertices, oct-normal
+    averaging, degenerate-face compaction. At multi-million-vertex scale the
+    equivalent numpy pipeline makes ~10 full passes over the emitted arrays
+    on this single-core host.
+
+    :param klo: (N,) int32 lane 0 — global lo-corner ids.
+    :param colcode: (N,) uint32 lane 1 — colour | edge code << 24.
+    :param fracnrm: (N,) uint32 lane 2 — frac16 | oct8x8 << 16.
+    :param dims: (X, Y, Z) volume extents in voxels.
+    :param voxel_size: voxel edge length (meters).
+    :param origin: (3,) world position of voxel (0, 0, 0).
+    :return: (vertices (U, 3) f32 world, faces (F, 3) int64,
+        colors (U, 3) uint8, normals (U, 3) f32 unit), or ``None`` when the
+        native library is unavailable (callers fall back to numpy).
+    """
+    import numpy as np
+
+    lib = get_native_lib()
+    if lib is None:
+        return None
+
+    n = len(klo)
+    if n == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+                np.zeros((0, 3), np.uint8), np.zeros((0, 3), np.float32))
+
+    klo = np.ascontiguousarray(klo, dtype=np.int32)
+    colcode = np.ascontiguousarray(colcode, dtype=np.uint32)
+    fracnrm = np.ascontiguousarray(fracnrm, dtype=np.uint32)
+
+    first_index = np.empty(n, dtype=np.int64)
+    inverse = np.empty(n, dtype=np.int64)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    num_unique = lib.hive_weld_unique_lanes(
+        ptr(klo, ctypes.c_int32), ptr(colcode, ctypes.c_uint32), n,
+        ptr(first_index, ctypes.c_int64), ptr(inverse, ctypes.c_int64))
+    if num_unique < 0:  # allocation failure — numpy fallback
+        return None
+
+    vertices = np.empty((num_unique, 3), dtype=np.float32)
+    colors = np.empty((num_unique, 3), dtype=np.uint8)
+    normals = np.empty((num_unique, 3), dtype=np.float32)
+    origin64 = np.ascontiguousarray(origin, dtype=np.float64)
+
+    kept = lib.hive_extract_assemble(
+        ptr(klo, ctypes.c_int32), ptr(colcode, ctypes.c_uint32),
+        ptr(fracnrm, ctypes.c_uint32), ptr(first_index, ctypes.c_int64),
+        ptr(inverse, ctypes.c_int64), n, num_unique,
+        int(dims[1]), int(dims[2]), float(voxel_size),
+        ptr(origin64, ctypes.c_double),
+        ptr(vertices, ctypes.c_float), ptr(colors, ctypes.c_uint8),
+        ptr(normals, ctypes.c_float))
+
+    faces = inverse[:3 * kept].reshape(-1, 3).copy()
+    return vertices, faces, colors, normals
 
 
 def oct_average(packed, inverse, num_unique: int):

@@ -704,13 +704,31 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
 
     flat = {name: np.concatenate(chunks) for name, chunks in parts.items()}
 
-    # Weld: each vertex is uniquely identified by (lo corner id, 6-bit edge
-    # direction code) — the code fully determines the hi endpoint, and the
-    # snap code (all-zero delta, vertices ON a grid corner) can't collide
-    # with any real edge. Native radix-sort unique
-    # (hive_tpu.native.weld_unique) — millions of keys per extraction;
-    # numpy fallback inside.
-    from hive_tpu.native import weld_unique
+    # Weld + assembly, all-native fast path: one C++ call fuses the key
+    # build, radix-sort weld, unique-vertex position/colour decode,
+    # oct-normal averaging and degenerate-face compaction — the equivalent
+    # numpy pipeline below makes ~10 full passes over the emitted arrays
+    # (which reach hundreds of MB at production volume sizes) and measured
+    # ~27 s of an 87 s extraction at 35M emitted vertices on this host.
+    from hive_tpu.native import extract_assemble, weld_unique
+
+    native = extract_assemble(flat["klo"], flat["colcode"], flat["fracnrm"],
+                              dims, voxel_size, np.asarray(origin, np.float64))
+    if native is not None:
+        vertices, faces, colors, normals = native
+        if stats:
+            t_end = time.perf_counter()
+            print(f"[extract] chunks={len(starts)} emitted={len(flat['klo'])} "
+                  f"unique={len(vertices)} faces={len(faces)} | "
+                  f"dispatch+collect {t_collect - t_start:.2f}s  "
+                  f"weld+assemble(native) {t_end - t_collect:.2f}s",
+                  flush=True)
+        return vertices, faces, colors, normals
+
+    # Numpy fallback (no native toolchain). Weld: each vertex is uniquely
+    # identified by (lo corner id, 6-bit edge direction code) — the code
+    # fully determines the hi endpoint, and the snap code (all-zero delta,
+    # vertices ON a grid corner) can't collide with any real edge.
 
     code_all = flat["colcode"] >> 24
     keys = (flat["klo"].astype(np.uint64) << np.uint64(6)) | code_all

@@ -566,6 +566,41 @@ class TestNativeWeld:
         first, inverse = weld_unique(np.zeros(0, np.uint64))
         assert len(first) == 0 and len(inverse) == 0
 
+    def test_extract_assemble_matches_numpy_path(self):
+        """The fused native weld+assembly must reproduce the numpy fallback
+        pipeline: faces/colors exactly, positions and normals to f32
+        rounding (the native path lerps in f32 like numpy but transforms to
+        world coordinates in f64)."""
+        import unittest.mock as mock
+
+        from hive_tpu.native import get_native_lib
+        from hive_tpu.ops.marching import extract_isosurface
+
+        assert get_native_lib() is not None
+
+        n = 32
+        coords = (np.arange(n) + 0.5) / n - 0.5
+        x, y, z = np.meshgrid(coords, coords, coords, indexing="ij")
+        sdf = np.sqrt(x ** 2 + y ** 2 + z ** 2) - 0.35
+        tsdf = np.clip(sdf / 0.1, -1.0, 1.0).astype(np.float32)
+        weight = np.ones_like(tsdf)
+        color = np.random.default_rng(0).integers(
+            0, 255, (n, n, n, 3)).astype(np.float32)
+
+        kwargs = dict(origin=np.array([-0.5] * 3), voxel_size=1.0 / n)
+        v_nat, f_nat, c_nat, n_nat = extract_isosurface(
+            tsdf, weight, color, **kwargs)
+        with mock.patch("hive_tpu.native.extract_assemble",
+                        return_value=None):
+            v_np, f_np, c_np, n_np = extract_isosurface(
+                tsdf, weight, color, **kwargs)
+
+        assert len(v_nat) > 1000
+        np.testing.assert_array_equal(f_nat, f_np)
+        np.testing.assert_array_equal(c_nat, c_np)
+        np.testing.assert_allclose(v_nat, v_np, atol=1e-6)
+        np.testing.assert_allclose(n_nat, n_np, atol=3e-5)
+
     def test_oct_average_matches_numpy(self):
         """Native single-pass oct-normal averaging == the numpy reference
         path (decode + bincount + normalize) to f32 tolerance."""
