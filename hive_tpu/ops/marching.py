@@ -542,9 +542,18 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     ey = jnp.clip(jnp.round((oy + 1.0) * 127.5), 0, 255).astype(jnp.uint32)
     v_nrm = ex | (ey << 8)
 
-    # Compact valid triangles; padded cube slots carry none.
+    # Compact valid triangles; padded cube slots carry none. Degenerate
+    # triangles — two vertices sharing one weld key (klo, code), the host
+    # weld's exact identity — are dropped HERE rather than by the host's
+    # post-weld face filter: on grid-aligned surfaces, corner snapping makes
+    # up to ~75% of emissions degenerate (measured), and shipping them only
+    # to discard them dominated extraction behind the slow device link.
+    k0, k1, k2 = v_klo[:, 0::3], v_klo[:, 1::3], v_klo[:, 2::3]          # (M, 12)
+    c0, c1, c2 = v_code[:, 0::3], v_code[:, 1::3], v_code[:, 2::3]
+    dup = (((k0 == k1) & (c0 == c1)) | ((k1 == k2) & (c1 == c2))
+           | ((k0 == k2) & (c0 == c2)))
     slot_ok = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) < valid_count
-    tri_valid = valid36[:, 0::3] & slot_ok                               # (M, 12)
+    tri_valid = valid36[:, 0::3] & slot_ok & ~dup                        # (M, 12)
 
     flat_valid = tri_valid.reshape(-1)
     count = jnp.sum(flat_valid)

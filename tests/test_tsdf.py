@@ -136,6 +136,36 @@ class TestIsosurfaceExtraction:
         assert (colors[:, 0] == 200).all()
         assert (colors[:, 1] == 50).all()
 
+    def test_degenerate_triangles_filtered_on_device(self, monkeypatch,
+                                                     capsys):
+        """A surface lying exactly on a lattice plane makes corner snapping
+        collapse most emitted triangles to zero area (measured ~75% on a
+        grid-aligned wall). Those must be dropped ON DEVICE (the weld-key
+        comparison in marching._emit_core), not shipped for the host to
+        discard: the stats line's emitted count must equal exactly 3 lanes
+        per KEPT face, and every welded vertex must be referenced."""
+        n = 24
+        z = np.arange(n, dtype=np.float32) - n // 2  # zero ON the lattice
+        tsdf = np.broadcast_to(np.clip(z / 3.0, -1.0, 1.0),
+                               (n, n, n)).astype(np.float32).copy()
+        weight = np.ones_like(tsdf)
+        color = np.full((n, n, n, 3), 128.0, np.float32)
+
+        monkeypatch.setenv("HIVE_EXTRACT_STATS", "1")
+        verts, faces, _, _ = extract_isosurface(
+            tsdf, weight, color, origin=np.zeros(3), voxel_size=0.1)
+        stats = capsys.readouterr().out
+
+        assert len(faces) > 100
+        assert (np.diff(np.sort(faces, axis=-1), axis=-1) != 0).all()
+
+        referenced = np.zeros(len(verts), bool)
+        referenced[faces.ravel()] = True
+        assert referenced.all()
+
+        emitted = int(stats.split("emitted=")[1].split()[0])
+        assert emitted == 3 * len(faces)
+
 
 class TestTSDFVolume:
     def test_flat_wall_reconstruction(self):
