@@ -156,52 +156,141 @@ def _block_codes(tsdf_b, weight_b):
     return code, jnp.any(inside, axis=1)
 
 
-@partial(jax.jit, static_argnames=("grid_blocks", "block_size"))
-def _cube_active_for_blocks(code_flat, block_ids, *, grid_blocks, block_size):
-    """(B,) candidate block ids -> (B, bv) activity mask for every cube
-    based in those blocks (local x-major order).
+# Forward block-neighbor combos, indexed k = dx*4 + dy*2 + dz.
+_CORNER_COMBOS = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1)
+                  for dz in (0, 1)]
 
-    Activity = all 8 corners observed + a sign change. Cube bases are
-    enumerated ON DEVICE from the block ids (the host only ever touches the
-    compacted actives); corners accumulate over an 8-step loop of (B, bv)
-    elementwise ops + one code gather each, so no tiny minor dim tile-pads.
-    Cubes whose +1 corner would leave the volume are masked inactive.
-    """
+
+def _neighbor_block_rows(cand_ids, grid_blocks):
+    """Host: (8, B) block ids of each candidate's forward-neighbor combos
+    (k = dx*4 + dy*2 + dz) plus an in-grid validity mask (out-of-grid
+    neighbors read block 0, masked to code 0 = unobserved on device — which
+    also subsumes the volume-boundary in_range test: a cube whose +1 corner
+    leaves the volume reads an out-of-grid block and fails all_observed)."""
     nbx, nby, nbz = grid_blocks
+    cbx = cand_ids // (nby * nbz)
+    cby = (cand_ids // nbz) % nby
+    cbz = cand_ids % nbz
+
+    ids8 = np.zeros((8, len(cand_ids)), np.int32)
+    ok8 = np.zeros((8, len(cand_ids)), bool)
+    for k, (dx, dy, dz) in enumerate(_CORNER_COMBOS):
+        x, y, z = cbx + dx, cby + dy, cbz + dz
+        ok = (x < nbx) & (y < nby) & (z < nbz)
+        ids8[k] = np.where(ok, (x * nby + y) * nbz + z, 0)
+        ok8[k] = ok
+    return ids8, ok8
+
+
+def _cube_active_rows(code_b, ids8, ok8, block_size):
+    """(8, B) neighbor-combo rows of per-voxel 2-bit codes -> (B, bv) cube
+    activity in the STATE in-block order (y minor, x stride by, z stride
+    bx*by).
+
+    Activity = all 8 corners observed + a sign change. Corner codes are
+    GATHER-FREE: eight row-takes fetch each candidate block and its forward
+    neighbors whole, and every corner's (B, bv) code array is then a flat
+    roll of those rows with a constant wrap mask selecting the +axis
+    neighbor — the previous per-corner element gather (8 gathers x
+    candidate-cube count, serialized at ~7-11 ns each on this part)
+    measured ~6 s alone at 67M candidate cubes on the e2e bench scene.
+    """
     bx, by, bz = block_size
     bv = bx * by * bz
-    X, Y, Z = nbx * bx, nby * by, nbz * bz
 
-    cbx = block_ids // (nby * nbz)
-    cby = (block_ids // nbz) % nby
-    cbz = block_ids % nbz
+    A = {}
+    for k, (dx, dy, dz) in enumerate(_CORNER_COMBOS):
+        rows = jnp.take(code_b, ids8[k], axis=0)                     # (B, bv)
+        A[(dx, dy, dz)] = rows * ok8[k][:, None].astype(rows.dtype)
 
-    lidx = jnp.arange(bv, dtype=jnp.int32)
-    lx = lidx // (by * bz)
-    ly = (lidx // bz) % by
-    lz = lidx % bz
+    pos = np.arange(bv, dtype=np.int32)
+    wrap_y = jnp.asarray(pos % by == by - 1)[None, :]
+    wrap_x = jnp.asarray((pos // by) % bx == bx - 1)[None, :]
+    wrap_z = jnp.asarray(pos // (bx * by) == bz - 1)[None, :]
 
-    x = cbx[:, None] * bx + lx[None, :]                                  # (B, bv)
-    y = cby[:, None] * by + ly[None, :]
-    z = cbz[:, None] * bz + lz[None, :]
+    def axis_shift(a, b, stride, size, wrap):
+        # +1 step along one axis: non-wrapping slots read a[p + stride],
+        # wrapping slots read the neighbor row's axis-0 slot b[p - (size-1)*stride].
+        return jnp.where(wrap, jnp.roll(b, (size - 1) * stride, axis=1),
+                         jnp.roll(a, -stride, axis=1))
 
-    in_range = (x < X - 1) & (y < Y - 1) & (z < Z - 1)
+    def shift_y(a, b):
+        return axis_shift(a, b, 1, by, wrap_y)
 
-    all_observed = jnp.bool_(True)
-    any_inside = jnp.bool_(False)
-    all_inside = jnp.bool_(True)
-    for dx, dy, dz in CORNER_OFFSETS:
-        cx, cy_, cz_ = x + int(dx), y + int(dy), z + int(dz)
-        block, off = _state_voxel_address(cx, cy_, cz_, grid_blocks=grid_blocks,
-                                          block_size=block_size)
-        code = jnp.take(code_flat, jnp.minimum(block * bv + off,
-                                               code_flat.shape[0] - 1))
-        all_observed = all_observed & (code > 0)
-        inside = code == 2
-        any_inside = any_inside | inside
-        all_inside = all_inside & inside
+    def shift_x(a, b):
+        return axis_shift(a, b, by, bx, wrap_x)
 
-    return in_range & all_observed & any_inside & ~all_inside
+    def shift_z(a, b):
+        return axis_shift(a, b, bx * by, bz, wrap_z)
+
+    # 12 shifts build all 8 corner-code arrays (y stage 4, x stage 4, z 4).
+    Y = {(ix, iz): shift_y(A[(ix, 0, iz)], A[(ix, 1, iz)])
+         for ix in (0, 1) for iz in (0, 1)}
+
+    all_observed = None
+    any_inside = None
+    all_inside = None
+    for dy in (0, 1):
+        Sy = {(ix, iz): (Y[(ix, iz)] if dy else A[(ix, 0, iz)])
+              for ix in (0, 1) for iz in (0, 1)}
+        for dx in (0, 1):
+            T = {iz: (shift_x(Sy[(0, iz)], Sy[(1, iz)]) if dx
+                      else Sy[(0, iz)]) for iz in (0, 1)}
+            for dz in (0, 1):
+                code = shift_z(T[0], T[1]) if dz else T[0]
+                observed = code > 0
+                inside = code == 2
+                if all_observed is None:
+                    all_observed, any_inside, all_inside = (observed, inside,
+                                                            inside)
+                else:
+                    all_observed = all_observed & observed
+                    any_inside = any_inside | inside
+                    all_inside = all_inside & inside
+
+    return all_observed & any_inside & ~all_inside
+
+
+def _cube_mask_for_blocks(code_b, ids8, ok8, valid_count, block_size,
+                          rows: int = 8192):
+    """(8, B) padded neighbor-combo rows -> (B, bv) cube activity, with rows
+    >= valid_count forced inactive. ``lax.map`` over row chunks bounds the
+    per-chunk intermediates so one program handles arbitrarily many
+    candidate blocks in fixed memory."""
+    B = ids8.shape[1]
+    valid = jnp.arange(B, dtype=jnp.int32) < valid_count
+    if B <= rows:
+        return _cube_active_rows(code_b, ids8, ok8, block_size) \
+            & valid[:, None]
+
+    nch = B // rows
+    ids_c = ids8.reshape(8, nch, rows).transpose(1, 0, 2)
+    ok_c = ok8.reshape(8, nch, rows).transpose(1, 0, 2)
+    valid_c = valid.reshape(nch, rows)
+
+    def one_chunk(args):
+        i8, o8, v = args
+        return _cube_active_rows(code_b, i8, o8, block_size) & v[:, None]
+
+    mask = jax.lax.map(one_chunk, (ids_c, ok_c, valid_c))
+    return mask.reshape(B, -1)
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def _active_mask_bits_for_blocks(code_b, ids8, ok8, valid_count, *,
+                                 block_size):
+    """Cube activity for the candidate blocks, BIT-PACKED for transfer:
+    byte j carries flat-mask elements j + k*(N/8) in bit k (a strided
+    packing — reducing over a leading dim of 8 avoids the (N/8, 8)
+    minor-dim layout, which would tile-pad 8 -> 128 and materialise 16x the
+    mask). The host unpacks, compacts, and maps to cube ids — device-side
+    nonzero at full candidate capacity measured ~3 s slower at 67M
+    candidate cubes (serialized scatter/gather), and per-chunk bool
+    transfers cost 8x the bytes plus a round trip per 2048 blocks."""
+    mask = _cube_mask_for_blocks(code_b, ids8, ok8, valid_count, block_size)
+    flat = mask.reshape(8, -1).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(8, dtype=jnp.uint32))[:, None]
+    return jnp.sum(flat * weights, axis=0).astype(jnp.uint8)
 
 
 def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks, block_size,
@@ -213,6 +302,12 @@ def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks, block_size,
     Replaces the dense-plane mask for the sparse path: the plane's
     (nb, BV) -> (X, Y, Z) relayout alone measured 5.8 s per 76M voxels on
     this part, while surfaces typically touch a few percent of blocks.
+
+    Compaction happens ON DEVICE: one count dispatch (scalar home) + one
+    compact dispatch shipping only the packed active ids. The earlier
+    host-side loop moved a (blocks, bv) bool mask per 2048-block dispatch
+    and measured 7.4 s at 1.29M actives on the e2e bench scene (40 x
+    ~1 MB round trips behind the tunnel); this path is 2 dispatches + ~5 MB.
     """
     nbx, nby, nbz = grid_blocks
     bx, by, bz = block_size
@@ -235,40 +330,39 @@ def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks, block_size,
     if cand_ids.size == 0:
         return np.zeros((0,), np.int64)
 
+    # Power-of-two size class per candidate count (one compile per class);
+    # padding repeats block 0, masked out by valid_count inside the kernel.
+    size_c = 1 << max(6, int(np.ceil(np.log2(len(cand_ids)))))
+    ids_pad = np.zeros(size_c, np.int32)
+    ids_pad[:len(cand_ids)] = cand_ids
+    ids8, ok8 = _neighbor_block_rows(ids_pad, grid_blocks)
+    valid_count = jnp.int32(len(cand_ids))
+
+    packed = np.asarray(_active_mask_bits_for_blocks(
+        code_b, jnp.asarray(ids8), jnp.asarray(ok8), valid_count,
+        block_size=block_size))
+
+    # Unpack the strided bit layout (element e lives at bit e // (N/8) of
+    # byte e % (N/8)) and compact on host — cheap numpy passes over N bools.
     bv = bx * by * bz
-    block_chunk = max(64, chunk // bv)  # blocks per dispatch
-
-    code_flat = code_b.reshape(-1)
-    actives = []
-    for start in range(0, len(cand_ids), block_chunk):
-        n = min(block_chunk, len(cand_ids) - start)
-        # Pad every dispatch up to a power-of-two size class: exact
-        # candidate counts differ per scene, and a per-count shape would
-        # compile a fresh program every extraction. Padding repeats block 0
-        # — its duplicate actives are trimmed by the [:n] slice.
-        size = min(block_chunk, 1 << max(6, int(np.ceil(np.log2(n)))))
-        ids = np.zeros(size, np.int32)
-        ids[:n] = cand_ids[start:start + n]
-        mask = np.asarray(_cube_active_for_blocks(
-            code_flat, jnp.asarray(ids), grid_blocks=grid_blocks,
-            block_size=block_size))[:n]                         # (n, bv)
-
-        flat = np.flatnonzero(mask)
-        if len(flat):
-            blk = cand_ids[start + flat // bv].astype(np.int64)
-            loc = flat % bv
-            # block coords + local x-major offsets -> global voxel coords
-            gx = (blk // (nby * nbz)) * bx + loc // (by * bz)
-            gy = ((blk // nbz) % nby) * by + (loc // bz) % by
-            gz = (blk % nbz) * bz + loc % bz
-            actives.append((gx * (dims[1] - 1) + gy) * (dims[2] - 1) + gz)
-
-    if not actives:
+    n_over_8 = len(packed)
+    hits = np.flatnonzero(np.unpackbits(packed, bitorder="little"))
+    if len(hits) == 0:
         return np.zeros((0,), np.int64)
+    flat = (hits % 8) * n_over_8 + hits // 8   # candidate-cube flat index
+
+    blk = cand_ids[flat // bv].astype(np.int64)
+    loc = flat % bv
+    # block coords + STATE-layout local offsets (y minor, x stride by,
+    # z stride bx*by — the order _cube_active_rows emits) -> global coords.
+    gx = (blk // (nby * nbz)) * bx + (loc // by) % bx
+    gy = ((blk // nbz) % nby) * by + loc % by
+    gz = (blk % nbz) * bz + loc // (bx * by)
+    lin = (gx * (dims[1] - 1) + gy) * (dims[2] - 1) + gz
 
     # Sorted linear order keeps emission (and so face order) identical to
     # the dense-plane path — the blocked/dense bit-exactness contract.
-    return np.sort(np.concatenate(actives))
+    return np.sort(lin)
 
 
 # ---------------------------------------------------------------------------
@@ -838,6 +932,11 @@ def extract_isosurface_blocked(tsdf_b, weight_b, color_b, *, grid_blocks,
     :return: (vertices (V, 3) f32 world coords, faces (F, 3) int64,
         vertex colors (V, 3) uint8, vertex normals (V, 3) f32).
     """
+    import os
+    import time
+    stats = os.environ.get("HIVE_EXTRACT_STATS") == "1"
+    t0 = time.perf_counter()
+
     grid_blocks = tuple(int(g) for g in grid_blocks)
     block_size = tuple(int(b) for b in block_size)
     dims = tuple(g * b for g, b in zip(grid_blocks, block_size))
@@ -853,6 +952,9 @@ def extract_isosurface_blocked(tsdf_b, weight_b, color_b, *, grid_blocks,
     cy, cz = (dims[1] - 1), (dims[2] - 1)
     active = np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
                       axis=-1).astype(np.int32)
+    if stats:
+        print(f"[extract] candidates+actives {time.perf_counter() - t0:.2f}s "
+              f"n_active={len(lin)}", flush=True)
 
     tsdf_b_flat = tsdf_b.reshape(-1)
     color_b_flat = color_b.reshape(-1)
