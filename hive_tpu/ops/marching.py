@@ -293,8 +293,8 @@ def _active_mask_bits_for_blocks(code_b, ids8, ok8, valid_count, *,
     return jnp.sum(flat * weights, axis=0).astype(jnp.uint8)
 
 
-def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks, block_size,
-                                 chunk: int = 1 << 20) -> np.ndarray:
+def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks,
+                                 block_size) -> np.ndarray:
     """Sorted linear active-cube ids from block-major state, touching only
     CANDIDATE blocks (any-inside blocks dilated one block backward: a cube
     needs a negative corner, which can only live in an any-inside block).
@@ -303,11 +303,12 @@ def _active_cubes_blocked_sparse(tsdf_b, weight_b, *, grid_blocks, block_size,
     (nb, BV) -> (X, Y, Z) relayout alone measured 5.8 s per 76M voxels on
     this part, while surfaces typically touch a few percent of blocks.
 
-    Compaction happens ON DEVICE: one count dispatch (scalar home) + one
-    compact dispatch shipping only the packed active ids. The earlier
-    host-side loop moved a (blocks, bv) bool mask per 2048-block dispatch
-    and measured 7.4 s at 1.29M actives on the e2e bench scene (40 x
-    ~1 MB round trips behind the tunnel); this path is 2 dispatches + ~5 MB.
+    ONE device dispatch ships the bit-packed activity mask; the host
+    unpacks and compacts (cheap numpy passes). The earlier host-side loop
+    moved a (blocks, bv) bool mask per 2048-block dispatch and measured
+    7.4 s at 1.29M actives on the e2e bench scene (40 x ~1 MB round trips
+    behind the tunnel); device-side count+compact variants measured WORSE
+    (see CLAUDE.md 2026-08-19: serialized nonzero scatter/gather).
     """
     nbx, nby, nbz = grid_blocks
     bx, by, bz = block_size
@@ -642,6 +643,9 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     # post-weld face filter: on grid-aligned surfaces, corner snapping makes
     # up to ~75% of emissions degenerate (measured), and shipping them only
     # to discard them dominated extraction behind the slow device link.
+    # Behavior note: dropped lanes no longer contribute their tet gradients
+    # to the per-welded-vertex normal average (only tets that produce real
+    # area now vote — zero-area emissions' gradients previously did too).
     k0, k1, k2 = v_klo[:, 0::3], v_klo[:, 1::3], v_klo[:, 2::3]          # (M, 12)
     c0, c1, c2 = v_code[:, 0::3], v_code[:, 1::3], v_code[:, 2::3]
     dup = (((k0 == k1) & (c0 == c1)) | ((k1 == k2) & (c1 == c2))
