@@ -154,17 +154,29 @@ def accelerator_alive(timeout_s: Optional[int] = None,
     per-attempt timeout is generous. The child runs in its own session and
     the whole group is killed on timeout — attach helper processes must not
     keep the probe's pipes (and so the caller) alive.
+
+    Retries guard against fast transient failures; the dominant outage mode
+    is an attach that HANGS, so total probing time is additionally bounded
+    by HIVE_BENCH_PROBE_TOTAL (default 1200 s — retrying a hang just burns
+    the caller's wall clock 3x before the same CPU fallback).
     """
     import signal
     import subprocess
     import sys
+    import time
 
     if timeout_s is None:
         timeout_s = int(os.environ.get("HIVE_BENCH_PROBE_TIMEOUT", "900"))
     if retries is None:
         retries = int(os.environ.get("HIVE_BENCH_PROBE_RETRIES", "3"))
+    total_s = int(os.environ.get("HIVE_BENCH_PROBE_TOTAL", "1200"))
+    deadline = time.monotonic() + total_s
 
-    for _ in range(retries):
+    for attempt in range(retries):
+        remaining = deadline - time.monotonic()
+        if attempt and remaining <= 0:
+            break
+        attempt_timeout = min(timeout_s, max(1.0, remaining))
         proc = subprocess.Popen(
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp;"
@@ -172,7 +184,7 @@ def accelerator_alive(timeout_s: Optional[int] = None,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             start_new_session=True)
         try:
-            if proc.wait(timeout=timeout_s) == 0:
+            if proc.wait(timeout=attempt_timeout) == 0:
                 return True
         except subprocess.TimeoutExpired:
             try:

@@ -207,6 +207,62 @@ class TestEnsureResponsiveBackend:
         assert utils.ensure_responsive_backend() is False
 
 
+class TestAcceleratorAliveBudget:
+    """The probe's retries must not multiply a hanging attach: total probing
+    wall time is bounded by HIVE_BENCH_PROBE_TOTAL (the dominant outage mode
+    is an attach that hangs until killed, so each retry pays its full
+    per-attempt timeout)."""
+
+    def test_total_budget_stops_retries(self, monkeypatch):
+        import subprocess
+        from hive_tpu import utils
+
+        monkeypatch.setenv("HIVE_BENCH_PROBE_TOTAL", "0")
+
+        attempts = []
+
+        class FakeProc:
+            pid = 0
+
+            def wait(self, timeout=None):
+                if timeout is not None:
+                    attempts.append(timeout)
+                    raise subprocess.TimeoutExpired(cmd="probe",
+                                                    timeout=timeout)
+                return 1
+
+        monkeypatch.setattr(subprocess, "Popen", lambda *a, **kw: FakeProc())
+        monkeypatch.setattr(utils.os, "killpg", lambda *a, **kw: None)
+
+        assert utils.accelerator_alive(timeout_s=60, retries=3) is False
+        # First attempt always runs (clamped to >= 1 s by the exhausted
+        # budget); the remaining retries are skipped.
+        assert len(attempts) == 1
+
+    def test_attempt_timeout_clamped_to_budget(self, monkeypatch):
+        import subprocess
+        from hive_tpu import utils
+
+        monkeypatch.setenv("HIVE_BENCH_PROBE_TOTAL", "10")
+
+        attempts = []
+
+        class FakeProc:
+            pid = 0
+
+            def wait(self, timeout=None):
+                if timeout is None:
+                    return 1
+                attempts.append(timeout)
+                raise subprocess.TimeoutExpired(cmd="probe", timeout=timeout)
+
+        monkeypatch.setattr(subprocess, "Popen", lambda *a, **kw: FakeProc())
+        monkeypatch.setattr(utils.os, "killpg", lambda *a, **kw: None)
+
+        assert utils.accelerator_alive(timeout_s=900, retries=3) is False
+        assert attempts and all(t <= 10 for t in attempts)
+
+
 class TestInterfaceErrorHandling:
     def test_empty_form_raises_value_error_not_system_exit(self):
         """argparse SystemExit must not escape the web handler's
