@@ -23,18 +23,38 @@ behind a remote tunnel where host->device uploads would dominate and corrupt
 the measurement); timing is forced with scalar materialisation because
 block_until_ready can return early through such tunnels.
 
-Prints exactly one JSON line:
+Output contract (matching the reference's measurement role,
+ref hive/pipeline.py:1214-1217): a JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
    "breakdown": {...}}
+is printed and flushed **the moment the primary (TSDF) stage completes**, so
+a driver that kills this process mid-depth or mid-e2e still records the
+headline number. If the secondary stages finish, an enriched final line with
+the full breakdown is re-emitted (drivers that parse the LAST JSON line get
+the richest data available; the first line is the safety net).
+
+Secondary stages run under a global wall-clock budget (HIVE_BENCH_BUDGET_S,
+default 1200 s): a stage whose estimated cost exceeds the remaining budget
+is skipped with breakdown["<stage>_skipped"] = "over budget". Budget checks
+happen BETWEEN stages only — an in-flight TPU dispatch is never killed
+(killing mid-computation can wedge the tunnelled device for ~an hour).
 
 The primary metric/vs_baseline remain the TSDF throughput ratio against
 1.0e9 voxel updates/s — the throughput class of the reference's CUDA kernel
 on an RTX 3060 (estimated: the reference publishes no numbers,
 BASELINE.json "published": {}). The breakdown carries the other two
-north-star numbers (with their own baseline estimates inline).
+north-star numbers (with their own baseline estimates inline) and a
+`tunnel_health` block (probe latency + timed-call floor) so cross-day
+numbers carry their own weather context.
 
-Set HIVE_BENCH_E2E=0 to skip the end-to-end stage (it needs several minutes
-of host-side meshing on a small VM).
+Env knobs:
+  HIVE_BENCH_BUDGET_S       total wall budget, default 1200
+  HIVE_BENCH_E2E=0          skip the e2e stage outright
+  HIVE_BENCH_FORCE_CPU=1    (tests) force the CPU backend, skip the probe
+  HIVE_BENCH_TINY=1         (tests) shrink workloads to seconds-scale
+  HIVE_BENCH_FAKE_TSDF=N    (tests) skip the TSDF stage, report N
+  HIVE_BENCH_FAKE_SLOW_STAGE=depth   (tests) substitute a sleep for the
+                            depth stage to exercise mid-stage kill behaviour
 """
 
 import json
@@ -49,13 +69,20 @@ BASELINE_VOXELS_PER_SECOND = 1.0e9
 BASELINE_DEPTH_MS_PER_FRAME = 20.0   # DPT-Hybrid fp16, per-frame loop
 BASELINE_E2E_S_PER_FRAME = 10.0      # GT-data config, VGA, bg + fg meshing
 
+# Conservative stage-cost estimates for budget gating (a DPT compile through
+# a busy tunnel can stall for minutes; e2e needs minutes of 1-core meshing).
+DEPTH_STAGE_ESTIMATE_S = 300.0
+E2E_STAGE_ESTIMATE_S = 600.0
 
-def bench_tsdf(jax, jnp, small: bool = False):
+
+def bench_tsdf(jax, jnp, small: bool = False, tiny: bool = False):
     """Sparse TSDF integrate throughput (voxel updates/s), median of 5.
 
     ``small`` (CPU-fallback mode) shrinks the workload to a 128^3-class
     volume x 8 frames so the bench terminates in minutes without an
-    accelerator; the throughput is still honestly computed.
+    accelerator; the throughput is still honestly computed. ``tiny``
+    (test mode) shrinks further to a 32^3-class volume x 2 frames so the
+    whole bench runs in seconds on one CPU core.
     """
     from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
 
@@ -66,11 +93,18 @@ def bench_tsdf(jax, jnp, small: bool = False):
     # length, so short scans under-report the kernel (at 16 frames the floor
     # alone adds ~2.2 ms/frame); the pipeline integrates 30+ frame batches
     # in one scan, so a long scan is also the representative workload.
-    height, width = 480, 640
-    num_frames = 8 if small else 64
+    if tiny:
+        height, width, num_frames, grid = 48, 64, 2, 32
+    elif small:
+        height, width, num_frames, grid = 480, 640, 8, 128
+    else:
+        height, width, num_frames, grid = 480, 640, 64, 256
 
     K = np.array([[580.0, 0, 319.5], [0, 580.0, 239.5], [0, 0, 1.0]],
                  dtype=np.float32)
+    if tiny:
+        K = np.array([[58.0, 0, 31.5], [0, 58.0, 23.5], [0, 0, 1.0]],
+                     dtype=np.float32)
 
     # Device-side synthetic scene: a wavy wall 1.5-3.5 m away, textured.
     @jax.jit
@@ -91,7 +125,7 @@ def bench_tsdf(jax, jnp, small: bool = False):
     poses[:, 0, 3] = np.linspace(0.0, 0.5, num_frames) + 0.0123
 
     bounds = np.array([[-2.0, 2.0], [-2.0, 2.0], [0.0, 4.0]], dtype=np.float32)
-    volume = SparseTSDFVolume(bounds, voxel_size=4.0 / (128 if small else 256))
+    volume = SparseTSDFVolume(bounds, voxel_size=4.0 / grid)
     num_voxels = volume.num_voxels
 
     def force():
@@ -116,7 +150,12 @@ def bench_tsdf(jax, jnp, small: bool = False):
 
 
 def bench_depth(jax, jnp):
-    """Batched DPT-Hybrid depth inference, ms/frame (batch 8, VGA bf16)."""
+    """Batched DPT-Hybrid depth inference, ms/frame (batch 8, VGA bf16).
+
+    Returns (ms_per_frame, weights_loaded) — the second element records
+    whether real converted weights were found (throughput is
+    weight-independent, but the artifact should say which mode ran).
+    """
     from hive_tpu.models.dpt import DPTDepthEstimator
 
     # Production batch size 8; four batches chained per timed sync — the
@@ -159,7 +198,7 @@ def bench_depth(jax, jnp):
         samples.append(time.perf_counter() - start)
 
     elapsed = sorted(samples)[len(samples) // 2]
-    return 1000.0 * elapsed / (batch * chained)
+    return 1000.0 * elapsed / (batch * chained), estimator.weights_loaded
 
 
 def bench_e2e():
@@ -222,20 +261,63 @@ def _accelerator_alive(timeout_s: Optional[int] = None,
     return accelerator_alive(timeout_s=timeout_s, retries=retries)
 
 
+def _measure_call_floor_ms(jax, jnp) -> float:
+    """Median latency of a trivial timed call (dispatch + scalar transfer).
+
+    On this tunnelled device the floor is ~35 ms regardless of program size;
+    recording it per-session lets cross-day numbers be weather-corrected.
+    """
+    @jax.jit
+    def tick(x):
+        return x + 1.0
+
+    x = jnp.float32(0)
+    float(tick(x))  # compile
+
+    samples = []
+    for _ in range(5):
+        start = time.perf_counter()
+        float(tick(x))
+        samples.append(time.perf_counter() - start)
+    return round(1000.0 * sorted(samples)[len(samples) // 2], 2)
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload), flush=True)
+
+
 def main():
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("HIVE_BENCH_BUDGET_S", "1200"))
+    deadline = t_start + budget_s
+    tiny = os.environ.get("HIVE_BENCH_TINY", "0") == "1"
+    force_cpu = os.environ.get("HIVE_BENCH_FORCE_CPU", "0") == "1"
+    fake_slow = os.environ.get("HIVE_BENCH_FAKE_SLOW_STAGE", "")
+
     import jax
 
     breakdown = {}
+    tunnel_health = {}
 
     # If the environment requests a backend that failed to register (e.g. a
     # tunnelled accelerator plugin in a stripped env), fall back to auto.
     # If the backend registers but its device is unreachable (tunnel
     # outage), fall back to CPU explicitly — and say so in the output —
     # rather than hanging for the better part of an hour per jax call.
-    forced = os.environ.get("JAX_PLATFORMS", "")
-    if forced and forced != "cpu" and not _accelerator_alive():
+    cpu_fallback = False
+    if force_cpu:
         jax.config.update("jax_platforms", "cpu")
-        breakdown["backend"] = "cpu-fallback (accelerator unreachable)"
+        breakdown["backend"] = "cpu-forced (HIVE_BENCH_FORCE_CPU)"
+    else:
+        forced = os.environ.get("JAX_PLATFORMS", "")
+        if forced and forced != "cpu":
+            probe_start = time.monotonic()
+            alive = _accelerator_alive()
+            tunnel_health["probe_s"] = round(time.monotonic() - probe_start, 1)
+            if not alive:
+                jax.config.update("jax_platforms", "cpu")
+                breakdown["backend"] = "cpu-fallback (accelerator unreachable)"
+                cpu_fallback = True
 
     try:
         jax.devices()
@@ -250,40 +332,80 @@ def main():
 
     enable_compile_cache()
 
-    cpu_fallback = "backend" in breakdown
+    if not cpu_fallback and not force_cpu:
+        tunnel_health["call_floor_ms"] = _measure_call_floor_ms(jax, jnp)
+    if tunnel_health:
+        breakdown["tunnel_health"] = tunnel_health
+    breakdown["budget_s"] = budget_s
 
-    voxel_updates_per_second = bench_tsdf(jax, jnp, small=cpu_fallback)
+    if os.environ.get("HIVE_BENCH_FAKE_TSDF"):
+        # Test hook: stand-in primary number, so emission-ordering/kill tests
+        # don't pay a full CPU compile of the integrator per subprocess.
+        voxel_updates_per_second = float(os.environ["HIVE_BENCH_FAKE_TSDF"])
+    else:
+        voxel_updates_per_second = bench_tsdf(jax, jnp, small=cpu_fallback,
+                                              tiny=tiny)
     breakdown["tsdf_voxel_updates_per_second"] = round(voxel_updates_per_second)
 
-    # The depth net and the e2e pipeline are pointless (hours-slow) on the
-    # CPU fallback; report the honest TSDF number alone.
-    if not cpu_fallback:
-        try:
-            depth_ms = bench_depth(jax, jnp)
-            breakdown["depth_ms_per_frame"] = round(depth_ms, 2)
-            breakdown["depth_vs_baseline"] = round(
-                BASELINE_DEPTH_MS_PER_FRAME / depth_ms, 3)
-        except Exception as exc:  # noqa: BLE001 — report partial results
-            breakdown["depth_error"] = f"{type(exc).__name__}: {exc}"[:200]
-
-    if not cpu_fallback and os.environ.get("HIVE_BENCH_E2E", "1") != "0":
-        try:
-            e2e_s, stage_totals = bench_e2e()
-            breakdown["e2e_s_per_frame"] = round(e2e_s, 2)
-            breakdown["e2e_vs_baseline"] = round(
-                BASELINE_E2E_S_PER_FRAME / e2e_s, 3)
-            breakdown["e2e_stage_totals_s"] = stage_totals
-        except Exception as exc:  # noqa: BLE001
-            breakdown["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
-
-    print(json.dumps({
+    payload = {
         "metric": "tsdf_voxel_updates_per_second",
         "value": round(voxel_updates_per_second),
         "unit": "voxels/s",
         "vs_baseline": round(
             voxel_updates_per_second / BASELINE_VOXELS_PER_SECOND, 3),
         "breakdown": breakdown,
-    }))
+    }
+    # PRIMARY emission: the headline number goes on record NOW, so a driver
+    # timeout during the (optional, slower) depth/e2e stages can no longer
+    # erase it (the round-2 failure mode: rc=124, parsed=null).
+    _emit(payload)
+
+    def remaining_s() -> float:
+        return deadline - time.monotonic()
+
+    # The depth net and the e2e pipeline are pointless (hours-slow) on the
+    # CPU fallback; report the honest TSDF number alone. HIVE_BENCH_FORCE_CPU
+    # (test mode) still exercises the budget gating below.
+    run_secondary = force_cpu or not cpu_fallback
+
+    if run_secondary:
+        if remaining_s() < DEPTH_STAGE_ESTIMATE_S:
+            breakdown["depth_skipped"] = "over budget"
+        elif fake_slow == "depth":
+            # Test hook: a stand-in for a slow DPT compile; the test SIGTERMs
+            # this process mid-sleep and asserts the primary line survived.
+            time.sleep(DEPTH_STAGE_ESTIMATE_S)
+            breakdown["depth_ms_per_frame"] = -1.0
+        else:
+            try:
+                depth_ms, weights_loaded = bench_depth(jax, jnp)
+                breakdown["depth_ms_per_frame"] = round(depth_ms, 2)
+                breakdown["depth_vs_baseline"] = round(
+                    BASELINE_DEPTH_MS_PER_FRAME / depth_ms, 3)
+                # Throughput is weight-independent, but the artifact must say
+                # whether real converted weights ran (VERDICT r2 weak #3).
+                breakdown["dpt_weights"] = (
+                    "converted" if weights_loaded else "random")
+            except Exception as exc:  # noqa: BLE001 — report partial results
+                breakdown["depth_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    if run_secondary and os.environ.get("HIVE_BENCH_E2E", "1") != "0":
+        if remaining_s() < E2E_STAGE_ESTIMATE_S:
+            breakdown["e2e_skipped"] = "over budget"
+        else:
+            try:
+                e2e_s, stage_totals = bench_e2e()
+                breakdown["e2e_s_per_frame"] = round(e2e_s, 2)
+                breakdown["e2e_vs_baseline"] = round(
+                    BASELINE_E2E_S_PER_FRAME / e2e_s, 3)
+                breakdown["e2e_stage_totals_s"] = stage_totals
+            except Exception as exc:  # noqa: BLE001
+                breakdown["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    breakdown["elapsed_s"] = round(time.monotonic() - t_start, 1)
+    # Enriched final line: drivers that parse the last JSON line get the full
+    # breakdown; the earlier line remains the crash-safe record.
+    _emit(payload)
 
 
 if __name__ == "__main__":

@@ -163,7 +163,7 @@ class CMUPanopticDataset:
     @staticmethod
     def _check_node(kinect_node: int):
         if not 1 <= kinect_node <= 10:
-            raise ValueError("Kinect node must be an integer between 1 and 10 (inclusive).")
+            raise ValueError("CMU Panoptic Kinect nodes are numbered 1-10.")
 
     # -- images ---------------------------------------------------------------
     def get_image_path(self, kinect_node: int, index: int) -> str:

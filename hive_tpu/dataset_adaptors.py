@@ -57,7 +57,7 @@ class DatasetAdaptor(Dataset, ABC):
 
         if str(output_path) == str(base_path):
             raise RuntimeError(
-                "Output path for a dataset adaptor cannot be the same as the input dataset path.")
+                "A dataset adaptor must write to a different folder than it reads from.")
 
         self.output_path = output_path
         self.num_frames = num_frames
@@ -121,8 +121,8 @@ class DatasetAdaptor(Dataset, ABC):
         """Create the HIVE dataset: metadata → frames → masks → depth →
         camera parameters → optional inpainting (ref :176-266)."""
         if no_cache and os.path.exists(self.output_path):
-            logging.warning(f"Since `no_cache` was set, the cached data at "
-                            f"{self.output_path} will be deleted.")
+            logging.warning(f"`no_cache` requested — deleting the cached conversion at "
+                            f"{self.output_path}.")
             shutil.rmtree(self.output_path)
         elif cached := self._try_get_cached_dataset(estimate_pose, estimate_depth):
             logging.info(f"Found cached dataset at {self.output_path}.")
@@ -270,7 +270,7 @@ class DatasetAdaptor(Dataset, ABC):
                     pjoin(colmap_rgb_path,
                           HiveDataset.index_to_filename(dst_index, file_extension)))
 
-        logging.info("Running COLMAP... This might take a while!")
+        logging.info("Starting the COLMAP reconstruction (this can take a long time)...")
         processor = COLMAPProcessor(image_path=colmap_rgb_path,
                                     workspace_path=colmap_workspace_path,
                                     colmap_options=self.colmap_options)
@@ -435,8 +435,8 @@ class DatasetAdaptor(Dataset, ABC):
             lama_inpaint_folder(image_dir=rgb_path, mask_dir=inpainted_mask_path,
                                 output_dir=inpainted_rgb_path)
         else:
-            raise RuntimeError(f"The inpainting mode must either be {InpaintingMode.Off} "
-                               f"or specify an image inpainting method.")
+            raise RuntimeError(f"Inpainting mode {mode} names no image inpainter "
+                               f"(and is not {InpaintingMode.Off}).")
 
         if InpaintingMode.CV2_Depth in mode:
             logging.info("Inpainting depth maps with cv2 (TELEA)...")
@@ -781,9 +781,8 @@ class VideoAdaptor(VideoAdaptorBase):
     (ref :1023-1090)."""
 
     _no_ground_truth_error_message = (
-        "You tried loading ground truth pose or depth data for a video which is not possible. "
-        "You must estimate this data for videos by specifying the flags '--estimate_pose' "
-        "and '--estimate_depth'.")
+        "Plain video inputs carry no ground-truth poses or depth; pass "
+        "'--estimate_pose' and '--estimate_depth' so both are estimated.")
 
     def __init__(self, base_path: File, output_path: File, num_frames: int = -1,
                  frame_step: int = 1, colmap_options: COLMAPOptions = COLMAPOptions(),
@@ -820,7 +819,7 @@ class VideoAdaptor(VideoAdaptorBase):
 
             if not any(Path(f).suffix == ".mp4" for f in files):
                 raise InvalidDatasetFormatError(
-                    f"Could not find a '.mp4' video file in the folder {base_path}.")
+                    f"The folder {base_path} contains no .mp4 video.")
         else:
             raise InvalidDatasetFormatError(f"The folder {base_path} does not exist!")
 
@@ -860,7 +859,7 @@ class DeviceOrientation(enum.Enum):
         if 135 < abs(angle) <= 180:
             return cls.LandscapeReverse
 
-        raise ValueError(f"Expected angle in interval [-180, 180], got {angle}"
+        raise ValueError(f"Roll angle {angle} falls outside [-180, 180]"
                          + ("." if degrees else " (angle converted from radians)."))
 
     @classmethod
@@ -984,8 +983,8 @@ class StrayScannerAdaptor(VideoAdaptorBase):
         depth_map = iio.imread(pjoin(str(self.base_path), self.depth_folder, filename))
 
         if depth_map.dtype not in self.valid_depth_map_types:
-            raise RuntimeError(f"Expected depth map of one the following types: "
-                               f"{self.valid_depth_map_types}, but got {depth_map.dtype}.")
+            raise RuntimeError(f"Depth maps must be one of {self.valid_depth_map_types}; "
+                               f"this one is {depth_map.dtype}.")
 
         confidence = iio.imread(pjoin(str(self.base_path), self.confidence_map_folder,
                                       filename))
@@ -1067,8 +1066,8 @@ def get_dataset(storage_options: StorageOptions,
     elif not os.path.isdir(dataset_path):
         raise RuntimeError(f"Could not open the path {dataset_path} or it is not a folder.")
     else:
-        raise RuntimeError(f"Could not recognise the dataset format for the dataset "
-                           f"at {dataset_path}.")
+        raise RuntimeError(f"The folder {dataset_path} matches no known dataset layout "
+                           f"(TUM, Unreal, StrayScanner, video, or HIVE).")
 
     return adaptor.convert(estimate_pose=pipeline_options.estimate_pose,
                            estimate_depth=pipeline_options.estimate_depth,

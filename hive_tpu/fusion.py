@@ -52,9 +52,9 @@ def adjust_voxel_size(dataset: HiveDataset, options: BackgroundMeshOptions,
 
     if options.sdf_max_voxels and voxel_count > options.sdf_max_voxels:
         voxel_size = float((np.prod(extent) / options.sdf_max_voxels) ** (1.0 / 3.0))
-        logging.info(f"Increasing voxel size to {voxel_size:.3f}: using a voxel size of "
-                     f"{options.sdf_voxel_size} would result in {voxel_count:,.0f} voxels, "
-                     f"which is above the specified limit of {options.sdf_max_voxels:,d}.")
+        logging.info(f"Voxel size grown to {voxel_size:.3f} m: at "
+                     f"{options.sdf_voxel_size} m the scene would need {voxel_count:,.0f} "
+                     f"voxels, past the {options.sdf_max_voxels:,d} budget.")
     else:
         voxel_size = options.sdf_voxel_size
 
@@ -248,9 +248,9 @@ class BundleFusionConfig:
 
     def __setitem__(self, key, value):
         if key in self.config_dict and type(value) is not type(self.config_dict[key]):
-            logging.warning(f'The config file entry "{key}" is of type '
-                            f"{type(self.config_dict[key])} but it is being set to a new value "
-                            f"of type {type(value)}")
+            logging.warning(f'Config entry "{key}" changes type: '
+                            f"{type(self.config_dict[key]).__name__} -> "
+                            f"{type(value).__name__}.")
 
         self.config_dict[key] = value
 
@@ -353,7 +353,7 @@ def bundle_fusion(output_folder: str, dataset: HiveDataset,
     frame_set = list(range(num_frames))
     bundle_fusion_path = get_bundle_fusion_path()
 
-    logging.info("Creating masked depth maps for BundleFusion...")
+    logging.info("Masking dynamic objects out of the depth maps for BundleFusion...")
     dataset.create_masked_depth(
         MaskDilationOptions(num_iterations=options.depth_mask_dilation_iterations))
 
@@ -395,7 +395,7 @@ def bundle_fusion(output_folder: str, dataset: HiveDataset,
     cmd = [os.environ["BUNDLE_FUSION_BIN"], config_output_path, bundling_config_output_path,
            dataset_path, rgb_folder, depth_folder]
     log_path = pjoin(output_path, "log.txt")
-    logging.info(f"Running BundleFusion with command '{' '.join(cmd)}'")
+    logging.info(f"Launching BundleFusion: {' '.join(cmd)}")
 
     with subprocess.Popen(cmd, stdout=subprocess.PIPE, bufsize=1,
                           universal_newlines=True) as p, open(log_path, "w") as log_file:
@@ -403,8 +403,8 @@ def bundle_fusion(output_folder: str, dataset: HiveDataset,
             log_file.write(line)
 
     if p.returncode != 0:
-        raise RuntimeError(f"BundleFusion returned a non-zero code, check the logs for what "
-                           f"went wrong ({os.path.abspath(log_path)}).")
+        raise RuntimeError(f"BundleFusion exited with an error; see its log at "
+                           f"{os.path.abspath(log_path)}.")
 
     mesh = load_ply(pjoin(output_path, "mesh.ply"))
 

@@ -177,7 +177,7 @@ class Quaternion:
         values = jnp.asarray(values)
 
         if values.ndim != 2 or values.shape[0] != 4:
-            raise ValueError(f"Invalid shape. Expected shape (4, N) but got {values.shape}.")
+            raise ValueError(f"Homogeneous point arrays must be (4, N); got {values.shape}.")
 
         self.values = values
 
@@ -381,7 +381,7 @@ class Trajectory:
         (hive/geometric.py:444-461)."""
         if len(self) != len(other):
             raise RuntimeError(
-                f"Got trajectories of unequal length ({len(self)} and {len(other)})")
+                f"Trajectory lengths differ: {len(self)} vs {len(other)}.")
 
         a = self.normalise().positions
         b = other.normalise().positions
@@ -398,7 +398,7 @@ class Trajectory:
         """
         if len(self) != len(other):
             raise RuntimeError(
-                f"Got trajectories of unequal length ({len(self)} and {len(other)})")
+                f"Trajectory lengths differ: {len(self)} vs {len(other)}.")
 
         gt = self.normalise().to_homogenous_transforms()
         pred = other.normalise().to_homogenous_transforms()
@@ -422,11 +422,11 @@ class Trajectory:
         """
         if 0 not in poses:
             raise RuntimeError(
-                "Cannot interpolate trajectory where the pose for the first frame is missing.")
+                "Trajectory interpolation needs a pose at frame 0 to anchor the start.")
 
         if frame_count - 1 not in poses:
             raise RuntimeError(
-                "Cannot interpolate trajectory where the pose for the last frame is missing.")
+                "Trajectory interpolation needs a pose at the final frame to anchor the end.")
 
         known = np.array(sorted(poses.keys()))
         # For every output frame, its bracketing known frames and blend factor.
@@ -474,7 +474,7 @@ class Trajectory:
 
         if len(self) != len(other):
             raise RuntimeError(
-                f"Got trajectories of unequal length ({len(self)} and {len(other)})")
+                f"Trajectory lengths differ: {len(self)} vs {len(other)}.")
 
         gt = self.normalise().positions
         pred = other.normalise().positions

@@ -78,45 +78,60 @@ def bin_depth(depth_map: np.ndarray, min_depth: float = 0.0, max_depth: float = 
     return bins[indices]
 
 
+def _orientation(hw) -> str:
+    """'portrait' when height is the long (or tied) side, else 'landscape'."""
+    return "portrait" if hw[0] >= hw[1] else "landscape"
+
+
 def calculate_target_resolution(source_hw, target_hw):
-    """Resolve a target resolution spec into a concrete (height, width).
+    """Resolve a resize spec into a concrete (height, width) pair.
 
-    ``target_hw`` may be an int (desired length of the longest side, aspect
-    preserved) or an explicit (height, width) tuple.
+    Two spec forms are accepted (capability parity with the reference's
+    resize sanity checks, ref hive/image_processing.py:113):
+
+    * an **int** — the desired length of the *longest* side; the short side
+      scales proportionally (truncated to int, matching the reference's
+      rounding so cached datasets keep identical frame sizes);
+    * a **(height, width) tuple of ints** — taken as-is after validation.
+
+    Warnings are logged when the resolved shape flips orientation
+    (portrait<->landscape) or noticeably changes aspect ratio relative to
+    the source frames, since either usually means swapped height/width
+    arguments or future stretching artefacts.
     """
+    src_h, src_w = int(source_hw[0]), int(source_hw[1])
+
     if isinstance(target_hw, int):
-        longest = int(np.argmax(source_hw))
-        shortest = 1 - longest
-
-        new_size = [0, 0]
-        new_size[longest] = target_hw
-        scale = target_hw / source_hw[longest]
-        new_size[shortest] = int(source_hw[shortest] * scale)
-        target_hw = new_size
-    elif isinstance(target_hw, tuple):
-        if len(target_hw) != 2:
-            raise ValueError(f"The target resolution must be a 2-tuple, "
-                             f"but got a {len(target_hw)}-tuple.")
-
+        # Height wins ties, like np.argmax over (h, w) in the spec's origin.
+        if src_h >= src_w:
+            resolved = (target_hw, int(src_w * (target_hw / src_h)))
+        else:
+            resolved = (int(src_h * (target_hw / src_w)), target_hw)
+    else:
+        if not isinstance(target_hw, tuple) or len(target_hw) != 2:
+            raise ValueError(
+                "A target resolution must be an int (longest side) or a "
+                f"(height, width) pair; got {target_hw!r}.")
         if not all(isinstance(side, int) for side in target_hw):
-            raise ValueError(f"Expected target resolution to be a 2-tuple of integers, but got "
-                             f"({type(target_hw[0])}, {type(target_hw[1])}).")
+            raise ValueError(
+                "Both sides of a (height, width) target resolution must be "
+                f"ints; got types ({type(target_hw[0]).__name__}, "
+                f"{type(target_hw[1]).__name__}).")
+        resolved = target_hw
 
-    target_orientation = "portrait" if np.argmax(target_hw) == 0 else "landscape"
-    source_orientation = "portrait" if np.argmax(source_hw) == 0 else "landscape"
-
-    if target_orientation != source_orientation:
+    if _orientation(resolved) != _orientation((src_h, src_w)):
         logging.warning(
-            f"The input images appear to be in {source_orientation} "
-            f"({source_hw[1]}x{source_hw[0]}), but they are being resized to what appears to be "
-            f"{target_orientation} ({target_hw[1]}x{target_hw[0]})")
+            f"Resizing {_orientation((src_h, src_w))} source frames "
+            f"(w{src_w} x h{src_h}) to a {_orientation(resolved)} target "
+            f"(w{resolved[1]} x h{resolved[0]}) — height/width may be swapped.")
 
-    source_aspect = np.round(source_hw[1] / source_hw[0], decimals=2)
-    target_aspect = np.round(target_hw[1] / target_hw[0], decimals=2)
+    source_aspect = round(src_w / src_h, 2)
+    target_aspect = round(resolved[1] / resolved[0], 2)
 
-    if not np.isclose(source_aspect, target_aspect):
-        logging.warning(f"The aspect ratio of the source video is {source_aspect:.2f}, however "
-                        f"the aspect ratio of the target resolution is {target_aspect:.2f}. "
-                        f"This may lead to stretching in the images.")
+    if abs(source_aspect - target_aspect) > 1e-8:
+        logging.warning(
+            f"Source frames have aspect ratio {source_aspect:.2f} but the "
+            f"target resolution has {target_aspect:.2f}; resized images "
+            f"will be stretched.")
 
-    return tuple(target_hw)
+    return tuple(resolved)

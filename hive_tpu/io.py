@@ -94,7 +94,7 @@ def save_raw_float32_image(file_name: File, image: np.ndarray):
     payload = image.astype(np.float32)
 
     if channels > _CV_CN_MAX:
-        raise ValueError("Cannot save image with more than 512 channels")
+        raise ValueError("The raw-float codec supports at most 512 channels per image.")
 
     cv_type = _CV_32F + ((channels - 1) << _CV_CN_SHIFT)
 
@@ -299,7 +299,7 @@ class COLMAPProcessor:
         options = self.colmap_options
 
         assert os.path.isfile(options.binary_path), \
-            f"Could not find COLMAP binary at location: {options.binary_path}."
+            f"No COLMAP executable at {options.binary_path}."
         assert os.path.isdir(self.workspace_path), \
             f"Could not open workspace path: {self.workspace_path}."
         assert os.path.isdir(self.image_path), \
@@ -396,8 +396,8 @@ class COLMAPProcessor:
         frame_count = self._get_frame_count()
 
         if len(extrinsic) < frame_count:
-            logging.info(f"COLMAP only estimated pose data for {len(extrinsic)} frames out of "
-                         f"{frame_count}, interpolating missing pose data...")
+            logging.info(f"COLMAP registered {len(extrinsic)} of {frame_count} frames; "
+                         f"filling the gaps by interpolation.")
             trajectory = Trajectory.create_by_interpolating(extrinsic, frame_count=frame_count)
         else:
             trajectory = Trajectory(
@@ -467,14 +467,14 @@ class COLMAPProcessor:
         path_to_depth_maps = pjoin(self.dense_path, "0", "stereo", "depth_maps")
 
         if not os.path.isdir(path_to_depth_maps):
-            raise NotADirectoryError(f"Could not find or open a folder at {path_to_depth_maps}. "
-                                     f"Did you run COLMAP with `dense = True`?")
+            raise NotADirectoryError(f"No folder at {path_to_depth_maps} — dense stereo output is missing "
+                                     f"(was COLMAP run with dense reconstruction enabled?).")
 
         filenames = sorted(os.listdir(path_to_depth_maps))
 
         if len(filenames) == 0:
-            raise FileNotFoundError(f"Did not find any depth maps in the folder "
-                                    f"{path_to_depth_maps}. Did you run COLMAP with `dense = True`?")
+            raise FileNotFoundError(f"The folder {path_to_depth_maps} holds no depth maps — was COLMAP "
+                                    f"run with dense reconstruction enabled?")
 
         target_hw = None
         if resize_to is not None:
@@ -589,11 +589,11 @@ class Dataset(abc.ABC):
 
         if files_to_find:
             raise InvalidDatasetFormatError(
-                f"Could not find the following required files {files_to_find} in {base_path}.")
+                f"The dataset at {base_path} is missing required files: {files_to_find}.")
 
         if folders_to_find:
             raise InvalidDatasetFormatError(
-                f"Could not find the following required folders {folders_to_find} in {base_path}.")
+                f"The dataset at {base_path} is missing required folders: {folders_to_find}.")
 
     def __str__(self):
         return f"<{type(self).__name__} {Path(self.base_path).stem}>"
@@ -612,10 +612,10 @@ class DatasetMetadata:
                  max_depth: float = 10.0, frame_step: int = 1,
                  colmap_options: COLMAPOptions = COLMAPOptions()):
         if not isinstance(estimate_pose, bool):
-            raise ValueError(f"`estimate_pose` must be a boolean, got {type(estimate_pose)}.")
+            raise ValueError(f"estimate_pose expects a bool; got {type(estimate_pose).__name__}.")
 
         if not isinstance(estimate_depth, bool):
-            raise ValueError(f"`estimate_depth` must be a boolean, got {type(estimate_depth)}.")
+            raise ValueError(f"estimate_depth expects a bool; got {type(estimate_depth).__name__}.")
 
         check_domain(num_frames, "num_frames", int, Domain.Positive)
         check_domain(frame_step, "frame_step", int, Domain.Positive)
@@ -801,8 +801,9 @@ class HiveDataset(Dataset):
                                              transform=self._get_depth_map_transform())
 
         if len(inpainted_rgb) != self.num_frames or len(inpainted_depth) != self.num_frames:
-            raise RuntimeError(f"Expected inpainted frame data to have {self.num_frames} frames, "
-                               f"but got {len(inpainted_rgb)} and {len(inpainted_depth)}")
+            raise RuntimeError(f"Inpainted frame counts ({len(inpainted_rgb)} rgb, "
+                               f"{len(inpainted_depth)} depth) do not match the dataset's "
+                               f"{self.num_frames} frames.")
 
         return inpainted_rgb, inpainted_depth
 
@@ -868,8 +869,8 @@ class HiveDataset(Dataset):
         if self._masked_depth_path:
             return self._masked_depth_path
 
-        raise RuntimeError("Masked depth maps have not been created for this dataset yet. "
-                           "Please make sure you have called `.create_masked_depth()` beforehand.")
+        raise RuntimeError("This dataset has no masked depth maps; call "
+                           "`.create_masked_depth()` first.")
 
     def __len__(self):
         return self.num_frames
@@ -888,12 +889,12 @@ class HiveDataset(Dataset):
         camera_trajectory = Trajectory.load(self.path_to_camera_trajectory)
 
         if camera_matrix.shape != (3, 3):
-            raise RuntimeError(f"Expected camera matrix to be a 3x3 matrix, "
-                               f"but got {camera_matrix.shape} instead.")
+            raise RuntimeError(f"The camera matrix should be 3x3; its shape is "
+                               f"{camera_matrix.shape}.")
 
         if camera_trajectory.values.ndim != 2 or camera_trajectory.shape[1] != 7:
-            raise RuntimeError(f"Expected camera trajectory to be a Nx7 matrix, "
-                               f"but got {camera_trajectory.shape} instead.")
+            raise RuntimeError(f"The camera trajectory should be Nx7; its shape is "
+                               f"{camera_trajectory.shape}.")
 
         return camera_matrix, camera_trajectory
 
@@ -920,10 +921,9 @@ class HiveDataset(Dataset):
                 return self
 
             logging.warning(
-                f"Found cached masked depth maps but they were created with mask dilation "
-                f"iterations of {self.metadata.depth_mask_dilation_iterations} instead of the "
-                f"specified {dilation_options.num_iterations}. "
-                f"The old masked depth maps will be replaced.")
+                f"Cached masked depth maps used "
+                f"{self.metadata.depth_mask_dilation_iterations} dilation iterations but "
+                f"{dilation_options.num_iterations} were requested — regenerating them.")
 
         logging.info(f"Creating masked depth maps at {masked_depth_path}")
         os.makedirs(masked_depth_path, exist_ok=True)
@@ -960,8 +960,9 @@ class HiveDataset(Dataset):
         logging.info(f"Selecting key frames (threshold={threshold})...")
 
         if not (0.0 <= threshold <= 1.0):
-            raise ValueError(f"Threshold must be a real number between zero and one (inclusive), "
-                             f"but got {threshold}.")
+            raise ValueError(
+                f"The key-frame overlap threshold {threshold} is outside "
+                f"[0, 1].")
 
         if threshold == 0.0:
             return [0]
@@ -969,12 +970,12 @@ class HiveDataset(Dataset):
             return list(range(self.num_frames))
 
         if threshold > 0.8:
-            logging.warning("Setting the key frame threshold to a high value (> 0.8) may result "
-                            "in long runtimes.")
+            logging.warning("Key-frame thresholds above 0.8 admit nearly "
+                            "every sampled frame; expect long runtimes.")
 
         if frame_step < 1:
-            raise ValueError(f"Frame step must be a positive integer, "
-                             f"but got {frame_step} instead.")
+            raise ValueError(
+                f"frame_step must be >= 1 (got {frame_step}).")
 
         width, height = self.metadata.width, self.metadata.height
         K = self.camera_matrix

@@ -382,6 +382,7 @@ class DPTDepthEstimator:
             data = np.load(weights_path, allow_pickle=True)
             from hive_tpu.models.segmentation import _unflatten_params
 
+            self.weights_loaded = True
             return jax.tree.map(jnp.asarray,
                                 _unflatten_params({k: data[k] for k in data.files}))
 
@@ -390,6 +391,7 @@ class DPTDepthEstimator:
                         f"Convert the released checkpoint with "
                         f"hive_tpu.models.dpt.convert_torch_checkpoint.")
 
+        self.weights_loaded = False
         dummy = jnp.zeros((1, self.net_height, self.net_width, 3), dtype=jnp.float32)
         return self.model.init(jax.random.PRNGKey(0), dummy)["params"]
 

@@ -273,8 +273,8 @@ class BackgroundMeshOptions(Options):
             raise ValueError("sdf_max_voxels must be a positive integer or None.")
 
         if not (0.0 <= self.key_frame_threshold <= 1.0):
-            raise ValueError(f"Key frame threshold must be between zero and one (inclusive), "
-                             f"but got {self.key_frame_threshold}.")
+            raise ValueError(f"The key-frame threshold {self.key_frame_threshold} is outside "
+                             f"the valid range [0, 1].")
 
         if not (isinstance(self.key_frame_step, int) and self.key_frame_step > 1):
             raise ValueError(f"Key frame step must be an integer > 1, got {self.key_frame_step}.")
@@ -404,8 +404,8 @@ class InpaintingMode(enum.Flag):
         try:
             return self.get_modes().index(self)
         except ValueError:
-            raise RuntimeError(f"{self!r} does not have an integer mapping, only "
-                               f"{self.get_modes()} have an integer mapping.")
+            raise RuntimeError(f"{self!r} is a combined flag without its own integer code; "
+                               f"codes exist only for {self.get_modes()}.")
 
     @classmethod
     def from_integer(cls, value: int) -> "InpaintingMode":

@@ -80,8 +80,8 @@ class Pipeline:
     @staticmethod
     def from_command_line() -> "Pipeline":
         parser = argparse.ArgumentParser(
-            "HIVE", description="Create 3D mesh videos from a RGB-D sequence with camera "
-                                "trajectory annotations.")
+            "HIVE", description="Turn an RGB-D sequence with camera poses into a "
+                                "free-viewpoint 3D mesh video.")
         PipelineOptions.add_args(parser)
         StorageOptions.add_args(parser)
         MaskDilationOptions.add_args(parser)
@@ -239,7 +239,7 @@ class Pipeline:
 
             foreground_scene = foreground_job()
 
-        with self.timed_block("Centering foreground and background scenes...",
+        with self.timed_block("Recentring the foreground/background scenes...",
                               ["timing", "scene_centering"]):
             foreground_scene, background_scene = self._center_scenes(
                 dataset, foreground_scene, background_scene)
@@ -262,7 +262,7 @@ class Pipeline:
                     self._compress_with_draco(background_scene_path)
 
         with self.timed_block(
-                f"Exporting mesh data to local WebXR server folder "
+                f"Copying mesh video into the WebXR player folder "
                 f"{self.webxr_options.webxr_path}...", ["timing", "webxr_export"]):
             self._export_video_webxr(self.mesh_path, fg_scene_name="fg", bg_scene_name="bg",
                                      metadata=self._get_webxr_metadata(dataset),
@@ -457,8 +457,8 @@ class Pipeline:
                 coverage_ratio = mask.mean()
 
                 if coverage_ratio < 0.01 and not self.options.disable_coverage_constraint:
-                    logging.debug(f"Skipping object #{object_id} in frame {index + 1} due to "
-                                  f"insufficient coverage.")
+                    logging.debug(f"Object #{object_id}, frame {index + 1}: mask coverage below "
+                                  f"the 1% floor — skipped.")
                     continue
 
             with timed_block(None, profiling,
@@ -468,8 +468,8 @@ class Pipeline:
                                                   rotation, translation)
 
                 if len(vertices) < 9:
-                    logging.debug(f"Skipping object #{object_id} in frame {index + 1} due to "
-                                  f"insufficient number of vertices ({len(vertices)}).")
+                    logging.debug(f"Object #{object_id}, frame {index + 1}: only {len(vertices)} "
+                                  f"vertices — too few to mesh, skipped.")
                     continue
 
                 valid_pixels = mask & (depth > 0.0)
@@ -495,8 +495,8 @@ class Pipeline:
                                          self.filtering_options)
 
                 if len(faces) < 1:
-                    logging.debug(f"Skipping object #{object_id} in frame {index + 1} due to "
-                                  f"insufficient number of faces ({len(faces)}).")
+                    logging.debug(f"Object #{object_id}, frame {index + 1}: triangulation produced "
+                                  f"{len(faces)} faces — skipped.")
                     continue
 
             with timed_block(None, profiling,
@@ -601,8 +601,8 @@ class Pipeline:
             return tsdf_fusion(dataset, options, num_frames, frame_set=frame_set,
                                profiling=profiling)
 
-        raise RuntimeError(f"Unsupported mesh reconstruction method: "
-                           f"{options.reconstruction_method}")
+        raise RuntimeError(f"No reconstruction backend for method "
+                           f"{options.reconstruction_method}.")
 
     # -- scene post-processing ------------------------------------------------
     def _center_scenes(self, dataset: HiveDataset, foreground_scene: Scene,

@@ -186,13 +186,13 @@ class FeatureExtractionOptions:
                  max_features: Optional[int] = 2048,
                  save_match_visualisations: bool = False):
         if not isinstance(min_features, int) or min_features < 5:
-            raise ValueError(f"`min_features` must be a positive integer that is at least 5, "
-                             f"but got {min_features}.")
+            raise ValueError(f"min_features needs an int >= 5 (RANSAC needs at least 5 "
+                             f"correspondences); got {min_features}.")
 
         if max_features is not None and (not isinstance(max_features, int)
                                          or max_features <= min_features):
-            raise ValueError(f"`max_features` must be a positive integer greater than "
-                             f"`min_features` ({min_features}), but got {max_features}.")
+            raise ValueError(f"max_features must be an int above min_features "
+                             f"(= {min_features}); got {max_features}.")
 
         if min_features < 20:
             logging.warning(f"`min_features` was set to {min_features}; at least 20 is "
@@ -232,7 +232,7 @@ class FeatureExtractor:
         self.matcher = cv2.FlannBasedMatcher(dict(algorithm=1, trees=5), dict(checks=50))
 
     def extract_feature_points(self) -> FeatureSet:
-        logging.info("Extracting image feature matches...")
+        logging.info("Detecting and matching image features...")
         self._setup_cache()
 
         if self.feature_set_path and os.path.isfile(self.feature_set_path):
@@ -1260,9 +1260,9 @@ def main():
     parser.add_argument("--num_frames", type=int, default=-1,
                         help="Number of frames to optimise. -1 (default) uses all frames.")
     parser.add_argument("--fine_tune", action="store_true",
-                        help="Whether to perform an additional fine tuning step.")
+                        help="Run an extra fine-tuning pass after the main optimisation.")
     parser.add_argument("--params_init", type=str, choices=["gt", "random"], default="gt",
-                        help="How to initialise the camera trajectory.")
+                        help="Source of the initial camera trajectory.")
     parser.add_argument("--random_seed", type=int, default=None,
                         help="Random seed when initialising the trajectory randomly.")
     args = parser.parse_args()
@@ -1303,7 +1303,7 @@ def main():
 
         reconstruction_options = BackgroundMeshOptions(sdf_max_voxels=80_000_000)
 
-        logging.info("Running TSDFFusion on initial pose data...")
+        logging.info("Fusing a debug mesh from the pre-optimisation poses...")
         mesh_before = tsdf_fusion(dataset, options=reconstruction_options,
                                   num_frames=num_frames)
         save_ply(pjoin(optimiser.debug_path, "before.ply"), mesh_before)

@@ -143,7 +143,8 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
 
 
 def accelerator_alive(timeout_s: Optional[int] = None,
-                      retries: Optional[int] = None) -> bool:
+                      retries: Optional[int] = None,
+                      total_s: Optional[int] = None) -> bool:
     """Probe the forced accelerator backend in a KILLABLE subprocess.
 
     During tunnel outages an in-process attach hangs for ~45 min before
@@ -157,8 +158,11 @@ def accelerator_alive(timeout_s: Optional[int] = None,
 
     Retries guard against fast transient failures; the dominant outage mode
     is an attach that HANGS, so total probing time is additionally bounded
-    by HIVE_BENCH_PROBE_TOTAL (default 1200 s — retrying a hang just burns
-    the caller's wall clock 3x before the same CPU fallback).
+    by ``total_s`` (env HIVE_BENCH_PROBE_TOTAL when unset, default 1200 s —
+    retrying a hang just burns the caller's wall clock 3x before the same
+    CPU fallback). Note the total bound also clamps an explicit
+    ``timeout_s``: pass a matching ``total_s`` when a single attempt should
+    be allowed to exceed 1200 s.
     """
     import signal
     import subprocess
@@ -169,7 +173,8 @@ def accelerator_alive(timeout_s: Optional[int] = None,
         timeout_s = int(os.environ.get("HIVE_BENCH_PROBE_TIMEOUT", "900"))
     if retries is None:
         retries = int(os.environ.get("HIVE_BENCH_PROBE_RETRIES", "3"))
-    total_s = int(os.environ.get("HIVE_BENCH_PROBE_TOTAL", "1200"))
+    if total_s is None:
+        total_s = int(os.environ.get("HIVE_BENCH_PROBE_TOTAL", "1200"))
     deadline = time.monotonic() + total_s
 
     for attempt in range(retries):
