@@ -258,7 +258,12 @@ def _accelerator_alive(timeout_s: Optional[int] = None,
                        retries: Optional[int] = None) -> bool:
     from hive_tpu.utils import accelerator_alive
 
-    return accelerator_alive(timeout_s=timeout_s, retries=retries)
+    # Tighter probe ceiling than the library default (1200 s): during an
+    # outage the bench must still fit its own budget with room for the CPU
+    # fallback TSDF stage (the primary JSON line must get out).
+    total = int(os.environ.get("HIVE_BENCH_PROBE_TOTAL", "600"))
+    return accelerator_alive(timeout_s=timeout_s, retries=retries,
+                             total_s=total)
 
 
 def _measure_call_floor_ms(jax, jnp) -> float:

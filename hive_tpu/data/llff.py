@@ -147,6 +147,13 @@ def evaluate_renders(mesh_or_scene, llff: LLFFDataset, view_indices: List[int],
         finite = [v for v in values if np.isfinite(v)]
         return float(np.mean(finite)) if finite else float("nan")
 
+    from hive_tpu.metrics import metric_skip_notes
+
+    skipped = metric_skip_notes(results)
     results["mean"] = {metric: safe_mean(values) for metric, values in results.items()}
+    if skipped:
+        # Artifacts self-describe degraded modes (e.g. LPIPS without weights)
+        # instead of silently NaN-dropping the column.
+        results["skipped"] = skipped
 
     return results

@@ -181,14 +181,9 @@ def mifd(image_a: np.ndarray, image_b: np.ndarray,
 _lpips_model = None
 
 
-def lpips(image_a: np.ndarray, image_b: np.ndarray) -> float:
-    """Learned perceptual similarity (AlexNet LPIPS v0.1).
-
-    Prefers the native JAX implementation with converted weights
-    (``$WEIGHTS_PATH/lpips_alex.npz``, see
-    :mod:`hive_tpu.models.lpips`); falls back to the torch ``lpips``
-    package if installed; returns NaN with a warning when neither is
-    available."""
+def _resolve_lpips():
+    """Resolve (once) the LPIPS backend: converted-weights JAX scorer, then
+    the torch ``lpips`` package, else False (unavailable)."""
     global _lpips_model
 
     if _lpips_model is None:
@@ -207,7 +202,46 @@ def lpips(image_a: np.ndarray, image_b: np.ndarray) -> float:
                 logging.warning(f"LPIPS unavailable ({exc}); reporting NaN.")
                 _lpips_model = False
 
-    if _lpips_model is False:
+    return _lpips_model
+
+
+def lpips_available() -> bool:
+    """True when :func:`lpips` can produce real numbers (weights resolved)."""
+    return _resolve_lpips() is not False
+
+
+def metric_skip_notes(results: dict) -> dict:
+    """Self-describing skip labels for metrics whose samples are ALL
+    non-finite.
+
+    Results tables must say WHY a column is empty instead of silently
+    NaN-dropping it — the reference always ships LPIPS weights
+    (ref scripts/compare_image_pair.py:105-134, download_weights.py:22-36),
+    so an LPIPS-less table here is a degraded mode worth labelling.
+
+    :param results: metric name -> list of per-sample values.
+    :return: metric name -> reason string, only for fully-skipped metrics.
+    """
+    notes = {}
+    for metric, values in results.items():
+        values = [v for v in values if isinstance(v, (int, float, np.floating))]
+        if values and not any(np.isfinite(values)):
+            if metric == "lpips" and not lpips_available():
+                notes[metric] = "skipped: weights absent"
+            else:
+                notes[metric] = "skipped: all values non-finite"
+    return notes
+
+
+def lpips(image_a: np.ndarray, image_b: np.ndarray) -> float:
+    """Learned perceptual similarity (AlexNet LPIPS v0.1).
+
+    Prefers the native JAX implementation with converted weights
+    (``$WEIGHTS_PATH/lpips_alex.npz``, see
+    :mod:`hive_tpu.models.lpips`); falls back to the torch ``lpips``
+    package if installed; returns NaN with a warning when neither is
+    available."""
+    if _resolve_lpips() is False:
         return float("nan")
 
     if _lpips_model[0] == "jax":

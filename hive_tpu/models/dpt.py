@@ -392,8 +392,10 @@ class DPTDepthEstimator:
                         f"hive_tpu.models.dpt.convert_torch_checkpoint.")
 
         self.weights_loaded = False
+        from hive_tpu.models.initialisation import fast_random_params
+
         dummy = jnp.zeros((1, self.net_height, self.net_width, 3), dtype=jnp.float32)
-        return self.model.init(jax.random.PRNGKey(0), dummy)["params"]
+        return fast_random_params(self.model, dummy)
 
     def predict_batch(self, frames: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) uint8 RGB → (B, H, W) float32 metric depth (meters)."""

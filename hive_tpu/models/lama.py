@@ -277,9 +277,11 @@ class LamaInpainter:
         logging.warning(f"LaMa weights not found at {weights_path}; "
                         f"using random initialisation.")
 
+        from hive_tpu.models.initialisation import fast_random_params
+
         dummy_img = jnp.zeros((1, 64, 64, 3))
         dummy_mask = jnp.zeros((1, 64, 64, 1))
-        return self.model.init(jax.random.PRNGKey(0), dummy_img, dummy_mask)["params"]
+        return fast_random_params(self.model, dummy_img, dummy_mask)
 
     @classmethod
     def has_weights(cls, weights_filename: str = "big-lama.npz") -> bool:

@@ -879,6 +879,13 @@ class Pipeline:
 
         self.profiling["peak_vram_usage"] = self._get_peak_device_memory()
 
+        # Per-session device-link weather (probe latency + timed-call floor)
+        # so cross-day profiling numbers carry their own correction context
+        # (tunnel throughput drifts ±20% across hours on this hardware).
+        from hive_tpu.utils import tunnel_health_report
+
+        self.profiling["tunnel_health"] = tunnel_health_report()
+
         try:
             # ru_maxrss is kilobytes on Linux.
             self.profiling["peak_ram_usage"] = \

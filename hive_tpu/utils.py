@@ -200,6 +200,11 @@ def accelerator_alive(timeout_s: Optional[int] = None,
     return False
 
 
+# Last outage-probe observations, folded into perf artifacts
+# (tunnel_health_report) so cross-day numbers carry their own weather context.
+_LAST_PROBE: dict = {}
+
+
 def ensure_responsive_backend() -> bool:
     """Fall back to CPU (with a warning) when the forced accelerator backend
     is unreachable, instead of hanging for ~45 min at the first device op.
@@ -223,7 +228,14 @@ def ensure_responsive_backend() -> bool:
     if getattr(jax.config, "jax_platforms", None) == "cpu":
         return False
 
-    if accelerator_alive():
+    import time
+
+    probe_start = time.monotonic()
+    alive = accelerator_alive()
+    _LAST_PROBE["probe_s"] = round(time.monotonic() - probe_start, 1)
+    _LAST_PROBE["probe_ok"] = alive
+
+    if alive:
         return False
 
     try:
@@ -234,6 +246,50 @@ def ensure_responsive_backend() -> bool:
     logging.warning(f"Accelerator backend '{forced}' is unreachable "
                     "(tunnel outage?) — running this process on CPU.")
     return True
+
+
+def tunnel_health_report(include_call_floor: bool = True) -> dict:
+    """Session weather context for performance artifacts.
+
+    Numbers through this tunnelled accelerator drift ±20% across hours and a
+    timed call carries a large fixed dispatch+round-trip cost, so artifacts
+    (profiling.json, bench breakdowns) record per-session health alongside
+    the measurements: the backend platform, the outage-probe latency when a
+    probe ran this process, and the median latency of a trivial timed call
+    (the call floor — ~35 ms through the tunnel, ~0 locally).
+    """
+    import time
+
+    report = dict(_LAST_PROBE)
+
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        backend = jax.default_backend()
+    except Exception as exc:  # pragma: no cover — no backend at all
+        report["backend_error"] = str(exc)[:120]
+        return report
+
+    report["backend"] = backend
+
+    if include_call_floor and backend != "cpu":
+        @jax.jit
+        def tick(x):
+            return x + 1.0
+
+        x = jnp.float32(0)
+        float(tick(x))  # compile
+
+        samples = []
+        for _ in range(5):
+            start = time.perf_counter()
+            float(tick(x))
+            samples.append(time.perf_counter() - start)
+        report["call_floor_ms"] = round(
+            1000.0 * sorted(samples)[len(samples) // 2], 2)
+
+    return report
 
 
 @contextlib.contextmanager

@@ -45,13 +45,20 @@ def main():
 
     results = compare_images(image_a, image_b)
 
+    from hive_tpu.metrics import lpips_available
+
     if args.json:
         # Unavailable metrics are NaN internally; strict JSON has no NaN.
         clean = {k: (None if v != v else v) for k, v in results.items()}
+        if not lpips_available():
+            clean["skipped"] = {"lpips": "skipped: weights absent"}
         print(json.dumps(clean))
     else:
         for metric, value in results.items():
-            print(f"{metric.upper():>6}: {value:.4f}")
+            if metric == "lpips" and value != value and not lpips_available():
+                print(f"{metric.upper():>6}: skipped (weights absent)")
+            else:
+                print(f"{metric.upper():>6}: {value:.4f}")
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ from os.path import join as pjoin
 import imageio.v3 as iio
 import numpy as np
 
-from hive_tpu.metrics import lpips, mifd, psnr, ssim
+from hive_tpu.metrics import lpips, metric_skip_notes, mifd, psnr, ssim
 
 
 def compare_folders(folder_a: str, folder_b: str) -> dict:
@@ -43,10 +43,18 @@ def compare_folders(folder_a: str, folder_b: str) -> dict:
             "mifd": mifd(image_a, image_b),
         })
 
-    summary = {metric: float(np.nanmean([row[metric] for row in rows]))
-               for metric in ("ssim", "psnr", "lpips", "mifd")}
+    per_metric = {metric: [row[metric] for row in rows]
+                  for metric in ("ssim", "psnr", "lpips", "mifd")}
+    summary = {metric: float(np.nanmean(values))
+               for metric, values in per_metric.items()}
 
-    return {"pairs": rows, "mean": summary}
+    results = {"pairs": rows, "mean": summary}
+    skipped = metric_skip_notes(per_metric)
+    if skipped:
+        # Label fully-absent metrics (e.g. LPIPS without weights) instead of
+        # leaving a silent NaN column.
+        results["skipped"] = skipped
+    return results
 
 
 def to_latex(results: dict) -> str:
@@ -58,9 +66,14 @@ def to_latex(results: dict) -> str:
                      f"{row['lpips']:.3f} & {row['mifd']:.2f} \\\\")
 
     mean = results["mean"]
+    skipped = results.get("skipped", {})
+
+    def cell(metric, spec):
+        return skipped.get(metric) or format(mean[metric], spec)
+
     lines.append(r"\hline")
-    lines.append(f"Mean & {mean['ssim']:.3f} & {mean['psnr']:.2f} & "
-                 f"{mean['lpips']:.3f} & {mean['mifd']:.2f} \\\\")
+    lines.append(f"Mean & {cell('ssim', '.3f')} & {cell('psnr', '.2f')} & "
+                 f"{cell('lpips', '.3f')} & {cell('mifd', '.2f')} \\\\")
     lines.append(r"\end{tabular}")
 
     return "\n".join(lines)
@@ -86,6 +99,8 @@ def main():
         mean = results["mean"]
         print(f"mean: ssim={mean['ssim']:.3f} psnr={mean['psnr']:.2f} "
               f"lpips={mean['lpips']:.3f} mifd={mean['mifd']:.2f}")
+        for metric, reason in results.get("skipped", {}).items():
+            print(f"note: {metric} {reason}")
 
 
 if __name__ == "__main__":

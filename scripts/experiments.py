@@ -45,7 +45,8 @@ from hive_tpu.fusion import tsdf_fusion
 from hive_tpu.geometric import Trajectory
 from hive_tpu.io import HiveDataset, temporary_trajectory
 from hive_tpu.meshing.ply import save_ply
-from hive_tpu.metrics import depth_mae, depth_rmse, lpips, psnr, ssim
+from hive_tpu.metrics import (depth_mae, depth_rmse, lpips,
+                              metric_skip_notes, psnr, ssim)
 from hive_tpu.options import (BackgroundMeshOptions, COLMAPOptions, InpaintingMode,
                               PipelineOptions, StorageOptions, WebXROptions)
 from hive_tpu.utils import setup_logger
@@ -224,9 +225,11 @@ class InpaintingExperiment:
             results["depth_rmse"].append(depth_rmse(inpainted_depth[region], depth[region]))
 
         summary = {metric: float(np.nanmean(values)) for metric, values in results.items()}
+        skipped = metric_skip_notes(results)
 
         with open(pjoin(self.output_path, "inpainting_metrics.json"), "w") as fh:
-            json.dump({"per_frame": results, "mean": summary}, fh)
+            json.dump({"per_frame": results, "mean": summary,
+                       "skipped": skipped}, fh)
 
         return summary
 
@@ -662,6 +665,7 @@ class Experiments:
 
         per_sequence: Dict[str, dict] = {}
         summaries: Dict[str, MeanSummary] = {}
+        skip_notes: Dict[str, str] = {}
         rows = []
 
         for sequence in sequence_names:
@@ -683,13 +687,18 @@ class Experiments:
             for metric in ("ssim", "psnr", "lpips", "mifd"):
                 value = mean.get(metric)
                 summaries.setdefault(metric, MeanSummary()).update(value)
-                row.append(Latex.format_number(value, 3))
+                note = results.get("skipped", {}).get(metric)
+                if note:
+                    skip_notes[metric] = note
+                row.append(note or Latex.format_number(value, 3))
             rows.append(row)
 
         rollup = {metric: summary.mean for metric, summary in summaries.items()
                   if summary.count}
-        rows.append(["mean"] + [Latex.format_number(rollup.get(m), 3)
-                                for m in ("ssim", "psnr", "lpips", "mifd")])
+        rows.append(["mean"] + [
+            (Latex.format_number(rollup[m], 3) if m in rollup
+             else skip_notes.get(m, "--"))
+            for m in ("ssim", "psnr", "lpips", "mifd")])
 
         table = Latex.table(["Sequence", "SSIM", "PSNR", "LPIPS", "MIFD"],
                             rows, caption="LLFF render-vs-photo")
@@ -780,6 +789,7 @@ class Experiments:
 
         per_scene: Dict[str, dict] = {}
         summaries: Dict[str, MeanSummary] = {}
+        skip_notes: Dict[str, str] = {}
         rows = []
 
         for scene in scene_names:
@@ -801,13 +811,18 @@ class Experiments:
             for metric in ("ssim", "psnr", "lpips", "mifd"):
                 value = mean.get(metric)
                 summaries.setdefault(metric, MeanSummary()).update(value)
-                row.append(Latex.format_number(value, 3))
+                note = results.get("skipped", {}).get(metric)
+                if note:
+                    skip_notes[metric] = note
+                row.append(note or Latex.format_number(value, 3))
             rows.append(row)
 
         rollup = {metric: summary.mean for metric, summary in summaries.items()
                   if summary.count}
-        rows.append(["mean"] + [Latex.format_number(rollup.get(m), 3)
-                                for m in ("ssim", "psnr", "lpips", "mifd")])
+        rows.append(["mean"] + [
+            (Latex.format_number(rollup[m], 3) if m in rollup
+             else skip_notes.get(m, "--"))
+            for m in ("ssim", "psnr", "lpips", "mifd")])
 
         table = Latex.table(["Scene", "SSIM", "PSNR", "LPIPS", "MIFD"],
                             rows, caption="HyperNeRF render-vs-photo")
@@ -898,8 +913,11 @@ class Experiments:
             finite = [v for v in values if np.isfinite(v)]
             return float(np.mean(finite)) if finite else float("nan")
 
+        skipped = metric_skip_notes(results)
         results["mean"] = {metric: safe_mean(values)
                            for metric, values in results.items()}
+        if skipped:
+            results["skipped"] = skipped
 
         with open(pjoin(output_folder, "hypernerf_metrics.json"), "w") as fh:
             json.dump(results, fh)

@@ -195,18 +195,25 @@ class TestConversion:
             return flat
 
         model = M.MaskRCNN()
-        ref = model.init(jax.random.PRNGKey(0),
-                         jnp.zeros((128, 128, 3)), jnp.asarray([128, 128]))
+        # eval_shape: the structure assertion needs shapes only — tracing is
+        # abstract, so the (expensive) initialiser never compiles.
+        ref = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                             jnp.zeros((128, 128, 3)), jnp.asarray([128, 128]))
         ref_flat = flatten(dict(flax.core.unfreeze(ref["params"])))
         got_flat = flatten(converted_params)
         assert ref_flat == got_flat
 
-    def test_forward_runs_and_is_finite(self, converted_params):
-        det = M.MaskRCNNDetector(converted_params, input_hw=(120, 160),
-                                 canvas_min_side=160, canvas_max_side=224)
+    @pytest.fixture(scope="class")
+    def detector(self, converted_params):
+        # One compiled forward shared by the behavioural tests below
+        # (score_threshold is a host-side attribute, not baked into the jit).
+        return M.MaskRCNNDetector(converted_params, input_hw=(120, 160),
+                                  canvas_min_side=160, canvas_max_side=224)
+
+    def test_forward_runs_and_is_finite(self, detector):
         frame = (np.random.default_rng(0)
                  .integers(0, 255, (120, 160, 3)).astype(np.uint8))
-        out = det.detect(frame)
+        out = detector.detect(frame)
 
         assert out["boxes"].shape[1] == 4
         assert np.isfinite(out["boxes"]).all()
@@ -214,10 +221,9 @@ class TestConversion:
         assert out["masks"].shape[1:] == (28, 28)
         assert ((out["masks"] >= 0) & (out["masks"] <= 1)).all()
 
-    def test_instance_mask_contract(self, converted_params):
-        det = M.MaskRCNNDetector(converted_params, input_hw=(120, 160),
-                                 canvas_min_side=160, canvas_max_side=224,
-                                 score_threshold=0.0)
+    def test_instance_mask_contract(self, detector):
+        det = detector
+        det.score_threshold = 0.0
         frame = (np.random.default_rng(1)
                  .integers(0, 255, (120, 160, 3)).astype(np.uint8))
         mask = det.instance_mask(frame)

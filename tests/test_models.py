@@ -117,10 +117,12 @@ class TestLama:
 
         from hive_tpu.models.lama import LamaGenerator
 
+        from hive_tpu.models.initialisation import fast_random_params
+
         model = LamaGenerator(base_features=16, num_blocks=1, num_downsamples=2)
         image = jnp.zeros((1, 32, 32, 3))
         mask = jnp.zeros((1, 32, 32, 1))
-        params = model.init(jax.random.PRNGKey(0), image, mask)
+        params = {"params": fast_random_params(model, image, mask)}
         return model, params
 
     def test_generator_shapes(self, lama):

@@ -99,6 +99,10 @@ class TestPipelineEndToEnd:
         assert "peak_ram_usage" in profiling
         assert "peak_vram_usage" in profiling
         assert "frame_count" in profiling
+        # Session weather context (probe latency / call floor / backend) so
+        # cross-day perf numbers carry their own correction context.
+        assert "tunnel_health" in profiling
+        assert profiling["tunnel_health"].get("backend") == "cpu"
 
         # Rolled-up stats have count/total/mean.
         rollup = profiling["timing"]["foreground_reconstruction"]["face_filtering"]

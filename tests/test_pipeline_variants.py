@@ -132,11 +132,21 @@ class TestInpaintingPipeline:
 
 
 class TestEstimatedDepthConversion:
-    def test_convert_with_estimated_depth(self, tmp_path):
+    def test_convert_with_estimated_depth(self, tmp_path, monkeypatch):
         """estimate_depth runs the (randomly initialised) DPT model end to end
         and writes uint16 mm PNGs."""
+        import hive_tpu.models.dpt as dpt_mod
+
         from hive_tpu.dataset_adaptors import TUMAdaptor
         from tests.test_adaptors import make_tum_dataset
+
+        # The production net size (480x640, a 577-token ViT) costs ~a minute
+        # of CPU compile; the depth-estimation contract under test (batching,
+        # resize-back, u16-mm PNGs) is resolution-independent.
+        original = dpt_mod.DPTDepthEstimator
+        monkeypatch.setattr(
+            dpt_mod, "DPTDepthEstimator",
+            lambda **kwargs: original(**{**kwargs, "net_size": (96, 128)}))
 
         tum_path = make_tum_dataset(tmp_path / "tum", num_frames=2, width=64, height=48)
         output = str(tmp_path / "converted")

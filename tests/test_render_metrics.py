@@ -186,3 +186,29 @@ class TestBinDepth:
         assert binned.shape == depth.shape
         assert np.all(np.isfinite(binned))
         assert binned[1, 0] == binned[1, 1] == 10.0
+
+
+class TestMetricSkipNotes:
+    """Degraded modes must be labelled, not silently NaN-dropped."""
+
+    def test_lpips_without_weights_is_labelled(self, monkeypatch):
+        from hive_tpu import metrics
+
+        monkeypatch.setattr(metrics, "_lpips_model", False)
+        notes = metrics.metric_skip_notes(
+            {"ssim": [0.5, 0.6], "lpips": [float("nan")] * 3})
+
+        assert notes == {"lpips": "skipped: weights absent"}
+        assert not metrics.lpips_available()
+
+    def test_partially_finite_metric_not_labelled(self, monkeypatch):
+        from hive_tpu import metrics
+
+        monkeypatch.setattr(metrics, "_lpips_model", False)
+        assert metrics.metric_skip_notes({"lpips": [0.1, float("nan")]}) == {}
+
+    def test_non_lpips_all_nan_gets_generic_note(self):
+        from hive_tpu import metrics
+
+        notes = metrics.metric_skip_notes({"depth_mae": [float("nan")]})
+        assert notes == {"depth_mae": "skipped: all values non-finite"}

@@ -122,3 +122,29 @@ def test_player_covers_every_writer_feature(export_dir):
     # Playback contract fields.
     for key in ("fps", "num_frames", "fov_y"):
         assert key in html, f"player ignores metadata.{key}"
+
+
+def test_webxr_session_contract():
+    """The player offers an immersive-vr session (the reference player is a
+    WebXR renderer, ref .gitmodules:5-7 / pipeline.py:250-251) and degrades
+    to the desktop WebGL2 path when XR is unavailable."""
+    html = VIEWER_HTML.read_text()
+
+    # DOM: the Enter-VR button exists and starts hidden (the non-XR default —
+    # it is only revealed after isSessionSupported resolves true).
+    assert '<button id="xrbtn" hidden>' in html
+
+    # Feature-gated session start: support probe, session request, and the
+    # per-eye draw from XRFrame viewer poses.
+    for token in ("navigator.xr", "isSessionSupported", '"immersive-vr"',
+                  "requestSession", "XRWebGLLayer", "makeXRCompatible",
+                  "getViewerPose", "requestReferenceSpace", "getViewport"):
+        assert token in html, f"WebXR path is missing {token}"
+
+    # Reference-space fallback chain (headsets without local-floor).
+    assert '"local-floor"' in html and '"local"' in html
+
+    # Non-XR fallback: the unsupported-probe path swallows the rejection
+    # (button stays hidden) and the desktop render loop keeps running.
+    assert ".catch(() => {})" in html
+    assert "requestAnimationFrame(render)" in html

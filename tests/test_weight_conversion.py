@@ -103,24 +103,29 @@ def make_fake_dpt_state_dict():
     return state
 
 
+@pytest.fixture(scope="module")
+def dpt_converted(tmp_path_factory):
+    """Save + convert the synthetic DPT checkpoint ONCE for the module."""
+    import torch
+
+    from hive_tpu.models.dpt import convert_torch_checkpoint
+
+    tmp = tmp_path_factory.mktemp("dpt_weights")
+    checkpoint_path = str(tmp / "dpt_hybrid_nyu.pt")
+    torch.save(make_fake_dpt_state_dict(), checkpoint_path)
+
+    output_path = str(tmp / "dpt_hybrid_nyu.npz")
+    convert_torch_checkpoint(checkpoint_path, output_path)
+    return tmp
+
+
 class TestDPTConversion:
-    def test_convert_load_forward(self, tmp_path, monkeypatch):
-        import torch
-
-        from hive_tpu.models.dpt import DPTDepthEstimator, convert_torch_checkpoint
-
-        checkpoint_path = str(tmp_path / "dpt_hybrid_nyu.pt")
-        torch.save(make_fake_dpt_state_dict(), checkpoint_path)
-
-        weights_dir = tmp_path / "weights"
-        weights_dir.mkdir()
-        output_path = str(weights_dir / "dpt_hybrid_nyu.npz")
-
-        convert_torch_checkpoint(checkpoint_path, output_path)
+    def test_convert_load_forward(self, dpt_converted, monkeypatch):
+        from hive_tpu.models.dpt import DPTDepthEstimator
 
         # Point the estimator at the converted weights and run a forward pass
         # at a reduced network size (the weights are resolution-agnostic).
-        monkeypatch.setenv("WEIGHTS_PATH", str(weights_dir))
+        monkeypatch.setenv("WEIGHTS_PATH", str(dpt_converted))
         estimator = DPTDepthEstimator(net_size=(96, 128))
 
         frames = np.random.default_rng(1).integers(
@@ -131,28 +136,33 @@ class TestDPTConversion:
         assert np.isfinite(depth).all()
         assert (depth > 0).all()
 
-    def test_converted_param_structure_matches_model(self, tmp_path):
+    def test_converted_param_structure_matches_model(self, dpt_converted):
         """Every converted parameter path/shape must exist in the Flax model."""
         import jax
         import jax.numpy as jnp
-        import torch
 
-        from hive_tpu.models.dpt import (DPTHybrid, _flatten_params,
-                                         convert_torch_checkpoint)
+        from hive_tpu.models.dpt import DPTHybrid
 
-        checkpoint_path = str(tmp_path / "ckpt.pt")
-        torch.save(make_fake_dpt_state_dict(), checkpoint_path)
-        output_path = str(tmp_path / "out.npz")
-        convert_torch_checkpoint(checkpoint_path, output_path)
-
-        data = np.load(output_path)
+        data = np.load(str(dpt_converted / "dpt_hybrid_nyu.npz"))
         converted = dict(data)
 
         model = DPTHybrid()
-        reference_params = model.init(jax.random.PRNGKey(0),
-                                      jnp.zeros((1, 96, 128, 3)))["params"]
-        reference_flat = _flatten_params(
-            jax.tree.map(np.asarray, reference_params))
+        # Shapes only — eval_shape avoids compiling the initialiser.
+        reference_params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 96, 128, 3)))["params"]
+
+        def flatten_shapes(tree, prefix=""):
+            flat = {}
+            for key, value in tree.items():
+                path = f"{prefix}/{key}" if prefix else key
+                if isinstance(value, dict):
+                    flat.update(flatten_shapes(value, path))
+                else:
+                    flat[path] = value
+            return flat
+
+        reference_flat = flatten_shapes(dict(reference_params))
 
         missing = set(converted) - set(reference_flat)
         assert not missing, f"converted params with no model slot: {sorted(missing)[:8]}"
@@ -286,8 +296,10 @@ class TestLamaConversion:
             return flat
 
         model = LamaGenerator(base_features=8, num_downsamples=2, num_blocks=2)
-        ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
-                         jnp.zeros((1, 32, 32, 1)))
+        # Shapes only — eval_shape avoids compiling the initialiser.
+        ref = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 32, 3)),
+                             jnp.zeros((1, 32, 32, 1)))
         assert flatten(dict(flax.core.unfreeze(ref["params"]))) == \
             flatten(converted)
 
@@ -581,3 +593,96 @@ class TestConverterCoverage:
         convert_torch_checkpoint(path, str(tmp_path / "out.npz"),
                                  base_features=8, num_downsamples=2,
                                  num_blocks=2)
+
+
+# ---------------------------------------------------------------------------
+# Turnkey conversion CLI (hive_tpu.models.convert).
+# ---------------------------------------------------------------------------
+
+class TestConvertCLI:
+    def test_all_converts_found_checkpoints_and_skips_missing(
+            self, tmp_path, capsys):
+        """--all <dir> dry run with synthetic DPT + big-lama + LPIPS
+        checkpoints under their expected release file names; Mask R-CNN is
+        deliberately absent and must be reported as skipped."""
+        import torch
+
+        from hive_tpu.models import convert as C
+
+        ckpts = tmp_path / "ckpts"
+        ckpts.mkdir()
+        torch.save(make_fake_dpt_state_dict(), ckpts / "dpt_hybrid_nyu.pt")
+        torch.save(make_fake_biglama_state_dict(), ckpts / "big-lama.ckpt")
+
+        rng = np.random.default_rng(0)
+        alexnet = {}
+        shapes = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
+                  (256, 256, 3)]
+        for src, (co, ci, k) in zip([0, 3, 6, 8, 10], shapes):
+            alexnet[f"features.{src}.weight"] = torch.from_numpy(
+                (rng.normal(size=(co, ci, k, k)) * 0.05).astype(np.float32))
+            alexnet[f"features.{src}.bias"] = torch.from_numpy(
+                (rng.normal(size=co) * 0.05).astype(np.float32))
+        # Hash-free alias name: the hub-style `alexnet-owt-<sha8>.pth` form
+        # would (correctly) fail the embedded-SHA256 check on synthetic data.
+        torch.save(alexnet, ckpts / "alexnet.pth")
+        lins = {}
+        for i, c in enumerate([64, 192, 384, 256, 256]):
+            lins[f"lin{i}.model.1.weight"] = torch.from_numpy(
+                np.abs(rng.normal(size=(1, c, 1, 1))).astype(np.float32))
+        torch.save(lins, ckpts / "lpips_alex.pth")
+
+        out = tmp_path / "weights"
+        rc = C.main(["--all", str(ckpts), "--output", str(out),
+                     "--lama_base_features", "8",
+                     "--lama_num_downsamples", "2",
+                     "--lama_num_blocks", "2"])
+        captured = capsys.readouterr()
+
+        assert rc == 0, captured.err
+        for name in ("dpt_hybrid_nyu.npz", "big-lama.npz", "lpips_alex.npz"):
+            assert (out / name).is_file(), name
+        assert not (out / "maskrcnn_resnet50_fpn.npz").exists()
+        assert "[skipped] no checkpoint found for: maskrcnn" in captured.out
+
+    def test_empty_folder_fails_with_expected_names(self, tmp_path, capsys):
+        from hive_tpu.models import convert as C
+
+        empty = tmp_path / "none"
+        empty.mkdir()
+        rc = C.main(["--all", str(empty), "--output", str(tmp_path / "w")])
+
+        assert rc == 1
+        err = capsys.readouterr().err
+        assert "dpt_hybrid_nyu.pt" in err and "big-lama.ckpt" in err
+
+    def test_hub_hash_verification(self, tmp_path):
+        import hashlib
+
+        from hive_tpu.models import convert as C
+
+        payload = b"synthetic-checkpoint-bytes"
+        good_prefix = hashlib.sha256(payload).hexdigest()[:8]
+
+        good = tmp_path / f"dpt_hybrid_nyu-{good_prefix}.pt"
+        good.write_bytes(payload)
+        bad = tmp_path / "dpt_hybrid_nyu-2ce69ec7.pt"
+        bad.write_bytes(payload)
+        unhashed = tmp_path / "dpt_hybrid_nyu.pt"
+        unhashed.write_bytes(payload)
+
+        assert C.verify_hub_hash(str(good)) is True
+        assert C.verify_hub_hash(str(bad)) is False
+        assert C.verify_hub_hash(str(unhashed)) is None
+
+    def test_corrupt_hub_download_fails_loudly(self, tmp_path, capsys):
+        from hive_tpu.models import convert as C
+
+        ckpts = tmp_path / "ckpts"
+        ckpts.mkdir()
+        # Real released name, wrong bytes -> must fail BEFORE conversion.
+        (ckpts / "dpt_hybrid_nyu-2ce69ec7.pt").write_bytes(b"junk")
+
+        rc = C.main(["--all", str(ckpts), "--output", str(tmp_path / "w")])
+        assert rc == 1
+        assert "SHA256" in capsys.readouterr().err
