@@ -21,7 +21,7 @@ model          searched checkpoint file(s)                           output
 DPT-Hybrid     ``dpt_hybrid_nyu.pt`` | ``dpt_hybrid_nyu-*.pt``       ``dpt_hybrid_nyu.npz``
 big-lama       ``big-lama.ckpt`` | ``big-lama/models/best.ckpt``     ``big-lama.npz``
                | ``best.ckpt``
-Mask R-CNN     ``maskrcnn_resnet50_fpn.pth``                         ``maskrcnn_resnet50_fpn.npz``
+Mask R-CNN     ``maskrcnn_resnet50_fpn.pth``                         ``maskrcnn_coco.npz``
                | ``maskrcnn_resnet50_fpn_coco-*.pth``
 LPIPS          ``alexnet-owt-*.pth`` | ``alexnet.pth``               ``lpips_alex.npz``
                AND ``lpips_alex.pth`` | ``alex.pth``
@@ -76,7 +76,8 @@ def verify_hub_hash(path: str) -> Optional[bool]:
 
 DPT_OUTPUT = "dpt_hybrid_nyu.npz"
 LAMA_OUTPUT = "big-lama.npz"
-MASKRCNN_OUTPUT = "maskrcnn_resnet50_fpn.npz"
+# Runtime load name (hive_tpu/models/segmentation.py:234).
+MASKRCNN_OUTPUT = "maskrcnn_coco.npz"
 LPIPS_OUTPUT = "lpips_alex.npz"
 
 

@@ -102,11 +102,15 @@ def main():
                                color=jnp.zeros((nb, 3 * bv), jnp.float32))
 
     def full_with(i):
-        jitted = jax.jit(lambda s: i.scan_impl(s, bo, depths, colors, w2c,
-                                               intr, obs))
+        # depths/colors must be ARGUMENTS, not closure constants: closed-over
+        # frame stacks get embedded in the serialized program, and this
+        # tunnel's remote-compile endpoint rejects the upload (HTTP 413)
+        # at 64-frame sizes.
+        jitted = jax.jit(lambda s, d, c: i.scan_impl(s, bo, d, c, w2c,
+                                                     intr, obs))
 
         def run():
-            out = jitted(fresh_state())
+            out = jitted(fresh_state(), depths, colors)
             return jnp.sum(out.weight.astype(jnp.float32))
         return run
 
@@ -139,12 +143,23 @@ def main():
     t_classify = timed(lambda: scan_cr(depths, w2c))
     print(f"T_classify  : {ms(t_classify):7.2f} ms/frame (pass-1 + refine)")
 
-    query_delta = max(t_full - t_noquery, 0.0)
-    bound = min(t_pass1, query_delta)
-    print(f"\npyramid-query bill (full - noquery): {ms(query_delta):.2f} ms/frame "
-          f"= {query_delta / t_full * 100:.1f}% of full")
-    print(f"superblock max win = min(pass-1 cost, query bill) "
-          f"= {ms(bound):.2f} ms/frame = {bound / t_full * 100:.1f}% of full")
+    # Pass-1 with its pyramid queries stubbed to constants: what remains is
+    # the nb-proportional work (corner projection over all blocks, candidate
+    # compaction, scatter-back) — exactly and ONLY the share a superblock
+    # pre-pass could reduce. The candidate queries themselves are real
+    # surface-adjacent work a coarser pass cannot thin.
+    scan_p1s = classify_scan_fn(integ_noq.classify)
+    t_pass1_stub = timed(lambda: scan_p1s(depths, w2c))
+    print(f"T_pass1_stub: {ms(t_pass1_stub):7.2f} ms/frame "
+          f"(pass-1, queries stubbed = nb-proportional share)")
+
+    # Note: T_noquery (full integrate with classify_const) is NOT a clean
+    # query-cost isolate — constant depth bounds change the class mix and so
+    # the downstream band workload; report it only as context.
+    bound = t_pass1_stub
+    print(f"\nsuperblock max win = nb-proportional pass-1 share "
+          f"= {ms(bound):.2f} ms/frame = {bound / t_full * 100:.1f}% of full "
+          f"(and a real pre-pass keeps its own cost + all candidate work)")
     print("keep-threshold 5%:",
           "WORTH IMPLEMENTING" if bound / t_full >= 0.05 else
           "below threshold -> measured dead end")

@@ -7,8 +7,12 @@ egress, so this script instead:
 
 * reports which weight files are present/missing;
 * converts any released torch checkpoints found on disk into the framework's
-  .npz layouts (DPT);
+  .npz layouts;
 * prints the URLs to fetch on a connected machine.
+
+For one-command conversion of a folder of downloaded checkpoints, prefer
+``python -m hive_tpu.models.convert --all <dir>`` (glob name search +
+torch-hub SHA256 verification).
 """
 
 import os

@@ -58,34 +58,60 @@ def timed(fn, n=5):
 
 
 # --------------------------------------------------------------------- Q1
-def q1_kernel(src_ref, idx_ref, out_ref):
-    row = src_ref[0, :]                      # (128,) one vreg
-    out_ref[0, :] = jnp.take(row, idx_ref[0, :], axis=0)
+# Mosaic rejects 1D gathers ("Only 2D gather is supported") — probe the 2D
+# forms: take_along_axis over lanes (axis=1, the per-row column gather) and
+# over sublanes (axis=0, the per-lane row select).
+
+def q1_lane_kernel(src_ref, idx_ref, out_ref):
+    out_ref[:, :] = jnp.take_along_axis(src_ref[:, :], idx_ref[:, :], axis=1)
+
+
+def q1_sublane_kernel(src_ref, idx_ref, out_ref):
+    out_ref[:, :] = jnp.take_along_axis(src_ref[:, :], idx_ref[:, :], axis=0)
 
 
 def q1(interpret=False):
-    src = jnp.arange(128, dtype=jnp.uint32)[None, :] * 3 + 7
-    idx = jnp.asarray(np.random.default_rng(0).integers(0, 128, (1, 128)),
-                      dtype=jnp.int32)
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.integers(0, 2**31, (8, 128)).astype(np.uint32))
+
+    ok_lane = ok_sub = False
+
+    idx = jnp.asarray(rng.integers(0, 128, (8, 128)), dtype=jnp.int32)
     try:
         out = pl.pallas_call(
-            q1_kernel,
-            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.uint32),
+            q1_lane_kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint32),
             interpret=interpret,
         )(src, idx)
-        expected = np.asarray(src)[0][np.asarray(idx)[0]]
-        ok = np.array_equal(np.asarray(out)[0], expected)
-        print(f"Q1 in-vreg jnp.take in compiled Pallas: "
-              f"{'OK (values exact)' if ok else 'COMPILES BUT WRONG VALUES'}")
-        return ok
+        ok_lane = np.array_equal(
+            np.asarray(out),
+            np.take_along_axis(np.asarray(src), np.asarray(idx), axis=1))
+        print(f"Q1 lane gather (take_along_axis axis=1 on (8,128)): "
+              f"{'OK exact' if ok_lane else 'WRONG VALUES'}")
     except Exception as exc:
-        print(f"Q1 FAILED to compile/run: {type(exc).__name__}: "
-              f"{str(exc)[:300]}")
-        return False
+        print(f"Q1 lane gather FAILED: {type(exc).__name__}: {str(exc)[:200]}")
+
+    ridx = jnp.asarray(rng.integers(0, 8, (8, 128)), dtype=jnp.int32)
+    try:
+        out = pl.pallas_call(
+            q1_sublane_kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.uint32),
+            interpret=interpret,
+        )(src, ridx)
+        ok_sub = np.array_equal(
+            np.asarray(out),
+            np.take_along_axis(np.asarray(src), np.asarray(ridx), axis=0))
+        print(f"Q1 sublane gather (axis=0): "
+              f"{'OK exact' if ok_sub else 'WRONG VALUES'}")
+    except Exception as exc:
+        print(f"Q1 sublane gather FAILED: {type(exc).__name__}: "
+              f"{str(exc)[:200]}")
+
+    return ok_lane, ok_sub
 
 
 # --------------------------------------------------------------------- Q2
-def make_pallas_fn(interpret=False):
+def make_pallas_fn(use_sublane=True, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(v0_ref, u0_ref, img_ref, vv_ref, uu_ref, out_ref):
@@ -94,6 +120,11 @@ def make_pallas_fn(interpret=False):
         v0/u0: per-block window origins (u0 128-aligned), scalar-prefetched.
         vv/uu absolute pixel coords, (1, BV//128, 128) blocks. The whole
         image is VMEM-resident (480x640 u32 = 1.2 MB).
+
+        Mosaic supports only 2D gathers, so sampling runs on (8, 128) vreg
+        tiles: per tile ONE lane gather (each of the 8 rows column-gathered
+        at the voxel's u) then ONE sublane gather (per-lane row select) —
+        8 vector ops per 128 voxels instead of 128 serialized element loads.
         """
         b = pl.program_id(0)
         v0 = v0_ref[b]
@@ -104,16 +135,28 @@ def make_pallas_fn(interpret=False):
         for g in range(BV // 128):
             pv = vv_ref[0, g, :] - v0                     # (128,) in [0, PH)
             pu = uu_ref[0, g, :] - u0                     # (128,) in [0, PW)
-            in_lo = pu < 128
-            pu_lo = jnp.where(in_lo, pu, 0)
-            pu_hi = jnp.where(in_lo, 0, pu - 128)
 
             acc = jnp.zeros((128,), jnp.uint32)
-            for r in range(PH):
-                g_lo = jnp.take(patch[r, 0:128], pu_lo, axis=0)
-                g_hi = jnp.take(patch[r, 128:256], pu_hi, axis=0)
-                val = jnp.where(in_lo, g_lo, g_hi)
-                acc = jnp.where(pv == r, val, acc)
+            for s in range(PH // 8):
+                rv = pv - 8 * s
+                row_ok = (rv >= 0) & (rv < 8)
+                rv_c = jnp.clip(rv, 0, 7)
+                for h in range(PW // 128):
+                    cu = pu - 128 * h
+                    col_ok = (cu >= 0) & (cu < 128)
+                    cu_c = jnp.clip(cu, 0, 127)
+                    tile = patch[8 * s:8 * s + 8, 128 * h:128 * h + 128]
+                    colg = jnp.take_along_axis(
+                        tile, jnp.broadcast_to(cu_c[None, :], (8, 128)),
+                        axis=1)
+                    if use_sublane:
+                        val = jnp.take_along_axis(colg, rv_c[None, :],
+                                                  axis=0)[0]
+                    else:
+                        val = jnp.zeros((128,), jnp.uint32)
+                        for r in range(8):
+                            val = jnp.where(rv_c == r, colg[r, :], val)
+                    acc = jnp.where(row_ok & col_ok, val, acc)
             out_ref[0, g, :] = acc
 
     return pl.pallas_call(
@@ -134,7 +177,7 @@ def make_pallas_fn(interpret=False):
     )
 
 
-def q2(interpret=False):
+def q2(use_sublane=True, interpret=False):
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.integers(0, 2**32, (H, W), dtype=np.uint64)
                       .astype(np.uint32))
@@ -150,7 +193,8 @@ def q2(interpret=False):
     uuj = jnp.asarray(uu.reshape(NB, BV // 128, 128))
 
     try:
-        pallas_fn = make_pallas_fn(interpret=interpret)
+        pallas_fn = make_pallas_fn(use_sublane=use_sublane,
+                                   interpret=interpret)
         out = pallas_fn(v0j, u0j, img, vvj, uuj)
         jax.block_until_ready(out)
     except Exception as exc:
@@ -203,5 +247,6 @@ def q2(interpret=False):
 if __name__ == "__main__":
     interpret = jax.default_backend() == "cpu"
     print(f"backend: {jax.default_backend()} interpret={interpret}")
-    if q1(interpret=interpret):
-        q2(interpret=interpret)
+    ok_lane, ok_sub = q1(interpret=interpret)
+    if ok_lane:
+        q2(use_sublane=ok_sub, interpret=interpret)

@@ -642,7 +642,7 @@ class TestConvertCLI:
         assert rc == 0, captured.err
         for name in ("dpt_hybrid_nyu.npz", "big-lama.npz", "lpips_alex.npz"):
             assert (out / name).is_file(), name
-        assert not (out / "maskrcnn_resnet50_fpn.npz").exists()
+        assert not (out / "maskrcnn_coco.npz").exists()
         assert "[skipped] no checkpoint found for: maskrcnn" in captured.out
 
     def test_empty_folder_fails_with_expected_names(self, tmp_path, capsys):
