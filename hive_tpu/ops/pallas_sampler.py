@@ -1,0 +1,142 @@
+"""Block-windowed image sampling as a Pallas TPU kernel.
+
+The sparse TSDF integrator's dominant cost is the band pixel gather: one
+packed u32 per band voxel, fetched with XLA's element gather, which
+serializes at ~(11 ns + 2 ns/byte) per element on this part (CLAUDE.md
+measured facts; ~4.9 of ~13.4 ms/frame at bench shapes). Mosaic cannot lower
+arbitrary gathers — but it CAN do 2D in-register gathers, and explicit DMAs
+CAN move arbitrary tile-aligned windows. Band voxels arrive in whole blocks
+whose image footprint is small, so per block:
+
+* an async DMA copies a ``(PH, PW)`` window of the packed frame from HBM
+  into VMEM scratch (double-buffered: block b+1's window loads while block
+  b computes). Window origins must be tile-aligned: rows to 8, lanes to 128
+  (Mosaic requires provable divisibility of memref slice indices);
+* sampling runs on (8, 128) vreg tiles: ONE lane gather
+  (``take_along_axis`` axis=1 — every patch row column-gathered at the
+  voxel's u) then ONE sublane gather (axis=0, FULL-shape indices — a
+  (1, 128) index array hits a Mosaic lowering assert) per tile, plus masked
+  combines. 128 voxels cost ``2 * (PH/8) * (PW/128)`` vector gathers
+  instead of 128 serialized element loads.
+
+Measured on the v5e slice (tpu sessions 2026-08-19, NB=1024 blocks x 512
+samples x 8 reps): 6.7 ns/sample double-buffered vs 13.8-14.6 ns/sample for
+the XLA element gather — ~2x. Values bit-exact vs ``img[v, u]``.
+
+Constraints (the integrator gates on them and falls back to the XLA take):
+``height % 8 == 0``, ``width % 128 == 0``, ``height >= PH``,
+``width >= PW``, block voxel count a multiple of 128, and per-block
+footprints that fit the window after alignment (checked per frame in the
+refine pass; oversized blocks take the classic path).
+
+No reference counterpart: the reference's CUDA kernel
+(third_party tsdf-fusion-python) relies on hardware scatter/gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Window size: covers the bench workload's worst block footprint (53 x 58 px
+# at 15.6 mm voxels) after 8/128 alignment. VMEM cost: 2 x PH x PW x 4 B =
+# 128 KB double-buffered.
+PH = 64
+PW = 256
+
+
+@functools.lru_cache(maxsize=None)
+def build_patch_sampler(height: int, width: int, num_blocks: int,
+                        groups: int, interpret: bool = False):
+    """Compile a per-block window sampler.
+
+    :param height, width: packed-frame shape (rows % 8 == 0, cols % 128 == 0).
+    :param num_blocks: blocks per call (the integrator's trip chunk).
+    :param groups: 128-voxel groups per block (block_voxels // 128).
+    :param interpret: run in the Pallas interpreter (CPU tests).
+    :return: fn(win_v0 (K,) i32, win_u0 (K,) i32, packed (H, W) u32,
+        v (K, G, 128) i32, u (K, G, 128) i32) -> (K, G, 128) u32 with
+        out[k, g, l] = packed[v[k, g, l], u[k, g, l]] for coords inside the
+        block's window (coords outside are clamped into it — callers mask
+        those voxels anyway).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if height % 8 or width % 128 or height < PH or width < PW:
+        raise ValueError(f"frame {height}x{width} unsupported by the "
+                         f"{PH}x{PW} window sampler")
+
+    def sample_from_patch(patch, pv, pu):
+        acc = jnp.zeros((128,), jnp.uint32)
+        for s in range(PH // 8):
+            rv = pv - 8 * s
+            row_ok = (rv >= 0) & (rv < 8)
+            rv_c = jnp.broadcast_to(jnp.clip(rv, 0, 7)[None, :], (8, 128))
+            for h in range(PW // 128):
+                cu = pu - 128 * h
+                col_ok = (cu >= 0) & (cu < 128)
+                cu_c = jnp.broadcast_to(jnp.clip(cu, 0, 127)[None, :],
+                                        (8, 128))
+                tile = patch[8 * s:8 * s + 8, 128 * h:128 * h + 128]
+                colg = jnp.take_along_axis(tile, cu_c, axis=1)
+                val = jnp.take_along_axis(colg, rv_c, axis=0)[0]
+                acc = jnp.where(row_ok & col_ok, val, acc)
+        return acc
+
+    def kernel(v0_ref, u0_ref, img_hbm, vv_ref, uu_ref, out_ref,
+               scratch, sem):
+        b = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(b, 2)
+        nxt = jax.lax.rem(b + 1, 2)
+
+        @pl.when(b == 0)
+        def _prime():
+            v00 = pl.multiple_of(v0_ref[0], 8)
+            u00 = pl.multiple_of(u0_ref[0], 128)
+            pltpu.make_async_copy(
+                img_hbm.at[pl.ds(v00, PH), pl.ds(u00, PW)],
+                scratch.at[0], sem.at[0]).start()
+
+        @pl.when(b + 1 < n)
+        def _prefetch():
+            i = jnp.minimum(b + 1, n - 1)
+            v0n = pl.multiple_of(v0_ref[i], 8)
+            u0n = pl.multiple_of(u0_ref[i], 128)
+            pltpu.make_async_copy(
+                img_hbm.at[pl.ds(v0n, PH), pl.ds(u0n, PW)],
+                scratch.at[nxt], sem.at[nxt]).start()
+
+        v0b = pl.multiple_of(v0_ref[b], 8)
+        u0b = pl.multiple_of(u0_ref[b], 128)
+        pltpu.make_async_copy(
+            img_hbm.at[pl.ds(v0b, PH), pl.ds(u0b, PW)],
+            scratch.at[slot], sem.at[slot]).wait()
+
+        patch = scratch[slot]
+        for g in range(groups):
+            pv = jnp.clip(vv_ref[0, g, :] - v0b, 0, PH - 1)
+            pu = jnp.clip(uu_ref[0, g, :] - u0b, 0, PW - 1)
+            out_ref[0, g, :] = sample_from_patch(patch, pv, pu)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(num_blocks,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),     # frame stays in HBM
+                pl.BlockSpec((1, groups, 128), lambda b, *_: (b, 0, 0)),
+                pl.BlockSpec((1, groups, 128), lambda b, *_: (b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, groups, 128),
+                                   lambda b, *_: (b, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((2, PH, PW), jnp.uint32),
+                            pltpu.SemaphoreType.DMA((2,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_blocks, groups, 128), jnp.uint32),
+        interpret=interpret,
+    )

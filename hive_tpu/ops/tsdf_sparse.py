@@ -276,6 +276,7 @@ class SparseTSDFVolume:
                  chunk_voxels: int = 1 << 16,
                  color_mode: str = "rgb565d16",
                  gather_split: Optional[int] = None,
+                 pallas_sampler: Optional[Union[bool, str]] = None,
                  dtype=jnp.float32):
         """
         :param band_capacity_fraction: upper bound on the banded update's
@@ -349,6 +350,18 @@ class SparseTSDFVolume:
         if gather_split is None:
             gather_split = int(os.environ.get("HIVE_TSDF_GATHER_SPLIT", "1"))
         self.gather_split = max(1, int(gather_split))
+
+        # Band pixel sampling backend: the Pallas block-window sampler
+        # (ops/pallas_sampler.py, ~2x the XLA element gather on this part)
+        # vs the classic per-voxel take. None = auto (Pallas on TPU when the
+        # frame/block shapes qualify); True/False force; "interpret" runs
+        # the kernel in the Pallas interpreter (CPU equivalence tests). Env
+        # HIVE_TSDF_PALLAS (0/1/interpret) overrides the argument.
+        env_sampler = os.environ.get("HIVE_TSDF_PALLAS", "")
+        if env_sampler:
+            pallas_sampler = {"0": False, "1": True}.get(env_sampler,
+                                                         env_sampler)
+        self.pallas_sampler = pallas_sampler
 
         Bx, By, Bz = self.block_size
         self.block_voxels = Bx * By * Bz
@@ -458,6 +471,27 @@ class SparseTSDFVolume:
                 break
         BVS = BV // SUB
         slab_z = (Bz // SUB) * voxel  # world-z thickness of one slab
+
+        # Band pixel sampling backend: Pallas block-window sampler (~2x the
+        # XLA element gather on this part — see ops/pallas_sampler.py) when
+        # the shapes qualify; blocks whose footprint cannot fit the sampler
+        # window (checked per frame in refine_band) take the classic path.
+        from hive_tpu.ops import pallas_sampler as _ps
+
+        shapes_ok = (self.color_mode == "rgb565d16" and stub == ""
+                     and BVS % 128 == 0
+                     and height % 8 == 0 and width % 128 == 0
+                     and height >= _ps.PH and width >= _ps.PW)
+        sampler_pref = self.pallas_sampler
+        pallas_interpret = sampler_pref == "interpret"
+        if sampler_pref is None:  # auto: compiled kernel on real TPUs only
+            try:
+                backend = jax.default_backend()
+            except Exception:  # pragma: no cover — no backend at all
+                backend = "none"
+            use_pallas = shapes_ok and backend == "tpu"
+        else:
+            use_pallas = shapes_ok and bool(sampler_pref)
 
         flat_s = np.arange(BVS)
         iota_axes = [jnp.asarray(((flat_s // By) % Bx).astype(np.float32)),
@@ -673,8 +707,42 @@ class SparseTSDFVolume:
             scatter_ids = jnp.where(id_valid, band_ids, nb)
             classes = classes.at[scatter_ids].set(refined, mode="drop")
 
+            if use_pallas:
+                # Per-block sampler windows from the (clipped) corner-hull
+                # pixel AABB. Voxel-centre projections lie inside the hull
+                # (perspective of a z>0 box attains extremes at corners) and
+                # the band update clips coords into the image the same way,
+                # so a block "fits" iff every sampled coordinate lands in its
+                # tile-aligned PH x PW window (+-1 rounding margin). Unfit,
+                # unrefined, and straddling blocks keep the take path.
+                u0c = jnp.clip(u0, 0.0, width - 1.0)
+                u1c = jnp.clip(u1, 0.0, width - 1.0)
+                v0c = jnp.clip(v0, 0.0, height - 1.0)
+                v1c = jnp.clip(v1, 0.0, height - 1.0)
+                wv = jnp.clip(jnp.floor(v0c) - 1.0, 0.0,
+                              float(height - _ps.PH)).astype(jnp.int32)
+                wv = (wv // 8) * 8
+                wu = jnp.clip(jnp.floor(u0c) - 1.0, 0.0,
+                              float(width - _ps.PW)).astype(jnp.int32)
+                wu = (wu // 128) * 128
+                fit = (in_front
+                       & (refined == SparseTSDFVolume.BAND)
+                       & (jnp.ceil(v1c) + 1.0
+                          <= wv.astype(jnp.float32) + (_ps.PH - 1))
+                       & (jnp.ceil(u1c) + 1.0
+                          <= wu.astype(jnp.float32) + (_ps.PW - 1)))
+                win_v0_blk = jnp.zeros((nb,), jnp.int32).at[scatter_ids].set(
+                    wv, mode="drop")
+                win_u0_blk = jnp.zeros((nb,), jnp.int32).at[scatter_ids].set(
+                    wu, mode="drop")
+                fits_blk = jnp.zeros((nb,), bool).at[scatter_ids].set(
+                    fit, mode="drop")
+                windows = (win_v0_blk, win_u0_blk, fits_blk)
+            else:
+                windows = None
+
             if SUB == 1:  # slab culling unused — skip the extra scatters
-                return classes, None, None, None
+                return classes, None, None, None, windows
 
             fully_inside = (u0 >= 0) & (u1 < width) & (v0 >= 0) & (v1 < height)
             free_ok = in_front & fully_inside & all_valid
@@ -686,7 +754,7 @@ class SparseTSDFVolume:
             free_ok_blk = jnp.zeros((nb,), bool).at[scatter_ids].set(
                 free_ok, mode="drop")
 
-            return classes, dmin_blk, dmax_blk, free_ok_blk
+            return classes, dmin_blk, dmax_blk, free_ok_blk, windows
 
         def classify_refined(block_origins, pyramid, R, t, intr):
             classes = classify(block_origins, pyramid, R, t, intr)
@@ -880,12 +948,7 @@ class SparseTSDFVolume:
 
                 return (d_mm | (r5 << 16) | (g6 << 21) | (b5 << 27),)
 
-            def sample_values(sample, flat):
-                if stub == "sample_const":
-                    return (jnp.full(flat.shape, 2.6, jnp.float32),
-                            jnp.full((flat.shape[0], 3, flat.shape[1]), 128.0,
-                                     jnp.float32))
-                w = split_take(sample[0].reshape(-1), flat)
+            def unpack_packed(w):
                 depth_val = (w & 0xFFFF).astype(jnp.float32) * 1e-3
                 rgb = jnp.stack(
                     [((w >> 16) & 31).astype(jnp.float32) * (255.0 / 31.0),
@@ -893,6 +956,13 @@ class SparseTSDFVolume:
                      ((w >> 27) & 31).astype(jnp.float32) * (255.0 / 31.0)],
                     axis=1)
                 return depth_val, rgb
+
+            def sample_values(sample, flat):
+                if stub == "sample_const":
+                    return (jnp.full(flat.shape, 2.6, jnp.float32),
+                            jnp.full((flat.shape[0], 3, flat.shape[1]), 128.0,
+                                     jnp.float32))
+                return unpack_packed(split_take(sample[0].reshape(-1), flat))
 
         else:  # rgb888: exact f32 depth + one packed-u32 colour take
 
@@ -916,7 +986,7 @@ class SparseTSDFVolume:
 
         def band_update_values(block_origins, slab_tsdf, slab_weight,
                                slab_color, sub_ids, slab_valid, sample,
-                               R, t, intr, obs_weight):
+                               R, t, intr, obs_weight, windows=None):
             # Accumulate in fp32 regardless of storage dtype.
             slab_tsdf = slab_tsdf.astype(jnp.float32)
             slab_weight = slab_weight.astype(jnp.float32)
@@ -931,10 +1001,26 @@ class SparseTSDFVolume:
 
             in_view = (cam_z > 1e-6) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
 
-            flat = jnp.clip(v, 0, height - 1) * width + jnp.clip(u, 0, width - 1)
+            vc = jnp.clip(v, 0, height - 1)
+            uc = jnp.clip(u, 0, width - 1)
 
-            # (depth_val (K, BVS), rgb (K, 3, BVS)).
-            depth_val, rgb = sample_values(sample, flat)
+            if windows is not None:
+                # Pallas block-window sampler: every row of this trip is a
+                # block whose (clipped) coords fit its PH x PW window, so the
+                # sampled words are identical to the take path's — only the
+                # fetch mechanism differs (see ops/pallas_sampler.py).
+                win_v0_all, win_u0_all = windows
+                rows = sub_ids // SUB
+                k = sub_ids.shape[0]
+                groups = BVS // 128
+                w = _pallas_sample_fn(
+                    win_v0_all[rows], win_u0_all[rows], sample[0],
+                    vc.reshape(k, groups, 128), uc.reshape(k, groups, 128))
+                depth_val, rgb = unpack_packed(w.reshape(k, BVS))
+            else:
+                flat = vc * width + uc
+                # (depth_val (K, BVS), rgb (K, 3, BVS)).
+                depth_val, rgb = sample_values(sample, flat)
 
             sdf = depth_val - cam_z
             valid = (in_view & (depth_val > 0.0) & (sdf >= -trunc)
@@ -957,7 +1043,7 @@ class SparseTSDFVolume:
             return tsdf_new, w_new, color_new
 
         def update_band(state, block_origins, sub_ids, slab_valid, sample,
-                        R, t, intr, obs_weight):
+                        R, t, intr, obs_weight, windows=None):
             """One banded trip over slab row ids. ``state`` is slab-shaped;
             colour rows interleave as (block, channel, slab)."""
             nbs = state.tsdf.shape[0]
@@ -983,7 +1069,7 @@ class SparseTSDFVolume:
             tsdf_new, w_new, color_new = band_update_values(
                 block_origins, state.tsdf[row_ids], state.weight[row_ids],
                 slab_color, sub_ids, slab_valid, sample, R, t, intr,
-                obs_weight)
+                obs_weight, windows=windows)
 
             scatter_ids = jnp.where(slab_valid, row_ids, nbs)
             color = state.color
@@ -1014,8 +1100,17 @@ class SparseTSDFVolume:
         chunk = min(band_capacity * SUB,
                     max(64, self.chunk_voxels // max(1, BVS)))
 
+        if use_pallas:
+            from hive_tpu.ops.pallas_sampler import build_patch_sampler
+
+            _pallas_sample_fn = build_patch_sampler(
+                height, width, chunk, BVS // 128,
+                interpret=pallas_interpret)
+        else:
+            _pallas_sample_fn = None
+
         def update_band_chunked(state, block_origins, band_flat, sample,
-                                R, t, intr, obs_weight):
+                                R, t, intr, obs_weight, windows=None):
             # ``state`` is slab-shaped: tsdf rows ARE the slab rows.
             nbs = state.tsdf.shape[0]
             nbs_pad = ((nbs + chunk - 1) // chunk) * chunk
@@ -1034,7 +1129,7 @@ class SparseTSDFVolume:
                 valid = ids < nbs
                 ids = jnp.minimum(ids, nbs - 1)
                 state = update_band(state, block_origins, ids, valid, sample,
-                                    R, t, intr, obs_weight)
+                                    R, t, intr, obs_weight, windows=windows)
                 return state, i + 1
 
             state, _ = jax.lax.while_loop(lambda c: c[1] < num_trips, trip,
@@ -1114,6 +1209,25 @@ class SparseTSDFVolume:
                                           (state, jnp.int32(0)))
             return state
 
+        def run_band_updates(state, block_origins, band_flat, windows,
+                             sample, R, t, intr, obs_weight):
+            """Dispatch the banded trips, splitting fit/unfit blocks between
+            the Pallas window sampler and the classic take path."""
+            if windows is None:
+                return update_band_chunked(state, block_origins, band_flat,
+                                           sample, R, t, intr, obs_weight)
+
+            win_v0, win_u0, fits_blk = windows
+            fits_flat = fits_blk if SUB == 1 else jnp.repeat(fits_blk, SUB)
+            state = update_band_chunked(
+                state, block_origins, band_flat & fits_flat, sample,
+                R, t, intr, obs_weight, windows=(win_v0, win_u0))
+            # Oversized/unrefined/straddling band blocks: classic gather
+            # (zero trips when everything fits — the common case).
+            return update_band_chunked(
+                state, block_origins, band_flat & ~fits_flat, sample,
+                R, t, intr, obs_weight)
+
         def integrate_body(state, block_origins, depth, color_im, world_to_cam,
                            intr, obs_weight):
             R = world_to_cam[:3, :3]
@@ -1121,14 +1235,14 @@ class SparseTSDFVolume:
 
             sample = pack_frame(depth, color_im)
             pyramid = build_flat_pyramid(depth, height, width)
-            classes, dmin_blk, dmax_blk, free_ok = classify_refined(
+            classes, dmin_blk, dmax_blk, free_ok, windows = classify_refined(
                 block_origins, pyramid, R, t, intr)
             band_flat, free_w, edge_flat = slab_masks(
                 block_origins, classes, dmin_blk, dmax_blk, free_ok, R, t,
                 obs_weight)
             state = apply_free_weights(to_slabs(state), free_w)
-            state = update_band_chunked(state, block_origins, band_flat,
-                                        sample, R, t, intr, obs_weight)
+            state = run_band_updates(state, block_origins, band_flat, windows,
+                                     sample, R, t, intr, obs_weight)
             state = update_edge_chunked(state, block_origins, edge_flat,
                                         R, t, intr, obs_weight)
             return from_slabs(state)
@@ -1154,13 +1268,14 @@ class SparseTSDFVolume:
 
                 sample = pack_frame(depth, color_im)
                 pyramid = build_flat_pyramid(depth, height, width)
-                classes, dmin_blk, dmax_blk, free_ok = classify_refined(
+                classes, dmin_blk, dmax_blk, free_ok, windows = classify_refined(
                     block_origins, pyramid, R, t, intr)
                 band_flat, free_w, edge_flat = slab_masks(
                     block_origins, classes, dmin_blk, dmax_blk, free_ok, R, t,
                     obs_weight)
-                state = update_band_chunked(state, block_origins, band_flat,
-                                            sample, R, t, intr, obs_weight)
+                state = run_band_updates(state, block_origins, band_flat,
+                                         windows, sample, R, t, intr,
+                                         obs_weight)
                 # Edge updates carry a per-voxel visibility mask, so unlike
                 # whole-block FREE weights they cannot batch across frames.
                 state = update_edge_chunked(state, block_origins, edge_flat,
@@ -1200,6 +1315,7 @@ class SparseTSDFVolume:
         integrate_one.chunk = chunk
         integrate_one.sub_slabs = SUB
         integrate_one.refine_cap = refine_cap
+        integrate_one.use_pallas = use_pallas
 
         return integrate_one
 

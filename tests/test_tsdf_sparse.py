@@ -388,3 +388,52 @@ class TestSparseProperties:
 
         _, weight, _ = volume.get_volume()
         assert weight.sum() == 0
+
+
+class TestPallasSampler:
+    """The Pallas block-window sampler (ops/pallas_sampler.py) fetches the
+    same packed words as the take path, so integration must be bit-identical.
+    The compiled kernel is TPU-only; CPU CI runs it in the Pallas
+    interpreter."""
+
+    def test_interpret_matches_take_path(self):
+        height, width = 64, 256  # smallest frame the 64x256 window allows
+        k = np.array([[90.0, 0.0, (width - 1) / 2],
+                      [0.0, 90.0, (height - 1) / 2],
+                      [0.0, 0.0, 1.0]], np.float32)
+        rng = np.random.default_rng(3)
+        num_frames = 2
+        depths = rng.uniform(0.8, 1.8,
+                             (num_frames, height, width)).astype(np.float32)
+        colors = rng.integers(
+            0, 255, (num_frames, height, width, 3)).astype(np.uint8)
+        poses = np.tile(np.eye(4, dtype=np.float32), (num_frames, 1, 1))
+        poses[:, 0, 3] = [0.0123, 0.0517]
+
+        bounds = np.array([[-0.5, 0.5], [-0.5, 0.5], [0.0, 1.2]], np.float32)
+
+        take = SparseTSDFVolume(bounds, voxel_size=1.0 / 16,
+                                pallas_sampler=False)
+        take.integrate_frames(colors, depths, k, poses)
+
+        pallas = SparseTSDFVolume(bounds, voxel_size=1.0 / 16,
+                                  pallas_sampler="interpret")
+        pallas.integrate_frames(colors, depths, k, poses)
+
+        integ = next(iter(pallas._integrators.values()))
+        assert integ.use_pallas, "sampler gate rejected a qualifying shape"
+
+        assert float(jnp.sum(pallas.state.weight.astype(jnp.float32))) > 0
+        for name in ("tsdf", "weight", "color"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(take.state, name)),
+                np.asarray(getattr(pallas.state, name)), err_msg=name)
+
+    def test_unqualifying_shapes_fall_back(self):
+        """Frames smaller than the sampler window must auto-disable Pallas
+        (width 128 < PW) even when explicitly requested."""
+        bounds = np.array([[-0.5, 0.5], [-0.5, 0.5], [0.0, 1.2]], np.float32)
+        volume = SparseTSDFVolume(bounds, voxel_size=1.0 / 16,
+                                  pallas_sampler="interpret")
+        integ = volume._build_integrator(96, 128, compact_cap=None)
+        assert not integ.use_pallas
