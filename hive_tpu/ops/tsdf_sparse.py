@@ -214,6 +214,15 @@ def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int,
     (validity rides the sign of the max channel, see
     :func:`build_flat_pyramid`).
     """
+    # Soundness: at cell size >= extent / 2^(-bias), an AABB can touch up to
+    # 2^(-bias) + 1 cells per axis (span plus one boundary crossing); fewer
+    # taps leave cells UNREAD and the returned "bounds" stop bounding —
+    # free/skip classification then silently corrupts the volume (observed:
+    # a grid=3, bias=-2 experiment ran 9% faster with a drifting checksum).
+    if grid < (1 << max(0, -level_bias)) + 1:
+        raise ValueError(f"grid={grid} cannot cover an AABB at level bias "
+                         f"{level_bias}; need >= {(1 << -level_bias) + 1}")
+
     num_levels = len(layout[0])
     offsets, widths, heights = (jnp.asarray(a) for a in layout)
 
@@ -660,6 +669,16 @@ class SparseTSDFVolume:
         # band-after-pass-1 fraction.
         refine_cap = min(self.num_blocks, max(1024, self.num_blocks // 8))
 
+        # Refinement query shape (taps-per-axis, pyramid level bias), A/B
+        # knob HIVE_TSDF_REFINE="taps,bias". MEASURED 2026-08-19 with the
+        # Pallas sampler live (same-process, N=64 bench shapes): (5,-2)
+        # 8.10 ms/frame vs (3,-1) 8.54 (coarser cells inflate the band
+        # 1939 -> 2335 blocks) vs (7,-2) 9.96 — the default is optimal, and
+        # it is also the MINIMAL sound tap count at bias -2
+        # (query_flat_pyramid rejects under-covered configs).
+        refine_spec = os.environ.get("HIVE_TSDF_REFINE", "5,-2")
+        refine_grid, refine_bias = (int(x) for x in refine_spec.split(","))
+
         def refine_band(classes, block_origins, pyramid, R, t, intr):
             """Re-query band blocks with 5x5 cells two pyramid levels finer.
 
@@ -697,7 +716,7 @@ class SparseTSDFVolume:
             else:
                 dmin, dmax, all_valid = query_flat_pyramid(
                     pyramid, layout, u0, u1, v0, v1, height, width,
-                    grid=5, level_bias=-2)
+                    grid=refine_grid, level_bias=refine_bias)
             refined = classes_from_bounds(*bounds, dmin, dmax, all_valid)
 
             # Straddling blocks keep their pass-1 class (their AABBs are

@@ -437,3 +437,21 @@ class TestPallasSampler:
                                   pallas_sampler="interpret")
         integ = volume._build_integrator(96, 128, compact_cap=None)
         assert not integ.use_pallas
+
+
+class TestQueryCoverage:
+    def test_under_covered_query_config_rejected(self):
+        """grid taps must cover every cell an AABB can touch at the chosen
+        level bias — an under-covered config silently returns non-bounds
+        (measured: a 3-tap bias=-2 experiment corrupted the volume)."""
+        from hive_tpu.ops.tsdf_sparse import pyramid_layout, query_flat_pyramid
+
+        layout = pyramid_layout(64, 128)
+        args = (jnp.zeros(4, jnp.complex64), layout,
+                jnp.zeros(2), jnp.ones(2) * 20, jnp.zeros(2), jnp.ones(2) * 20,
+                64, 128)
+
+        with pytest.raises(ValueError):
+            query_flat_pyramid(*args, grid=3, level_bias=-2)
+        with pytest.raises(ValueError):
+            query_flat_pyramid(*args, grid=4, level_bias=-2)
