@@ -39,7 +39,7 @@ TPU-specific implementation notes:
 * the depth pyramid builds with strided-slice 2x2 pooling on a power-of-two
   padded canvas (``lax.reduce_window`` measured ~5 s/frame on this backend,
   and reshape-reduce forms tile-pad their 2-wide minor dims 64x);
-* pyramid levels are flattened into ONE complex64 buffer and each
+* pyramid levels are flattened into ONE packed-uint32 buffer and each
   classification query is four (nb,)-shaped gathers (one per cell: min in
   the real part, max in the imag part with the all-valid flag in its sign),
   not per-level loops;
@@ -119,15 +119,21 @@ def build_flat_pyramid(depth, height: int, width: int):
     strided-slice 2x2 pooling (``lax.reduce_window`` measured ~5 s/frame on
     this backend, and reshape-reduce forms tile-pad their 2-wide minor dims).
 
-    The three per-cell quantities pack into one complex64 word so every
-    classification query is a SINGLE per-cell gather (gathers serialize
-    per element on this part — this halves classification cost vs separate
-    min/max + valid buffers): real = cell depth min; imag = the cell depth
-    max with the all-pixels-valid flag encoded in its SIGN (+max: all valid;
-    -max: some invalid; -inf: no valid pixel). Depths are strictly positive,
-    so the sign is free.
+    The three per-cell quantities pack into ONE uint32 word so every
+    classification query is a SINGLE 4-byte gather (gather cost on this
+    part is ~11 ns + 2 ns/BYTE per element, so one u32 beats the previous
+    one-complex64 pack by ~30% and two separate buffers by ~2x):
 
-    :return: complex64 flat buffer; level layout per :func:`pyramid_layout`.
+    * bits 0..15 — cell depth min, FLOORED to u16 millimetres (rounding
+      down only loosens the free test: conservative). 65535 when the cell
+      has no valid pixel (harmless in the min-reduction).
+    * bits 16..30 — cell depth max, CEILED to 2 mm units (rounding up only
+      loosens the behind/skip test). 0 = no valid pixel (decodes -inf);
+      0x7FFF = at/above the 65.534 m range cap (decodes +inf so far
+      surfaces can never cause a wrong skip).
+    * bit 31 — all-pixels-valid flag.
+
+    :return: uint32 flat buffer; level layout per :func:`pyramid_layout`.
     """
     hp, wp = _next_pow2(height), _next_pow2(width)
     num_levels = int(math.log2(max(hp, wp))) + 1
@@ -169,14 +175,18 @@ def build_flat_pyramid(depth, height: int, width: int):
 
     min_flat = -jnp.concatenate([lv[0].reshape(-1) for lv in levels])
     max_flat = jnp.concatenate([lv[1].reshape(-1) for lv in levels])
-    valid_flat = jnp.concatenate([lv[2].reshape(-1) for lv in levels]) == 0.0
+    all_valid = jnp.concatenate([lv[2].reshape(-1) for lv in levels]) == 0.0
+    no_valid = ~jnp.isfinite(max_flat)  # max == -inf: no valid pixel at all
 
-    # Sign-encode validity into the max channel (see docstring). Cells with
-    # no valid pixel (max = -inf) must stay -inf, not flip to +inf.
-    max_enc = jnp.where(valid_flat, max_flat,
-                        jnp.where(jnp.isfinite(max_flat), -max_flat, -jnp.inf))
+    dmin_mm = jnp.clip(jnp.floor(min_flat * 1000.0), 0.0, 65535.0)
+    dmin_mm = jnp.where(no_valid, 65535.0, dmin_mm).astype(jnp.uint32)
 
-    return jax.lax.complex(min_flat, max_enc)
+    dmax_units = jnp.clip(jnp.ceil(max_flat * 500.0), 1.0, 32767.0)
+    dmax_units = jnp.where(no_valid, 0.0, dmax_units).astype(jnp.uint32)
+
+    valid_bit = jnp.where(all_valid & ~no_valid, jnp.uint32(1), jnp.uint32(0))
+
+    return dmin_mm | (dmax_units << 16) | (valid_bit << 31)
 
 
 def pyramid_layout(height: int, width: int):
@@ -243,15 +253,20 @@ def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int,
     # Per-cell (nb,) gathers reduced incrementally — a stacked (nb, grid^2)
     # gather output would tile-pad its minor dim to 128. Cells past the AABB
     # clamp onto the last covered cell (duplicate reads are conservative).
+    # Each tap is ONE u32 gather (see build_flat_pyramid's packing); the
+    # unpack is elementwise VPU work, negligible next to the gather.
     dmin = dmax = all_valid = None
     for i in range(grid):
         cv = jnp.minimum(cv0 + i, cv1)
         for j in range(grid):
             cu = jnp.minimum(cu0 + j, cu1)
             g = jnp.take(pyramid, off + cv * w_l + cu)
-            cmin, enc = jnp.real(g), jnp.imag(g)
-            cvalid = enc > 0
-            cmax = jnp.where(jnp.isfinite(enc), jnp.abs(enc), -jnp.inf)
+            cmin = (g & 0xFFFF).astype(jnp.float32) * 1e-3
+            units = ((g >> 16) & 0x7FFF).astype(jnp.float32)
+            cvalid = (g >> 31) == 1
+            cmax = jnp.where(units == 0.0, -jnp.inf,
+                             jnp.where(units >= 32767.0, jnp.inf,
+                                       units * 2e-3))
             if dmin is None:
                 dmin, dmax, all_valid = cmin, cmax, cvalid
             else:
@@ -590,9 +605,12 @@ class SparseTSDFVolume:
                          & (z_max < dmin - trunc))
             classes = jnp.where(free_edge, SparseTSDFVolume.FREE_EDGE, classes)
 
-            no_surface = ~jnp.isfinite(dmax)
-            behind = in_front & (z_min > jnp.where(jnp.isfinite(dmax), dmax, -jnp.inf)
-                                 + trunc)
+            # dmax semantics: -inf = no valid pixel in the region (skip);
+            # +inf = surface at/past the u16 range cap (far, but real — the
+            # behind test is then never satisfied, which is the conservative
+            # direction).
+            no_surface = dmax == -jnp.inf
+            behind = in_front & (z_min > dmax + trunc)
             # Projected AABBs are only trustworthy when the whole block is in
             # front of the camera; camera-straddling blocks stay on the band
             # path unless the exact hull test proves them outside the frustum
