@@ -220,7 +220,7 @@ def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int,
     benchmark scene). ``grid=5, level_bias=-2`` (the band refinement pass)
     queries 5x5 cells two levels finer — cell size in [extent/4, extent/2),
     so 5 cells always cover — and tightens the region to <= 1.5x the
-    footprint. Costs grid^2 single-complex-gathers per queried block
+    footprint. Costs grid^2 single-u32 gathers per queried block
     (validity rides the sign of the max channel, see
     :func:`build_flat_pyramid`).
     """
@@ -705,7 +705,7 @@ class SparseTSDFVolume:
             surfaces widens the apparent depth window enough to misclassify
             ~2-3x more blocks as band than a tight query would (measured on
             the benchmark scene). Re-querying just the compacted band blocks
-            costs 25 single-complex gathers x refine_cap ids — far less than
+            costs 25 single-u32 gathers x refine_cap ids — far less than
             the banded voxel gathers those extra blocks would pay.
 
             Returns ``(classes, dmin_blk, dmax_blk, free_ok_blk)``: the
