@@ -222,6 +222,19 @@ def ensure_responsive_backend() -> bool:
 
     import jax
 
+    # A process whose backends are ALREADY initialised can't switch platform
+    # anyway (config updates are ignored) — and its device evidently works.
+    # Skip the probe: the probe subprocess pays its own tunnel attach, which
+    # on a busy tunnel burns MINUTES (observed: +380 s inside a bench e2e
+    # stage whose same-process TSDF stage had just run fine on the device).
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            return False
+    except (ImportError, AttributeError):  # pragma: no cover — jax internals
+        pass
+
     # A caller that already forced CPU via jax.config (the reliable switch —
     # the env var alone doesn't stop the sitecustomize-registered backend)
     # needs no probe.

@@ -26,7 +26,6 @@ Run on the TPU: python scripts/micro_pallas_gather.py
 import os
 import sys
 import time
-from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -278,3 +278,33 @@ class TestInterfaceErrorHandling:
         with pytest.raises(ValueError):
             build_pipeline_from_form({"dataset_path": "in", "output_path": "out",
                                       "num_frames": "not-a-number"})
+
+
+class TestBackendProbeSkip:
+    def test_no_probe_once_backends_initialized(self, monkeypatch):
+        """A process with live backends must NOT pay a probe subprocess (its
+        attach can burn minutes on a busy tunnel, and the platform cannot be
+        switched post-init anyway)."""
+        import jax.numpy as jnp
+
+        from hive_tpu import utils
+
+        jnp.ones(2).sum()  # ensure backends are initialised
+
+        def boom(*args, **kwargs):  # pragma: no cover - failure path
+            raise AssertionError("probe subprocess spawned after backend init")
+
+        monkeypatch.setattr(utils, "accelerator_alive", boom)
+        monkeypatch.setenv("JAX_PLATFORMS", "axon")  # pretend forced accel
+
+        # The backends-initialised check must be what answers (it runs before
+        # the forced-cpu-config early-return): spy on it.
+        from jax._src import xla_bridge
+
+        calls = []
+        original = xla_bridge.backends_are_initialized
+        monkeypatch.setattr(xla_bridge, "backends_are_initialized",
+                            lambda: calls.append(1) or original())
+
+        assert utils.ensure_responsive_backend() is False
+        assert calls, "the backends-initialised probe-skip never ran"
