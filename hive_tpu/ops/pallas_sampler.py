@@ -40,21 +40,33 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Window size: covers the bench workload's worst block footprint (53 x 58 px
+# Large window: covers the bench workload's worst block footprint (53 x 58 px
 # at 15.6 mm voxels) after 8/128 alignment. VMEM cost: 2 x PH x PW x 4 B =
 # 128 KB double-buffered.
 PH = 64
 PW = 256
 
+# Small window: most band blocks project far smaller than the worst case
+# (bench scene at 2.2-2.8 m: ~26-33 px footprints), and sampling cost scales
+# with the (PH/8) x (PW/128) tile count — (48, 128) is 6 tiles vs the large
+# window's 16, so fit-small blocks pay ~2.7x fewer vector gathers and ~2.7x
+# less DMA. Blocks route to the smallest window their clipped AABB fits
+# (the PW=128 fit is positional: the footprint must not straddle an aligned
+# 128-lane boundary; ~75% odds at 30 px).
+PH_SMALL = 48
+PW_SMALL = 128
+
 
 @functools.lru_cache(maxsize=None)
 def build_patch_sampler(height: int, width: int, num_blocks: int,
-                        groups: int, interpret: bool = False):
+                        groups: int, ph: int = PH, pw: int = PW,
+                        interpret: bool = False):
     """Compile a per-block window sampler.
 
     :param height, width: packed-frame shape (rows % 8 == 0, cols % 128 == 0).
     :param num_blocks: blocks per call (the integrator's trip chunk).
     :param groups: 128-voxel groups per block (block_voxels // 128).
+    :param ph, pw: window shape (rows % 8 == 0, cols % 128 == 0).
     :param interpret: run in the Pallas interpreter (CPU tests).
     :return: fn(win_v0 (K,) i32, win_u0 (K,) i32, packed (H, W) u32,
         v (K, G, 128) i32, u (K, G, 128) i32) -> (K, G, 128) u32 with
@@ -65,6 +77,9 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    PH, PW = ph, pw  # noqa: N806 — shadow the defaults with this build's shape
+    if PH % 8 or PW % 128:
+        raise ValueError(f"window {PH}x{PW} not tile-aligned (8, 128)")
     if height % 8 or width % 128 or height < PH or width < PW:
         raise ValueError(f"frame {height}x{width} unsupported by the "
                          f"{PH}x{PW} window sampler")

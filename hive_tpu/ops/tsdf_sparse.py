@@ -517,6 +517,20 @@ class SparseTSDFVolume:
         else:
             use_pallas = shapes_ok and bool(sampler_pref)
 
+        # Small-window sampler class (see pallas_sampler.PH_SMALL): most band
+        # blocks project far below the worst-case window, and sampling cost
+        # scales with the window tile count. Env HIVE_PALLAS_WIN_S="ph,pw"
+        # overrides; "0" disables the class (single-window A/B baseline).
+        win_small = None
+        if use_pallas:
+            spec = os.environ.get(
+                "HIVE_PALLAS_WIN_S", f"{_ps.PH_SMALL},{_ps.PW_SMALL}")
+            if spec not in ("", "0"):
+                ph_s, pw_s = (int(x) for x in spec.split(","))
+                if (ph_s % 8 == 0 and pw_s % 128 == 0 and height >= ph_s
+                        and width >= pw_s and (ph_s, pw_s) != (_ps.PH, _ps.PW)):
+                    win_small = (ph_s, pw_s)
+
         flat_s = np.arange(BVS)
         iota_axes = [jnp.asarray(((flat_s // By) % Bx).astype(np.float32)),
                      jnp.asarray((flat_s % By).astype(np.float32)),
@@ -750,31 +764,36 @@ class SparseTSDFVolume:
                 # (perspective of a z>0 box attains extremes at corners) and
                 # the band update clips coords into the image the same way,
                 # so a block "fits" iff every sampled coordinate lands in its
-                # tile-aligned PH x PW window (+-1 rounding margin). Unfit,
+                # tile-aligned PH x PW window (+-1 rounding margin). Each
+                # block routes to the SMALLEST window class it fits (sampling
+                # cost scales with the window's tile count); unfit,
                 # unrefined, and straddling blocks keep the take path.
                 u0c = jnp.clip(u0, 0.0, width - 1.0)
                 u1c = jnp.clip(u1, 0.0, width - 1.0)
                 v0c = jnp.clip(v0, 0.0, height - 1.0)
                 v1c = jnp.clip(v1, 0.0, height - 1.0)
-                wv = jnp.clip(jnp.floor(v0c) - 1.0, 0.0,
-                              float(height - _ps.PH)).astype(jnp.int32)
-                wv = (wv // 8) * 8
-                wu = jnp.clip(jnp.floor(u0c) - 1.0, 0.0,
-                              float(width - _ps.PW)).astype(jnp.int32)
-                wu = (wu // 128) * 128
-                fit = (in_front
-                       & (refined == SparseTSDFVolume.BAND)
-                       & (jnp.ceil(v1c) + 1.0
-                          <= wv.astype(jnp.float32) + (_ps.PH - 1))
-                       & (jnp.ceil(u1c) + 1.0
-                          <= wu.astype(jnp.float32) + (_ps.PW - 1)))
-                win_v0_blk = jnp.zeros((nb,), jnp.int32).at[scatter_ids].set(
-                    wv, mode="drop")
-                win_u0_blk = jnp.zeros((nb,), jnp.int32).at[scatter_ids].set(
-                    wu, mode="drop")
-                fits_blk = jnp.zeros((nb,), bool).at[scatter_ids].set(
-                    fit, mode="drop")
-                windows = (win_v0_blk, win_u0_blk, fits_blk)
+
+                def fit_window(ph, pw):
+                    wv = jnp.clip(jnp.floor(v0c) - 1.0, 0.0,
+                                  float(height - ph)).astype(jnp.int32)
+                    wv = (wv // 8) * 8
+                    wu = jnp.clip(jnp.floor(u0c) - 1.0, 0.0,
+                                  float(width - pw)).astype(jnp.int32)
+                    wu = (wu // 128) * 128
+                    fit = (in_front
+                           & (refined == SparseTSDFVolume.BAND)
+                           & (jnp.ceil(v1c) + 1.0
+                              <= wv.astype(jnp.float32) + (ph - 1))
+                           & (jnp.ceil(u1c) + 1.0
+                              <= wu.astype(jnp.float32) + (pw - 1)))
+                    def scat(x, fill):
+                        return (jnp.full((nb,), fill, x.dtype)
+                                .at[scatter_ids].set(x, mode="drop"))
+
+                    return scat(wv, 0), scat(wu, 0), scat(fit, False)
+
+                windows = (fit_window(*win_small) if win_small else None,
+                           fit_window(_ps.PH, _ps.PW))
             else:
                 windows = None
 
@@ -1046,11 +1065,11 @@ class SparseTSDFVolume:
                 # block whose (clipped) coords fit its PH x PW window, so the
                 # sampled words are identical to the take path's — only the
                 # fetch mechanism differs (see ops/pallas_sampler.py).
-                win_v0_all, win_u0_all = windows
+                win_v0_all, win_u0_all, sampler_fn = windows
                 rows = sub_ids // SUB
                 k = sub_ids.shape[0]
                 groups = BVS // 128
-                w = _pallas_sample_fn(
+                w = sampler_fn(
                     win_v0_all[rows], win_u0_all[rows], sample[0],
                     vc.reshape(k, groups, 128), uc.reshape(k, groups, 128))
                 depth_val, rgb = unpack_packed(w.reshape(k, BVS))
@@ -1143,8 +1162,13 @@ class SparseTSDFVolume:
             _pallas_sample_fn = build_patch_sampler(
                 height, width, chunk, BVS // 128,
                 interpret=pallas_interpret)
+            _pallas_sample_small = (build_patch_sampler(
+                height, width, chunk, BVS // 128,
+                ph=win_small[0], pw=win_small[1],
+                interpret=pallas_interpret) if win_small else None)
         else:
             _pallas_sample_fn = None
+            _pallas_sample_small = None
 
         def update_band_chunked(state, block_origins, band_flat, sample,
                                 R, t, intr, obs_weight, windows=None):
@@ -1248,21 +1272,36 @@ class SparseTSDFVolume:
 
         def run_band_updates(state, block_origins, band_flat, windows,
                              sample, R, t, intr, obs_weight):
-            """Dispatch the banded trips, splitting fit/unfit blocks between
-            the Pallas window sampler and the classic take path."""
+            """Dispatch the banded trips, routing each block to the smallest
+            Pallas sampler window it fits, else the classic take path."""
             if windows is None:
                 return update_band_chunked(state, block_origins, band_flat,
                                            sample, R, t, intr, obs_weight)
 
-            win_v0, win_u0, fits_blk = windows
-            fits_flat = fits_blk if SUB == 1 else jnp.repeat(fits_blk, SUB)
+            small, large = windows
+            win_v0, win_u0, fits_blk = large
+            fit_l = fits_blk if SUB == 1 else jnp.repeat(fits_blk, SUB)
+            if small is not None:
+                # A small-window fit implies a large-window fit (same AABB,
+                # same-or-later aligned origin, strictly wider coverage), so
+                # the large class is exactly fit_l & ~fit_s.
+                wv_s, wu_s, fit_s_blk = small
+                fit_s = (fit_s_blk if SUB == 1
+                         else jnp.repeat(fit_s_blk, SUB))
+                state = update_band_chunked(
+                    state, block_origins, band_flat & fit_s, sample,
+                    R, t, intr, obs_weight,
+                    windows=(wv_s, wu_s, _pallas_sample_small))
+                fit_l = fit_l & ~fit_s
             state = update_band_chunked(
-                state, block_origins, band_flat & fits_flat, sample,
-                R, t, intr, obs_weight, windows=(win_v0, win_u0))
+                state, block_origins, band_flat & fit_l, sample,
+                R, t, intr, obs_weight,
+                windows=(win_v0, win_u0, _pallas_sample_fn))
             # Oversized/unrefined/straddling band blocks: classic gather
             # (zero trips when everything fits — the common case).
+            fits_any = fit_l if small is None else (fit_l | fit_s)
             return update_band_chunked(
-                state, block_origins, band_flat & ~fits_flat, sample,
+                state, block_origins, band_flat & ~fits_any, sample,
                 R, t, intr, obs_weight)
 
         def integrate_body(state, block_origins, depth, color_im, world_to_cam,
@@ -1346,8 +1385,15 @@ class SparseTSDFVolume:
             pyramid = build_flat_pyramid(depth, height, width)
             return classify_refined(block_origins, pyramid, R, t, intr)[0]
 
+        def _classify_refined_full(block_origins, depth, R, t, intr):
+            """Full classify_refined output incl. the per-block sampler
+            window assignments (profiling: fit-class split per frame)."""
+            pyramid = build_flat_pyramid(depth, height, width)
+            return classify_refined(block_origins, pyramid, R, t, intr)
+
         integrate_one.classify = jax.jit(_classify_from_depth)
         integrate_one.classify_refined = jax.jit(_classify_refined_from_depth)
+        integrate_one.classify_refined_full = _classify_refined_full
         integrate_one.update_band = update_band
         integrate_one.chunk = chunk
         integrate_one.sub_slabs = SUB

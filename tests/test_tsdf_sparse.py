@@ -429,6 +429,53 @@ class TestPallasSampler:
                 np.asarray(getattr(take.state, name)),
                 np.asarray(getattr(pallas.state, name)), err_msg=name)
 
+    def test_small_window_class_bit_identical(self, monkeypatch):
+        """Routing band blocks between the small- and large-window sampler
+        classes must not change a single bit vs the single-window build —
+        every block integrates exactly once, through exactly one path."""
+        height, width = 64, 256
+        k = np.array([[90.0, 0.0, (width - 1) / 2],
+                      [0.0, 90.0, (height - 1) / 2],
+                      [0.0, 0.0, 1.0]], np.float32)
+        rng = np.random.default_rng(11)
+        depths = rng.uniform(0.8, 1.8, (2, height, width)).astype(np.float32)
+        colors = rng.integers(0, 255, (2, height, width, 3)).astype(np.uint8)
+        poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        poses[:, 0, 3] = [0.0123, 0.0517]
+        bounds = np.array([[-0.5, 0.5], [-0.5, 0.5], [0.0, 1.2]], np.float32)
+
+        # 1/32 voxels -> 0.25-unit blocks -> ~22 px footprints at z~1:
+        # small enough to fit the 48-row window, so BOTH classes see blocks
+        # (the PW=128 fit is positional, so some blocks straddle a lane
+        # boundary and stay large).
+        monkeypatch.setenv("HIVE_PALLAS_WIN_S", "0")
+        single = SparseTSDFVolume(bounds, voxel_size=1.0 / 32,
+                                  pallas_sampler="interpret")
+        single.integrate_frames(colors, depths, k, poses)
+
+        monkeypatch.setenv("HIVE_PALLAS_WIN_S", "48,128")
+        dual = SparseTSDFVolume(bounds, voxel_size=1.0 / 32,
+                                pallas_sampler="interpret")
+        dual.integrate_frames(colors, depths, k, poses)
+
+        integ = next(iter(dual._integrators.values()))
+        w2c = np.linalg.inv(poses[0])
+        intr = jnp.asarray([k[0, 0], k[1, 1], k[0, 2], k[1, 2]], jnp.float32)
+        out = integ.classify_refined_full(
+            dual.block_origins_device, jnp.asarray(depths[0]),
+            jnp.asarray(w2c[:3, :3]), jnp.asarray(w2c[:3, 3]), intr)
+        small, large = out[4]
+        assert small is not None and int(jnp.sum(small[2])) > 0, \
+            "small-window class never engaged — the test scene regressed"
+        assert int(jnp.sum(large[2] & ~small[2])) > 0, \
+            "large-window class never engaged — the test scene regressed"
+
+        assert float(jnp.sum(dual.state.weight.astype(jnp.float32))) > 0
+        for name in ("tsdf", "weight", "color"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(single.state, name)),
+                np.asarray(getattr(dual.state, name)), err_msg=name)
+
     def test_unqualifying_shapes_fall_back(self):
         """Frames smaller than the sampler window must auto-disable Pallas
         (width 128 < PW) even when explicitly requested."""
