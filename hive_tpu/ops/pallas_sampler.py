@@ -46,13 +46,18 @@ import jax.numpy as jnp
 PH = 64
 PW = 256
 
-# Small window: most band blocks project far smaller than the worst case
-# (bench scene at 2.2-2.8 m: ~26-33 px footprints), and sampling cost scales
-# with the (PH/8) x (PW/128) tile count — (48, 128) is 6 tiles vs the large
-# window's 16, so fit-small blocks pay ~2.7x fewer vector gathers and ~2.7x
-# less DMA. Blocks route to the smallest window their clipped AABB fits
-# (the PW=128 fit is positional: the footprint must not straddle an aligned
-# 128-lane boundary; ~75% odds at 30 px).
+# Small window (A/B knob HIVE_TSDF_PALLAS + HIVE_PALLAS_WIN_S, default OFF):
+# in principle most band blocks project far smaller than the worst case and
+# sampling cost scales with the (PH/8) x (PW/128) tile count, so routing
+# small-footprint blocks to e.g. a (48, 128) window (6 tiles vs 16) should
+# win. MEASURED DEAD END on the v5e slice (2026-08-19, same-process N=64
+# bench sweep, bit-identical checksums): single 64x256 window 7.15 ms/frame
+# vs 7.44-7.66 for every small-window config tried ((32|40|48|56),128 and
+# (32|48),256) — splitting the band into two trip streams costs more in
+# extra while_loop trips, partially-filled chunks, and kernel dispatches
+# than the smaller tiles save. The routing machinery stays (env-gated,
+# bit-identity under test) for re-evaluation on hardware with cheaper
+# dispatch.
 PH_SMALL = 48
 PW_SMALL = 128
 

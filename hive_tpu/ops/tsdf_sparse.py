@@ -517,14 +517,14 @@ class SparseTSDFVolume:
         else:
             use_pallas = shapes_ok and bool(sampler_pref)
 
-        # Small-window sampler class (see pallas_sampler.PH_SMALL): most band
-        # blocks project far below the worst-case window, and sampling cost
-        # scales with the window tile count. Env HIVE_PALLAS_WIN_S="ph,pw"
-        # overrides; "0" disables the class (single-window A/B baseline).
+        # Small-window sampler class: MEASURED DEAD END at default (see
+        # pallas_sampler.PH_SMALL — every dual-window config ran 4-7% slower
+        # than the single 64x256 window on the v5e slice; trip-stream split
+        # overhead beats the tile savings). Kept env-gated for A/B on future
+        # hardware: HIVE_PALLAS_WIN_S="ph,pw" enables routing.
         win_small = None
         if use_pallas:
-            spec = os.environ.get(
-                "HIVE_PALLAS_WIN_S", f"{_ps.PH_SMALL},{_ps.PW_SMALL}")
+            spec = os.environ.get("HIVE_PALLAS_WIN_S", "0")
             if spec not in ("", "0"):
                 ph_s, pw_s = (int(x) for x in spec.split(","))
                 if (ph_s % 8 == 0 and pw_s % 128 == 0 and height >= ph_s
@@ -697,9 +697,15 @@ class SparseTSDFVolume:
                 sub_classes, mode="drop")
 
         # Fixed capacity of the refinement pass: band blocks beyond it simply
-        # stay band (correct, just unrefined). Sized ~2x the typical
-        # band-after-pass-1 fraction.
-        refine_cap = min(self.num_blocks, max(1024, self.num_blocks // 8))
+        # stay band (correct, just unrefined — but also unrouted to the
+        # Pallas sampler, so overflow pays twice; keep headroom). Sized ~2x
+        # the typical band-after-pass-1 fraction. Every one of the grid^2
+        # refine gathers runs on ALL cap slots (padding ids clamp to a real
+        # row), so cap size is a direct gather-bill multiplier — A/B the
+        # divisor with HIVE_TSDF_REFINE_CAP_DIV (default 8).
+        cap_div = int(os.environ.get("HIVE_TSDF_REFINE_CAP_DIV", "8"))
+        refine_cap = min(self.num_blocks,
+                         max(1024, self.num_blocks // max(1, cap_div)))
 
         # Refinement query shape (taps-per-axis, pyramid level bias), A/B
         # knob HIVE_TSDF_REFINE="taps,bias". MEASURED 2026-08-19 with the
