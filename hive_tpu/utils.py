@@ -120,14 +120,19 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> None:
     XLA compiles of the big programs (the TSDF integrate scan, isosurface
     emission, DPT) take tens of seconds each and dominate cold pipeline runs;
     the persistent cache turns every later run's compiles into ~1 s disk
-    loads (verified working through the TPU backend). Called by the pipeline
-    and the benchmarks; a no-op if a cache dir is already configured (e.g.
-    via JAX_COMPILATION_CACHE_DIR).
+    loads (verified working through the TPU backend and on CPU). Called by
+    the pipeline and the benchmarks. ``cache_dir`` falls back to the
+    JAX_COMPILATION_CACHE_DIR env var, then to the repo's ``.jax_cache``.
     """
     import jax
 
-    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        return
+    # GOTCHA: this jax version does NOT honour the JAX_COMPILATION_CACHE_DIR
+    # environment variable (jax.config.jax_compilation_cache_dir stays None
+    # and the persistent cache silently stays disabled) — the config flag is
+    # the only working switch. Treat the env var as the requested directory,
+    # never as evidence the cache is already on.
+    if cache_dir is None:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or None
 
     if cache_dir is None:
         cache_dir = os.path.join(

@@ -28,6 +28,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# GOTCHA: this jax version ignores the JAX_COMPILATION_CACHE_DIR env var
+# (the config stays None and the cache silently stays disabled) — the suite
+# ran ~uncached for two rounds because of it. The config flag works.
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -256,6 +256,8 @@ class TestShardedPoseStep:
 
 
 class TestDryrunEntry:
+    @pytest.mark.slow  # ~43 s; the round driver runs this exact function as
+    # its MULTICHIP artifact, so the default CI profile skips the duplicate.
     def test_dryrun_multichip_runs(self):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 (virtual) devices")

@@ -276,7 +276,10 @@ class TestPackedSampling:
         reference = SparseTSDFVolume(BOUNDS, voxel_size=0.05, gather_split=1)
         reference.integrate_frames(colors, depths, K, poses)
 
-        for split in (2, 4):
+        # One non-trivial split suffices: the contract is that the op
+        # DECOMPOSITION is value-free, and each extra split value costs a
+        # full integrator compile on the one-core CI host.
+        for split in (2,):
             volume = SparseTSDFVolume(BOUNDS, voxel_size=0.05,
                                       gather_split=split)
             volume.integrate_frames(colors, depths, K, poses)
@@ -402,22 +405,27 @@ class TestPallasSampler:
                       [0.0, 90.0, (height - 1) / 2],
                       [0.0, 0.0, 1.0]], np.float32)
         rng = np.random.default_rng(3)
-        num_frames = 2
+        # ONE frame: the contract (sampled words identical to the take path)
+        # is per-frame; the interpreter runs ~linear in frames on one core.
+        num_frames = 1
         depths = rng.uniform(0.8, 1.8,
                              (num_frames, height, width)).astype(np.float32)
         colors = rng.integers(
             0, 255, (num_frames, height, width, 3)).astype(np.uint8)
         poses = np.tile(np.eye(4, dtype=np.float32), (num_frames, 1, 1))
-        poses[:, 0, 3] = [0.0123, 0.0517]
+        poses[:, 0, 3] = [0.0123]
 
         bounds = np.array([[-0.5, 0.5], [-0.5, 0.5], [0.0, 1.2]], np.float32)
 
+        # Small trips: the interpreted kernel emulation is traced per grid
+        # row, so the default 128-row chunk costs ~10 s of tracing alone.
         take = SparseTSDFVolume(bounds, voxel_size=1.0 / 16,
-                                pallas_sampler=False)
+                                pallas_sampler=False, chunk_voxels=4096)
         take.integrate_frames(colors, depths, k, poses)
 
         pallas = SparseTSDFVolume(bounds, voxel_size=1.0 / 16,
-                                  pallas_sampler="interpret")
+                                  pallas_sampler="interpret",
+                                  chunk_voxels=4096)
         pallas.integrate_frames(colors, depths, k, poses)
 
         integ = next(iter(pallas._integrators.values()))
@@ -438,10 +446,12 @@ class TestPallasSampler:
                       [0.0, 90.0, (height - 1) / 2],
                       [0.0, 0.0, 1.0]], np.float32)
         rng = np.random.default_rng(11)
-        depths = rng.uniform(0.8, 1.8, (2, height, width)).astype(np.float32)
-        colors = rng.integers(0, 255, (2, height, width, 3)).astype(np.uint8)
-        poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
-        poses[:, 0, 3] = [0.0123, 0.0517]
+        # ONE frame (see test_interpret_matches_take_path): routing is
+        # per-frame and the interpreter dominates this test's wall time.
+        depths = rng.uniform(0.8, 1.8, (1, height, width)).astype(np.float32)
+        colors = rng.integers(0, 255, (1, height, width, 3)).astype(np.uint8)
+        poses = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+        poses[:, 0, 3] = [0.0123]
         bounds = np.array([[-0.5, 0.5], [-0.5, 0.5], [0.0, 1.2]], np.float32)
 
         # 1/32 voxels -> 0.25-unit blocks -> ~22 px footprints at z~1:
@@ -450,12 +460,14 @@ class TestPallasSampler:
         # boundary and stay large).
         monkeypatch.setenv("HIVE_PALLAS_WIN_S", "0")
         single = SparseTSDFVolume(bounds, voxel_size=1.0 / 32,
-                                  pallas_sampler="interpret")
+                                  pallas_sampler="interpret",
+                                  chunk_voxels=4096)
         single.integrate_frames(colors, depths, k, poses)
 
         monkeypatch.setenv("HIVE_PALLAS_WIN_S", "48,128")
         dual = SparseTSDFVolume(bounds, voxel_size=1.0 / 32,
-                                pallas_sampler="interpret")
+                                pallas_sampler="interpret",
+                                chunk_voxels=4096)
         dual.integrate_frames(colors, depths, k, poses)
 
         integ = next(iter(dual._integrators.values()))
