@@ -65,6 +65,7 @@ PW_SMALL = 128
 @functools.lru_cache(maxsize=None)
 def build_patch_sampler(height: int, width: int, num_blocks: int,
                         groups: int, ph: int = PH, pw: int = PW,
+                        dynamic_tiles: bool = False,
                         interpret: bool = False):
     """Compile a per-block window sampler.
 
@@ -72,8 +73,21 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
     :param num_blocks: blocks per call (the integrator's trip chunk).
     :param groups: 128-voxel groups per block (block_voxels // 128).
     :param ph, pw: window shape (rows % 8 == 0, cols % 128 == 0).
+    :param dynamic_tiles: bound the per-block sampling loops by the block's
+        ACTUAL footprint tile counts instead of the full window's. The
+        static kernel pays ``(PH/8) * (PW/128)`` tile visits per 128-voxel
+        group no matter how small the block projects; most band blocks
+        touch a fraction of that (the failed two-class-window experiment
+        showed routing between kernels loses to trip-stream splitting, but
+        an IN-KERNEL dynamic bound keeps one stream). The returned fn then
+        takes two extra per-block arrays ``n_rows``/``n_cols`` (8-row strip
+        / 128-lane column counts covering every in-view coordinate; an
+        overestimate is sound). Out-of-view lanes whose clamped coords fall
+        beyond the counted tiles return word 0 — callers mask those lanes
+        (depth 0 is invalid), so final states are unchanged.
     :param interpret: run in the Pallas interpreter (CPU tests).
-    :return: fn(win_v0 (K,) i32, win_u0 (K,) i32, packed (H, W) u32,
+    :return: fn(win_v0 (K,) i32, win_u0 (K,) i32, [n_rows (K,) i32,
+        n_cols (K,) i32,] packed (H, W) u32,
         v (K, G, 128) i32, u (K, G, 128) i32) -> (K, G, 128) u32 with
         out[k, g, l] = packed[v[k, g, l], u[k, g, l]] for coords inside the
         block's window (coords outside are clamped into it — callers mask
@@ -106,8 +120,12 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
                 acc = jnp.where(row_ok & col_ok, val, acc)
         return acc
 
-    def kernel(v0_ref, u0_ref, img_hbm, vv_ref, uu_ref, out_ref,
-               scratch, sem):
+    def kernel(v0_ref, u0_ref, *rest):
+        if dynamic_tiles:
+            nr_ref, nc_ref, img_hbm, vv_ref, uu_ref, out_ref, scratch, sem = rest
+        else:
+            nr_ref = nc_ref = None
+            img_hbm, vv_ref, uu_ref, out_ref, scratch, sem = rest
         b = pl.program_id(0)
         n = pl.num_programs(0)
         slot = jax.lax.rem(b, 2)
@@ -136,16 +154,54 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
             img_hbm.at[pl.ds(v0b, PH), pl.ds(u0b, PW)],
             scratch.at[slot], sem.at[slot]).wait()
 
-        patch = scratch[slot]
+        if not dynamic_tiles:
+            patch = scratch[slot]
+            for g in range(groups):
+                pv = jnp.clip(vv_ref[0, g, :] - v0b, 0, PH - 1)
+                pu = jnp.clip(uu_ref[0, g, :] - u0b, 0, PW - 1)
+                out_ref[0, g, :] = sample_from_patch(patch, pv, pu)
+            return
+
+        # Dynamic variant: visit only the n_rows x n_cols tiles the block's
+        # footprint covers. All groups share each tile visit (one ref-level
+        # tile load per (strip, column), 2 * groups vector gathers on it).
+        pv = [jnp.clip(vv_ref[0, g, :] - v0b, 0, PH - 1)
+              for g in range(groups)]
+        pu = [jnp.clip(uu_ref[0, g, :] - u0b, 0, PW - 1)
+              for g in range(groups)]
+
+        def strip(s, accs):
+            base_s = pl.multiple_of(s * 8, 8)
+
+            def col(h, accs):
+                base_h = pl.multiple_of(h * 128, 128)
+                tile = scratch[slot, pl.ds(base_s, 8), pl.ds(base_h, 128)]
+                out = []
+                for g in range(groups):
+                    rv = pv[g] - 8 * s
+                    row_ok = (rv >= 0) & (rv < 8)
+                    rv_c = jnp.broadcast_to(jnp.clip(rv, 0, 7)[None, :],
+                                            (8, 128))
+                    cu = pu[g] - 128 * h
+                    col_ok = (cu >= 0) & (cu < 128)
+                    cu_c = jnp.broadcast_to(jnp.clip(cu, 0, 127)[None, :],
+                                            (8, 128))
+                    colg = jnp.take_along_axis(tile, cu_c, axis=1)
+                    val = jnp.take_along_axis(colg, rv_c, axis=0)[0]
+                    out.append(jnp.where(row_ok & col_ok, val, accs[g]))
+                return out
+
+            return jax.lax.fori_loop(0, nc_ref[b], col, accs)
+
+        accs = [jnp.zeros((128,), jnp.uint32) for _ in range(groups)]
+        accs = jax.lax.fori_loop(0, nr_ref[b], strip, accs)
         for g in range(groups):
-            pv = jnp.clip(vv_ref[0, g, :] - v0b, 0, PH - 1)
-            pu = jnp.clip(uu_ref[0, g, :] - u0b, 0, PW - 1)
-            out_ref[0, g, :] = sample_from_patch(patch, pv, pu)
+            out_ref[0, g, :] = accs[g]
 
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=4 if dynamic_tiles else 2,
             grid=(num_blocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),     # frame stays in HBM

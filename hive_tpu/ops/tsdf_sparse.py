@@ -531,6 +531,12 @@ class SparseTSDFVolume:
                         and width >= pw_s and (ph_s, pw_s) != (_ps.PH, _ps.PW)):
                     win_small = (ph_s, pw_s)
 
+        # Dynamic-tile sampling: bound each block's in-kernel tile loops by
+        # its footprint's strip/column counts (ops/pallas_sampler.py).
+        # HIVE_PALLAS_DYN=0 restores the static full-window loops (A/B).
+        pallas_dyn = (use_pallas
+                      and os.environ.get("HIVE_PALLAS_DYN", "1") != "0")
+
         flat_s = np.arange(BVS)
         iota_axes = [jnp.asarray(((flat_s // By) % Bx).astype(np.float32)),
                      jnp.asarray((flat_s % By).astype(np.float32)),
@@ -792,11 +798,26 @@ class SparseTSDFVolume:
                               <= wv.astype(jnp.float32) + (ph - 1))
                            & (jnp.ceil(u1c) + 1.0
                               <= wu.astype(jnp.float32) + (pw - 1)))
+                    # Footprint tile counts for the dynamic-tile sampler:
+                    # every in-view coordinate (incl. the fit check's +-1
+                    # rounding margin) lies within the first n_rows 8-row
+                    # strips / n_cols 128-lane columns of the window.
+                    # Out-of-view lanes may clamp beyond them — the sampler
+                    # returns word 0 there, and depth 0 is masked invalid
+                    # exactly like the sampled-garbage word was.
+                    vmax = jnp.ceil(v1c) + 1.0 - wv.astype(jnp.float32)
+                    umax = jnp.ceil(u1c) + 1.0 - wu.astype(jnp.float32)
+                    n_rows = jnp.clip(vmax.astype(jnp.int32) // 8 + 1,
+                                      1, ph // 8)
+                    n_cols = jnp.clip(umax.astype(jnp.int32) // 128 + 1,
+                                      1, pw // 128)
+
                     def scat(x, fill):
                         return (jnp.full((nb,), fill, x.dtype)
                                 .at[scatter_ids].set(x, mode="drop"))
 
-                    return scat(wv, 0), scat(wu, 0), scat(fit, False)
+                    return (scat(wv, 0), scat(wu, 0), scat(n_rows, 0),
+                            scat(n_cols, 0), scat(fit, False))
 
                 windows = (fit_window(*win_small) if win_small else None,
                            fit_window(_ps.PH, _ps.PW))
@@ -1070,14 +1091,27 @@ class SparseTSDFVolume:
                 # Pallas block-window sampler: every row of this trip is a
                 # block whose (clipped) coords fit its PH x PW window, so the
                 # sampled words are identical to the take path's — only the
-                # fetch mechanism differs (see ops/pallas_sampler.py).
-                win_v0_all, win_u0_all, sampler_fn = windows
+                # fetch mechanism differs (see ops/pallas_sampler.py). In
+                # dynamic-tile mode the kernel additionally bounds its
+                # per-block tile loops by the footprint's strip/column
+                # counts; out-of-footprint (= out-of-view) lanes read word 0,
+                # which the ``valid`` mask below discards identically.
+                win_v0_all, win_u0_all, win_nr_all, win_nc_all, sampler_fn = \
+                    windows
                 rows = sub_ids // SUB
                 k = sub_ids.shape[0]
                 groups = BVS // 128
-                w = sampler_fn(
-                    win_v0_all[rows], win_u0_all[rows], sample[0],
-                    vc.reshape(k, groups, 128), uc.reshape(k, groups, 128))
+                if win_nr_all is None:
+                    w = sampler_fn(
+                        win_v0_all[rows], win_u0_all[rows], sample[0],
+                        vc.reshape(k, groups, 128),
+                        uc.reshape(k, groups, 128))
+                else:
+                    w = sampler_fn(
+                        win_v0_all[rows], win_u0_all[rows],
+                        win_nr_all[rows], win_nc_all[rows], sample[0],
+                        vc.reshape(k, groups, 128),
+                        uc.reshape(k, groups, 128))
                 depth_val, rgb = unpack_packed(w.reshape(k, BVS))
             else:
                 flat = vc * width + uc
@@ -1167,10 +1201,11 @@ class SparseTSDFVolume:
 
             _pallas_sample_fn = build_patch_sampler(
                 height, width, chunk, BVS // 128,
-                interpret=pallas_interpret)
+                dynamic_tiles=pallas_dyn, interpret=pallas_interpret)
             _pallas_sample_small = (build_patch_sampler(
                 height, width, chunk, BVS // 128,
                 ph=win_small[0], pw=win_small[1],
+                dynamic_tiles=pallas_dyn,
                 interpret=pallas_interpret) if win_small else None)
         else:
             _pallas_sample_fn = None
@@ -1285,24 +1320,28 @@ class SparseTSDFVolume:
                                            sample, R, t, intr, obs_weight)
 
             small, large = windows
-            win_v0, win_u0, fits_blk = large
+            win_v0, win_u0, win_nr, win_nc, fits_blk = large
+            if not pallas_dyn:
+                win_nr = win_nc = None
             fit_l = fits_blk if SUB == 1 else jnp.repeat(fits_blk, SUB)
             if small is not None:
                 # A small-window fit implies a large-window fit (same AABB,
                 # same-or-later aligned origin, strictly wider coverage), so
                 # the large class is exactly fit_l & ~fit_s.
-                wv_s, wu_s, fit_s_blk = small
+                wv_s, wu_s, nr_s, nc_s, fit_s_blk = small
+                if not pallas_dyn:
+                    nr_s = nc_s = None
                 fit_s = (fit_s_blk if SUB == 1
                          else jnp.repeat(fit_s_blk, SUB))
                 state = update_band_chunked(
                     state, block_origins, band_flat & fit_s, sample,
                     R, t, intr, obs_weight,
-                    windows=(wv_s, wu_s, _pallas_sample_small))
+                    windows=(wv_s, wu_s, nr_s, nc_s, _pallas_sample_small))
                 fit_l = fit_l & ~fit_s
             state = update_band_chunked(
                 state, block_origins, band_flat & fit_l, sample,
                 R, t, intr, obs_weight,
-                windows=(win_v0, win_u0, _pallas_sample_fn))
+                windows=(win_v0, win_u0, win_nr, win_nc, _pallas_sample_fn))
             # Oversized/unrefined/straddling band blocks: classic gather
             # (zero trips when everything fits — the common case).
             fits_any = fit_l if small is None else (fit_l | fit_s)

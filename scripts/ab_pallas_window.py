@@ -89,8 +89,8 @@ def main():
         classes, windows = out[0], out[4]
         band = int(jnp.sum(classes == SparseTSDFVolume.BAND))
         small, large = windows
-        fit_l = int(jnp.sum(large[2]))
-        fit_s = int(jnp.sum(small[2])) if small is not None else 0
+        fit_l = int(jnp.sum(large[4]))
+        fit_s = int(jnp.sum(small[4])) if small is not None else 0
         split = f"band={band} small={fit_s} large_only={fit_l - fit_s} " \
                 f"take={band - fit_l}"
 
