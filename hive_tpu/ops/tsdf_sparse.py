@@ -533,9 +533,14 @@ class SparseTSDFVolume:
 
         # Dynamic-tile sampling: bound each block's in-kernel tile loops by
         # its footprint's strip/column counts (ops/pallas_sampler.py).
-        # HIVE_PALLAS_DYN=0 restores the static full-window loops (A/B).
+        # Default OFF until a TPU run records (a) successful Mosaic lowering,
+        # (b) checksum bit-identity vs the static kernel over a >=64-frame
+        # scan, and (c) a same-process A/B win — CPU CI runs the interpreter
+        # and can catch neither a lowering failure nor a miscompile (this
+        # backend is documented to silently miscompile some gather patterns).
+        # HIVE_PALLAS_DYN=1 enables the dynamic bounds for that A/B.
         pallas_dyn = (use_pallas
-                      and os.environ.get("HIVE_PALLAS_DYN", "1") != "0")
+                      and os.environ.get("HIVE_PALLAS_DYN", "0") == "1")
 
         flat_s = np.arange(BVS)
         iota_axes = [jnp.asarray(((flat_s // By) % Bx).astype(np.float32)),

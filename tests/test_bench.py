@@ -68,6 +68,25 @@ def test_budget_skips_secondary_stages_and_exits_zero():
     assert "elapsed_s" in final["breakdown"]
 
 
+def test_non_tpu_run_carries_last_known_good_tpu_record():
+    """An outage/CPU round must still carry the freshest TPU-witnessed
+    number, clearly labeled (round-3 verdict: the official record showed the
+    CPU fallback 0.055 while the in-round TPU run hit 2.017)."""
+    result = subprocess.run(
+        [sys.executable, BENCH],
+        env=_bench_env(HIVE_BENCH_BUDGET_S="0"),
+        capture_output=True, text=True, timeout=300)
+
+    assert result.returncode == 0, result.stderr[-2000:]
+    final = _parse_json_lines(result.stdout)[-1]
+    record = final["breakdown"]["last_known_good_tpu"]
+    assert record["metric"] == "tsdf_voxel_updates_per_second"
+    assert record["vs_baseline"] > 1.0
+    assert record["date"] and record["commit"]
+    # This run's own (faked) number must stay the headline value.
+    assert final["value"] == 123456789
+
+
 def test_sigterm_mid_stage_preserves_primary_line():
     """Kill the process while a (faked) slow depth stage runs; the primary
     JSON line must already be on stdout and parse cleanly."""
