@@ -962,9 +962,27 @@ class PoseOptimiser:
         }
 
     # -- optimisation steps ----------------------------------------------------
+    def _visualise_solution(self, params, label: str) -> None:
+        """Save an XY/XZ plot of the current solution's camera positions.
+
+        Parity with the reference's per-step debug plots (ref
+        pose_optimisation.py:1590-1616, called at :1141/:1166/:1181): one
+        ``<label>.png`` under ``debug_path`` before the first step and after
+        every optimisation step, so a diverging step is visible at a glance.
+        """
+        if not (self.debug and self.debug_path):
+            return
+        try:
+            self._params_to_trajectory(params).plot(
+                pjoin(self.debug_path, f"{label}.png"))
+        except Exception as exc:  # noqa: BLE001 — plots must never kill a run
+            logging.warning(f"Trajectory plot {label!r} failed: {exc}")
+
     def _optimise_pose(self, feature_set: FeatureSet, params, num_frames: int):
         options = self.optimisation_options
         num_steps = len(options.steps) + (1 if options.fine_tune else 0)
+
+        self._visualise_solution(params, "initial_trajectory")
 
         for i, step in enumerate(options.steps):
             logging.info(f"Step {i + 1}/{num_steps}: {step.name} Alignment...")
@@ -980,10 +998,13 @@ class PoseOptimiser:
                 params = self._optimisation_loop(feature_set, params, options,
                                                  residual_type)
 
+            self._visualise_solution(params, f"{i}_{step.name}")
+
         if options.fine_tune:
             logging.info(f"Step {num_steps}/{num_steps}: Fine tuning...")
             params = self._optimisation_loop(feature_set, params, options,
                                              ResidualType.World3D, smooth_trajectory=False)
+            self._visualise_solution(params, f"{num_steps}_FineTune")
 
         return params
 

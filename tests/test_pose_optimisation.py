@@ -231,6 +231,35 @@ class TestPoseRecovery:
 
         assert after < before
 
+    def test_debug_saves_initial_and_per_step_trajectory_plots(
+            self, problem, tmp_path):
+        """Reference parity: a plot of the current solution is saved before
+        the first step and after every step (ref pose_optimisation.py:1141,
+        :1166, :1181, rendering at :1590-1616)."""
+        rng = np.random.default_rng(7)
+        perturbed = problem.gt.copy()
+        perturbed[1:, 4:] += rng.normal(scale=0.02, size=(len(perturbed) - 1, 3))
+
+        dataset = _FakeDataset(problem, perturbed)
+        optimiser = PoseOptimiser(
+            dataset, debug=True,
+            optimisation_options=OptimisationOptions(
+                num_epochs=20, learning_rate=5e-3,
+                steps=(OptimisationStep.Global3D,), fine_tune=True,
+                clip_distance=None, pose_t_reg=0.0, pose_r_reg=0.0))
+        optimiser.debug_path = str(tmp_path)
+
+        pairs = sample_frame_pairs(FrameSamplingMode.Hierarchical,
+                                   problem.gt.shape[0])
+        feature_set = problem.feature_set(pairs)
+        params = optimiser._init_params(perturbed)
+        optimiser._optimise_pose(feature_set, params, problem.gt.shape[0])
+
+        for name in ("initial_trajectory.png", "0_Global3D.png",
+                     "2_FineTune.png"):
+            path = tmp_path / name
+            assert path.exists() and path.stat().st_size > 0, name
+
     def test_affine_alignment_recovers_depth_scale(self, problem):
         """With depth maps scaled by a constant, affine alignment should still
         converge (scale parameters absorb the distortion)."""
