@@ -157,7 +157,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--lama_num_downsamples", type=int, default=3)
     parser.add_argument("--lama_num_blocks", type=int, default=18)
     parser.add_argument("--lama_global_ratio", type=float, default=0.75)
+    parser.add_argument("--selftest", action="store_true",
+                        help="Fabricate all four upstream checkpoint layouts "
+                             "with random tensors, convert, run inference "
+                             "and check the oracle tolerances — run this "
+                             "FIRST when validating the conversion tooling.")
     args = parser.parse_args(argv)
+
+    if args.selftest:
+        from hive_tpu.models.selftest import run_selftest
+
+        return 1 if run_selftest() else 0
 
     if not (args.all or args.dpt or args.lama or args.maskrcnn or args.lpips):
         parser.error("nothing to do: pass --all DIR or at least one of "

@@ -8,6 +8,8 @@ into the model's param tree and drive a finite forward pass.
 """
 
 import numpy as np
+
+from hive_tpu.models.selftest import make_fake_torchvision_state_dict
 import pytest
 
 import jax
@@ -88,84 +90,6 @@ class TestROIAlign:
         areas = jnp.asarray([32.0 ** 2, 600.0 ** 2])
         lvl = np.floor(4.0 + np.log2(np.sqrt(np.asarray(areas)) / 224.0))
         assert np.clip(lvl, 2, 5).tolist() == [2.0, 5.0]
-
-
-def make_fake_torchvision_state_dict():
-    """Random tensors with the exact torchvision maskrcnn_resnet50_fpn
-    layout (classic naming variant)."""
-    import torch
-
-    rng = np.random.default_rng(42)
-    sd = {}
-
-    def t(*shape, scale=0.05):
-        sd[name] = torch.from_numpy(
-            (rng.normal(size=shape) * scale).astype(np.float32))
-
-    def conv(prefix, cout, cin, k):
-        nonlocal name
-        name = f"{prefix}.weight"; t(cout, cin, k, k)
-
-    def conv_b(prefix, cout, cin, k):
-        nonlocal name
-        conv(prefix, cout, cin, k)
-        name = f"{prefix}.bias"; t(cout)
-
-    def bn(prefix, c):
-        nonlocal name
-        name = f"{prefix}.weight"; t(c)
-        name = f"{prefix}.bias"; t(c)
-        name = f"{prefix}.running_mean"; t(c)
-        sd[f"{prefix}.running_var"] = torch.from_numpy(
-            np.abs(rng.normal(size=c)).astype(np.float32) + 0.5)
-
-    def fc(prefix, cout, cin):
-        nonlocal name
-        name = f"{prefix}.weight"; t(cout, cin)
-        name = f"{prefix}.bias"; t(cout)
-
-    name = ""
-    conv("backbone.body.conv1", 64, 3, 7)
-    bn("backbone.body.bn1", 64)
-
-    cin = 64
-    for stage, (blocks, width) in enumerate([(3, 64), (4, 128), (6, 256),
-                                             (3, 512)]):
-        for i in range(blocks):
-            p = f"backbone.body.layer{stage + 1}.{i}"
-            conv(f"{p}.conv1", width, cin if i == 0 else width * 4, 1)
-            bn(f"{p}.bn1", width)
-            conv(f"{p}.conv2", width, width, 3)
-            bn(f"{p}.bn2", width)
-            conv(f"{p}.conv3", width * 4, width, 1)
-            bn(f"{p}.bn3", width * 4)
-            if i == 0:
-                conv(f"{p}.downsample.0", width * 4, cin, 1)
-                bn(f"{p}.downsample.1", width * 4)
-        cin = width * 4
-
-    for i, c in enumerate([256, 512, 1024, 2048]):
-        conv_b(f"backbone.fpn.inner_blocks.{i}", 256, c, 1)
-        conv_b(f"backbone.fpn.layer_blocks.{i}", 256, 256, 3)
-
-    conv_b("rpn.head.conv", 256, 256, 3)
-    conv_b("rpn.head.cls_logits", 3, 256, 1)
-    conv_b("rpn.head.bbox_pred", 12, 256, 1)
-
-    fc("roi_heads.box_head.fc6", 1024, 256 * 7 * 7)
-    fc("roi_heads.box_head.fc7", 1024, 1024)
-    fc("roi_heads.box_predictor.cls_score", 91, 1024)
-    fc("roi_heads.box_predictor.bbox_pred", 91 * 4, 1024)
-
-    for i in range(4):
-        conv_b(f"roi_heads.mask_head.mask_fcn{i + 1}", 256, 256, 3)
-    name = "roi_heads.mask_predictor.conv5_mask.weight"
-    t(256, 256, 2, 2)  # torch ConvTranspose2d: (in, out, kh, kw)
-    name = "roi_heads.mask_predictor.conv5_mask.bias"
-    t(256)
-    conv_b("roi_heads.mask_predictor.mask_fcn_logits", 91, 256, 1)
-
-    return sd
 
 
 @pytest.fixture(scope="module")

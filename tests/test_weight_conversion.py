@@ -9,98 +9,10 @@ runs a forward pass — validating the converter end to end without the real
 import numpy as np
 import pytest
 
-
-def make_fake_dpt_state_dict():
-    """The timm vitb_rn50_384 + DPT scratch layout at full size."""
-    import torch
-
-    rng = np.random.default_rng(0)
-
-    def tensor(*shape):
-        return torch.from_numpy(rng.normal(scale=0.02, size=shape).astype(np.float32))
-
-    state = {}
-    vit = "pretrained.model"
-    resnet = f"{vit}.patch_embed.backbone"
-
-    # ResNetV2 stem.
-    state[f"{resnet}.stem.conv.weight"] = tensor(64, 3, 7, 7)
-    state[f"{resnet}.stem.norm.weight"] = tensor(64)
-    state[f"{resnet}.stem.norm.bias"] = tensor(64)
-
-    for stage, (blocks, width) in enumerate([(3, 64), (4, 128), (9, 256)]):
-        in_ch = 64 * 4 * (2 ** (stage - 1)) if stage > 0 else 64
-
-        for block in range(blocks):
-            src = f"{resnet}.stages.{stage}.blocks.{block}"
-            prev = in_ch if block == 0 else width * 4
-
-            state[f"{src}.norm1.weight"] = tensor(prev)
-            state[f"{src}.norm1.bias"] = tensor(prev)
-            state[f"{src}.conv1.weight"] = tensor(width, prev, 1, 1)
-            state[f"{src}.norm2.weight"] = tensor(width)
-            state[f"{src}.norm2.bias"] = tensor(width)
-            state[f"{src}.conv2.weight"] = tensor(width, width, 3, 3)
-            state[f"{src}.norm3.weight"] = tensor(width)
-            state[f"{src}.norm3.bias"] = tensor(width)
-            state[f"{src}.conv3.weight"] = tensor(width * 4, width, 1, 1)
-
-            if block == 0:
-                state[f"{src}.downsample.conv.weight"] = tensor(width * 4, prev, 1, 1)
-
-    # Patch embed + tokens.
-    state[f"{vit}.patch_embed.proj.weight"] = tensor(768, 1024, 1, 1)
-    state[f"{vit}.patch_embed.proj.bias"] = tensor(768)
-    state[f"{vit}.cls_token"] = tensor(1, 1, 768)
-    state[f"{vit}.pos_embed"] = tensor(1, 577, 768)
-
-    # Transformer blocks.
-    for i in range(12):
-        src = f"{vit}.blocks.{i}"
-        state[f"{src}.norm1.weight"] = tensor(768)
-        state[f"{src}.norm1.bias"] = tensor(768)
-        state[f"{src}.norm2.weight"] = tensor(768)
-        state[f"{src}.norm2.bias"] = tensor(768)
-        state[f"{src}.attn.qkv.weight"] = tensor(2304, 768)
-        state[f"{src}.attn.qkv.bias"] = tensor(2304)
-        state[f"{src}.attn.proj.weight"] = tensor(768, 768)
-        state[f"{src}.attn.proj.bias"] = tensor(768)
-        state[f"{src}.mlp.fc1.weight"] = tensor(3072, 768)
-        state[f"{src}.mlp.fc1.bias"] = tensor(3072)
-        state[f"{src}.mlp.fc2.weight"] = tensor(768, 3072)
-        state[f"{src}.mlp.fc2.bias"] = tensor(768)
-
-    # Reassemble.
-    state["pretrained.act_postprocess3.0.project.0.weight"] = tensor(768, 1536)
-    state["pretrained.act_postprocess3.0.project.0.bias"] = tensor(768)
-    state["pretrained.act_postprocess4.0.project.0.weight"] = tensor(768, 1536)
-    state["pretrained.act_postprocess4.0.project.0.bias"] = tensor(768)
-    state["pretrained.act_postprocess4.4.weight"] = tensor(768, 768, 3, 3)
-    state["pretrained.act_postprocess4.4.bias"] = tensor(768)
-
-    # Scratch.
-    for i, ch in enumerate([256, 512, 768, 768], start=1):
-        state[f"scratch.layer{i}_rn.weight"] = tensor(256, ch, 3, 3)
-
-    for name in ("refinenet1", "refinenet2", "refinenet3", "refinenet4"):
-        src = f"scratch.{name}"
-        for unit in ("resConfUnit1", "resConfUnit2"):
-            state[f"{src}.{unit}.conv1.weight"] = tensor(256, 256, 3, 3)
-            state[f"{src}.{unit}.conv1.bias"] = tensor(256)
-            state[f"{src}.{unit}.conv2.weight"] = tensor(256, 256, 3, 3)
-            state[f"{src}.{unit}.conv2.bias"] = tensor(256)
-        state[f"{src}.out_conv.weight"] = tensor(256, 256, 1, 1)
-        state[f"{src}.out_conv.bias"] = tensor(256)
-
-    # Head.
-    state["scratch.output_conv.0.weight"] = tensor(128, 256, 3, 3)
-    state["scratch.output_conv.0.bias"] = tensor(128)
-    state["scratch.output_conv.2.weight"] = tensor(32, 128, 3, 3)
-    state["scratch.output_conv.2.bias"] = tensor(32)
-    state["scratch.output_conv.4.weight"] = tensor(1, 32, 1, 1)
-    state["scratch.output_conv.4.bias"] = tensor(1)
-
-    return state
+from hive_tpu.models.selftest import (lpips_torch_oracle,
+                                      make_fake_biglama_state_dict,
+                                      make_fake_dpt_state_dict,
+                                      make_fake_lpips_state_dicts)
 
 
 @pytest.fixture(scope="module")
@@ -182,84 +94,6 @@ class TestDPTConversion:
 # ---------------------------------------------------------------------------
 # LaMa (big-lama FFCResNetGenerator) conversion.
 # ---------------------------------------------------------------------------
-
-def make_fake_biglama_state_dict(ngf=8, num_downsamples=2, num_blocks=2,
-                                 ratio=0.75):
-    """Random tensors with the exact saic-mdal/lama FFCResNetGenerator
-    sequential layout (scaled-down config), wrapped like the released
-    pytorch-lightning checkpoint (``state_dict`` with a ``generator.``
-    prefix)."""
-    import torch
-
-    rng = np.random.default_rng(7)
-    sd = {}
-
-    def t(name, *shape, positive=False):
-        arr = rng.normal(scale=0.1, size=shape).astype(np.float32)
-        if positive:
-            arr = np.abs(arr) + 0.5
-        sd[f"generator.model.{name}"] = torch.from_numpy(arr)
-
-    def bn(idx_prefix, c):
-        t(f"{idx_prefix}.weight", c)
-        t(f"{idx_prefix}.bias", c)
-        t(f"{idx_prefix}.running_mean", c)
-        t(f"{idx_prefix}.running_var", c, positive=True)
-
-    def spectral(prefix, cin, cout):
-        half = cout // 2
-        t(f"{prefix}.conv1.0.weight", half, cin, 1, 1)
-        bn(f"{prefix}.conv1.1", half)
-        t(f"{prefix}.fu.conv_layer.weight", 2 * half, 2 * half, 1, 1)
-        bn(f"{prefix}.fu.bn", 2 * half)
-        t(f"{prefix}.conv2.weight", cout, half, 1, 1)
-
-    # stem (model.1): 4 -> ngf, kernel 7, no global branch.
-    t("1.ffc.convl2l.weight", ngf, 4, 7, 7)
-    bn("1.bn_l", ngf)
-
-    idx = 2
-    feats = ngf
-    for i in range(num_downsamples):
-        last = i == num_downsamples - 1
-        out = feats * 2
-        out_g = int(out * ratio) if last else 0
-        out_l = out - out_g
-        t(f"{idx}.ffc.convl2l.weight", out_l, feats, 3, 3)
-        bn(f"{idx}.bn_l", out_l)
-        if last:
-            t(f"{idx}.ffc.convl2g.weight", out_g, feats, 3, 3)
-            bn(f"{idx}.bn_g", out_g)
-        feats = out
-        idx += 1
-
-    cg = int(feats * ratio)
-    cl = feats - cg
-    for _ in range(num_blocks):
-        for conv in ("conv1", "conv2"):
-            p = f"{idx}.{conv}"
-            t(f"{p}.ffc.convl2l.weight", cl, cl, 3, 3)
-            t(f"{p}.ffc.convg2l.weight", cl, cg, 3, 3)
-            t(f"{p}.ffc.convl2g.weight", cg, cl, 3, 3)
-            spectral(f"{p}.ffc.convg2g", cg, cg)
-            bn(f"{p}.bn_l", cl)
-            bn(f"{p}.bn_g", cg)
-        idx += 1
-
-    idx += 1  # ConcatTupleLayer
-    for _ in range(num_downsamples):
-        t(f"{idx}.weight", feats, feats // 2, 3, 3)  # ConvTranspose2d (in,out)
-        t(f"{idx}.bias", feats // 2)
-        bn(f"{idx + 1}", feats // 2)
-        feats //= 2
-        idx += 3
-
-    idx += 1  # ReflectionPad2d
-    t(f"{idx}.weight", 3, feats, 7, 7)
-    t(f"{idx}.bias", 3)
-
-    return {"state_dict": sd, "epoch": 40}
-
 
 class TestLamaConversion:
     @pytest.fixture(scope="class")
@@ -422,28 +256,13 @@ class TestLamaTorchOracles:
 class TestLPIPSConversion:
     def test_matches_torch_oracle(self, tmp_path):
         """Convert synthetic AlexNet + lin weights and compare the JAX metric
-        against a torch re-implementation of LPIPS v0.1 on random images."""
+        against the torch re-implementation of LPIPS v0.1 on random images
+        (hive_tpu.models.selftest.lpips_torch_oracle)."""
         import torch
-        import torch.nn.functional as F
 
         from hive_tpu.models import lpips as L
 
-        rng = np.random.default_rng(0)
-
-        alexnet = {}
-        shapes = [(64, 3, 11), (192, 64, 5), (384, 192, 3), (256, 384, 3),
-                  (256, 256, 3)]
-        for src, (co, ci, k) in zip([0, 3, 6, 8, 10], shapes):
-            alexnet[f"features.{src}.weight"] = torch.from_numpy(
-                (rng.normal(size=(co, ci, k, k)) * 0.05).astype(np.float32))
-            alexnet[f"features.{src}.bias"] = torch.from_numpy(
-                (rng.normal(size=co) * 0.05).astype(np.float32))
-
-        lins = {}
-        for i, c in enumerate([64, 192, 384, 256, 256]):
-            lins[f"lin{i}.model.1.weight"] = torch.from_numpy(
-                np.abs(rng.normal(size=(1, c, 1, 1))).astype(np.float32))
-
+        alexnet, lins = make_fake_lpips_state_dicts()
         torch.save(alexnet, tmp_path / "alexnet.pth")
         torch.save(lins, tmp_path / "alex.pth")
         L.convert_torch_checkpoint(str(tmp_path / "alexnet.pth"),
@@ -451,42 +270,12 @@ class TestLPIPSConversion:
                                    str(tmp_path / "lpips_alex.npz"))
         scorer = L.LPIPSScorer(L.load_params(str(tmp_path / "lpips_alex.npz")))
 
+        rng = np.random.default_rng(0)
         img_a = rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
         img_b = rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
 
-        # torch oracle (PerceptualSimilarity lpips v0.1 semantics).
-        def oracle(a, b):
-            shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
-            scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
-
-            def taps(img):
-                x = torch.from_numpy(img.transpose(2, 0, 1)[None]
-                                     .astype(np.float32)) / 127.5 - 1.0
-                x = (x - shift) / scale
-                outs = []
-                for j, (src, (_, _, k)) in enumerate(
-                        zip([0, 3, 6, 8, 10], shapes)):
-                    if j in (1, 2):
-                        x = F.max_pool2d(x, 3, stride=2)
-                    stride = 4 if j == 0 else 1
-                    pad = {0: 2, 1: 2}.get(j, 1)
-                    x = F.relu(F.conv2d(x, alexnet[f"features.{src}.weight"],
-                                        alexnet[f"features.{src}.bias"],
-                                        stride=stride, padding=pad))
-                    outs.append(x)
-                return outs
-
-            total = 0.0
-            for j, (ta, tb) in enumerate(zip(taps(a), taps(b))):
-                na = ta / (ta.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
-                nb = tb / (tb.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
-                diff = (na - nb) ** 2
-                w = lins[f"lin{j}.model.1.weight"]
-                total = total + F.conv2d(diff, w).mean()
-            return float(total)
-
         got = scorer(img_a, img_b)
-        want = oracle(img_a, img_b)
+        want = lpips_torch_oracle(alexnet, lins, img_a, img_b)
         assert abs(got - want) < 1e-3 * max(abs(want), 1.0)
 
         # Identical images score ~0.
@@ -600,6 +389,30 @@ class TestConverterCoverage:
 # ---------------------------------------------------------------------------
 
 class TestConvertCLI:
+    def test_selftest_flag_invokes_runner(self, monkeypatch):
+        """--selftest routes to the confidence pass and maps failures to rc 1
+        (the full pass itself runs as a slow test below)."""
+        from hive_tpu.models import convert as C
+        from hive_tpu.models import selftest as S
+
+        calls = []
+        monkeypatch.setattr(S, "run_selftest", lambda: calls.append(1) or 0)
+        assert C.main(["--selftest"]) == 0
+        monkeypatch.setattr(S, "run_selftest", lambda: 2)
+        assert C.main(["--selftest"]) == 1
+        assert calls == [1]
+
+    @pytest.mark.slow
+    def test_selftest_end_to_end(self, tmp_path, capsys):
+        """The real confidence pass: fabricate all four checkpoints, convert,
+        infer, check oracles. Slow (full-size DPT conversion)."""
+        from hive_tpu.models.selftest import run_selftest
+
+        assert run_selftest(str(tmp_path)) == 0
+        out = capsys.readouterr().out
+        for label in ("lpips", "lama", "maskrcnn", "dpt"):
+            assert f"[ok] {label}:" in out
+
     def test_all_converts_found_checkpoints_and_skips_missing(
             self, tmp_path, capsys):
         """--all <dir> dry run with synthetic DPT + big-lama + LPIPS
