@@ -217,9 +217,22 @@ def ensure_responsive_backend() -> bool:
     Must run BEFORE JAX initialises its backends (config updates are ignored
     afterwards). Returns True when the fallback was taken. Opt out with
     HIVE_PROBE_ACCELERATOR=0 (the probe itself pays one extra attach, which
-    on a busy-but-healthy tunnel can take minutes).
+    on a busy-but-healthy tunnel can take minutes). HIVE_FORCE_CPU=1 skips
+    the probe and pins the CPU backend outright — the reliable way to run a
+    small host-bound job without paying a remote attach (the JAX_PLATFORMS
+    env var alone cannot do this once a plugin backend is force-registered
+    by sitecustomize).
     """
     forced = os.environ.get("JAX_PLATFORMS", "")
+
+    if os.environ.get("HIVE_FORCE_CPU", "0") == "1":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:  # backends already initialised; too late
+            return False
+        return forced not in ("", "cpu")
 
     if (not forced or forced == "cpu"
             or os.environ.get("HIVE_PROBE_ACCELERATOR", "1") == "0"):
