@@ -66,6 +66,7 @@ PW_SMALL = 128
 def build_patch_sampler(height: int, width: int, num_blocks: int,
                         groups: int, ph: int = PH, pw: int = PW,
                         dynamic_tiles: bool = False,
+                        dma_bound: bool = False,
                         interpret: bool = False):
     """Compile a per-block window sampler.
 
@@ -85,6 +86,17 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
         overestimate is sound). Out-of-view lanes whose clamped coords fall
         beyond the counted tiles return word 0 — callers mask those lanes
         (depth 0 is invalid), so final states are unchanged.
+    :param dma_bound: keep the STATIC sampling loops (the A/B winner over
+        ``dynamic_tiles`` on the v5e slice) but bound the window DMA's ROW
+        extent by the block's footprint: the copy moves the smallest row
+        class from ``(8, 16, 32, ..., ph)`` covering ``n_rows * 8`` rows
+        instead of the full ``ph`` (DMA shapes must be static, hence the
+        ``pl.when`` ladder). Scratch strips beyond the copied rows hold
+        STALE bytes from an earlier block; only out-of-view lanes can clamp
+        into them (``n_rows`` covers every in-view coordinate), and callers
+        mask those lanes, so final states are unchanged. Takes the same two
+        extra arrays as ``dynamic_tiles`` (``n_cols`` is accepted and
+        ignored). Mutually exclusive with ``dynamic_tiles``.
     :param interpret: run in the Pallas interpreter (CPU tests).
     :return: fn(win_v0 (K,) i32, win_u0 (K,) i32, [n_rows (K,) i32,
         n_cols (K,) i32,] packed (H, W) u32,
@@ -102,6 +114,10 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
     if height % 8 or width % 128 or height < PH or width < PW:
         raise ValueError(f"frame {height}x{width} unsupported by the "
                          f"{PH}x{PW} window sampler")
+    if dynamic_tiles and dma_bound:
+        raise ValueError("dynamic_tiles and dma_bound are mutually exclusive")
+    # Row classes for the bounded DMA: doubling ladder capped at PH.
+    row_classes = tuple(r for r in (8, 16, 32, 64, 128) if r < PH) + (PH,)
 
     def sample_from_patch(patch, pv, pu):
         acc = jnp.zeros((128,), jnp.uint32)
@@ -121,7 +137,7 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
         return acc
 
     def kernel(v0_ref, u0_ref, *rest):
-        if dynamic_tiles:
+        if dynamic_tiles or dma_bound:
             nr_ref, nc_ref, img_hbm, vv_ref, uu_ref, out_ref, scratch, sem = rest
         else:
             nr_ref = nc_ref = None
@@ -131,28 +147,49 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
         slot = jax.lax.rem(b, 2)
         nxt = jax.lax.rem(b + 1, 2)
 
+        def window_copy(i, slot_idx):
+            """The async copy descriptor(s) for block ``i``'s window into
+            ``slot_idx`` — start and wait sides must agree byte-for-byte, so
+            both call this. With ``dma_bound`` the row extent is the
+            smallest static class covering the block's footprint (a
+            ``pl.when`` ladder: DMA shapes must be static)."""
+            v0 = pl.multiple_of(v0_ref[i], 8)
+            u0 = pl.multiple_of(u0_ref[i], 128)
+            if not dma_bound:
+                return [(None,
+                         pltpu.make_async_copy(
+                             img_hbm.at[pl.ds(v0, PH), pl.ds(u0, PW)],
+                             scratch.at[slot_idx], sem.at[slot_idx]))]
+            rows = nr_ref[i] * 8
+            out = []
+            for ci, cr in enumerate(row_classes):
+                cond = rows <= cr
+                if ci:
+                    cond &= rows > row_classes[ci - 1]
+                out.append((cond, pltpu.make_async_copy(
+                    img_hbm.at[pl.ds(v0, cr), pl.ds(u0, PW)],
+                    scratch.at[slot_idx, pl.ds(0, cr)], sem.at[slot_idx])))
+            return out
+
+        def run_laddered(copies, op):
+            for cond, copy in copies:
+                if cond is None:
+                    op(copy)
+                else:
+                    pl.when(cond)(lambda copy=copy: op(copy))
+
         @pl.when(b == 0)
         def _prime():
-            v00 = pl.multiple_of(v0_ref[0], 8)
-            u00 = pl.multiple_of(u0_ref[0], 128)
-            pltpu.make_async_copy(
-                img_hbm.at[pl.ds(v00, PH), pl.ds(u00, PW)],
-                scratch.at[0], sem.at[0]).start()
+            run_laddered(window_copy(0, 0), lambda c: c.start())
 
         @pl.when(b + 1 < n)
         def _prefetch():
             i = jnp.minimum(b + 1, n - 1)
-            v0n = pl.multiple_of(v0_ref[i], 8)
-            u0n = pl.multiple_of(u0_ref[i], 128)
-            pltpu.make_async_copy(
-                img_hbm.at[pl.ds(v0n, PH), pl.ds(u0n, PW)],
-                scratch.at[nxt], sem.at[nxt]).start()
+            run_laddered(window_copy(i, nxt), lambda c: c.start())
 
         v0b = pl.multiple_of(v0_ref[b], 8)
         u0b = pl.multiple_of(u0_ref[b], 128)
-        pltpu.make_async_copy(
-            img_hbm.at[pl.ds(v0b, PH), pl.ds(u0b, PW)],
-            scratch.at[slot], sem.at[slot]).wait()
+        run_laddered(window_copy(b, slot), lambda c: c.wait())
 
         if not dynamic_tiles:
             patch = scratch[slot]
@@ -201,7 +238,7 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4 if dynamic_tiles else 2,
+            num_scalar_prefetch=4 if (dynamic_tiles or dma_bound) else 2,
             grid=(num_blocks,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),     # frame stays in HBM

@@ -539,8 +539,16 @@ class SparseTSDFVolume:
         # and can catch neither a lowering failure nor a miscompile (this
         # backend is documented to silently miscompile some gather patterns).
         # HIVE_PALLAS_DYN=1 enables the dynamic bounds for that A/B.
+        # TPU-validated 2026-08-20: lowers fine, checksum-identical, but
+        # LOSES (8.25 vs 6.97 ms/frame) — stays default OFF (CLAUDE.md).
         pallas_dyn = (use_pallas
                       and os.environ.get("HIVE_PALLAS_DYN", "0") == "1")
+        # Bounded-DMA sampling: static tile loops (the A/B winner) but the
+        # window DMA copies only the smallest 8/16/32/64-row class covering
+        # the block's footprint (ops/pallas_sampler.py dma_bound). Same
+        # validation bar as HIVE_PALLAS_DYN before flipping the default.
+        pallas_dmab = (use_pallas and not pallas_dyn
+                       and os.environ.get("HIVE_PALLAS_DMAB", "0") == "1")
 
         flat_s = np.arange(BVS)
         iota_axes = [jnp.asarray(((flat_s // By) % Bx).astype(np.float32)),
@@ -1206,11 +1214,12 @@ class SparseTSDFVolume:
 
             _pallas_sample_fn = build_patch_sampler(
                 height, width, chunk, BVS // 128,
-                dynamic_tiles=pallas_dyn, interpret=pallas_interpret)
+                dynamic_tiles=pallas_dyn, dma_bound=pallas_dmab,
+                interpret=pallas_interpret)
             _pallas_sample_small = (build_patch_sampler(
                 height, width, chunk, BVS // 128,
                 ph=win_small[0], pw=win_small[1],
-                dynamic_tiles=pallas_dyn,
+                dynamic_tiles=pallas_dyn, dma_bound=pallas_dmab,
                 interpret=pallas_interpret) if win_small else None)
         else:
             _pallas_sample_fn = None
@@ -1326,7 +1335,7 @@ class SparseTSDFVolume:
 
             small, large = windows
             win_v0, win_u0, win_nr, win_nc, fits_blk = large
-            if not pallas_dyn:
+            if not (pallas_dyn or pallas_dmab):
                 win_nr = win_nc = None
             fit_l = fits_blk if SUB == 1 else jnp.repeat(fits_blk, SUB)
             if small is not None:
@@ -1334,7 +1343,7 @@ class SparseTSDFVolume:
                 # same-or-later aligned origin, strictly wider coverage), so
                 # the large class is exactly fit_l & ~fit_s.
                 wv_s, wu_s, nr_s, nc_s, fit_s_blk = small
-                if not pallas_dyn:
+                if not (pallas_dyn or pallas_dmab):
                     nr_s = nc_s = None
                 fit_s = (fit_s_blk if SUB == 1
                          else jnp.repeat(fit_s_blk, SUB))

@@ -488,6 +488,39 @@ class TestPallasSampler:
                 np.asarray(getattr(single.state, name)),
                 np.asarray(getattr(dual.state, name)), err_msg=name)
 
+    @pytest.mark.parametrize("knob", ["HIVE_PALLAS_DYN", "HIVE_PALLAS_DMAB"])
+    def test_bounded_kernel_modes_bit_identical(self, monkeypatch, knob):
+        """The dynamic-tiles and bounded-DMA kernel variants must integrate
+        bit-identically to the static full-window build (out-of-footprint
+        lanes read word 0 / stale bytes respectively — both masked)."""
+        height, width = 64, 256
+        k = np.array([[90.0, 0.0, (width - 1) / 2],
+                      [0.0, 90.0, (height - 1) / 2],
+                      [0.0, 0.0, 1.0]], np.float32)
+        rng = np.random.default_rng(7)
+        depths = rng.uniform(0.8, 1.8, (1, height, width)).astype(np.float32)
+        colors = rng.integers(0, 255, (1, height, width, 3)).astype(np.uint8)
+        poses = np.tile(np.eye(4, dtype=np.float32), (1, 1, 1))
+        poses[:, 0, 3] = [0.0123]
+        bounds = np.array([[-0.5, 0.5], [-0.5, 0.5], [0.0, 1.2]], np.float32)
+
+        static = SparseTSDFVolume(bounds, voxel_size=1.0 / 16,
+                                  pallas_sampler="interpret",
+                                  chunk_voxels=4096)
+        static.integrate_frames(colors, depths, k, poses)
+
+        monkeypatch.setenv(knob, "1")
+        bounded = SparseTSDFVolume(bounds, voxel_size=1.0 / 16,
+                                   pallas_sampler="interpret",
+                                   chunk_voxels=4096)
+        bounded.integrate_frames(colors, depths, k, poses)
+
+        assert float(jnp.sum(bounded.state.weight.astype(jnp.float32))) > 0
+        for name in ("tsdf", "weight", "color"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(static.state, name)),
+                np.asarray(getattr(bounded.state, name)), err_msg=name)
+
     def test_unqualifying_shapes_fall_back(self):
         """Frames smaller than the sampler window must auto-disable Pallas
         (width 128 < PW) even when explicitly requested."""
