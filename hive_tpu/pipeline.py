@@ -767,6 +767,20 @@ class Pipeline:
             if (return_code := p.wait()) != 0:
                 logging.warning(f"draco_transcoder exited with code {return_code}.")
                 return
+
+            # The dependency-free in-tree viewer decodes
+            # KHR_mesh_quantization but not KHR_draco_mesh_compression, so
+            # keep a quantized sibling for it (the WebXR export prefers it;
+            # the canonical draco .glb stays for external renderers).
+            from hive_tpu.meshing.gltf import quantize_glb
+
+            viewer_path = src_path.with_suffix(".viewer.glb")
+            try:
+                quantize_glb(str(src_path), str(viewer_path))
+            except Exception as exc:
+                logging.warning("Could not produce the in-tree-viewer copy "
+                                f"of {src_path} ({exc!r}); the viewer cannot "
+                                "play draco-compressed meshes.")
         else:
             method = "quantization"
             logging.info("draco_transcoder not found on PATH; compressing with "
@@ -833,7 +847,13 @@ class Pipeline:
             json.dump(metadata, f)
 
         for filename in (metadata_filename, f"{fg_scene_name}.glb", f"{bg_scene_name}.glb"):
-            shutil.copy(pjoin(mesh_path, filename), pjoin(webxr_output_path, filename))
+            # Prefer the quantized in-tree-viewer sibling a draco transcode
+            # leaves behind — the viewer that serves this folder cannot
+            # decode KHR_draco (see _compress_with_draco).
+            viewer_copy = pjoin(mesh_path, filename.removesuffix(".glb") + ".viewer.glb")
+            src = viewer_copy if (filename.endswith(".glb")
+                                  and os.path.isfile(viewer_copy)) else pjoin(mesh_path, filename)
+            shutil.copy(src, pjoin(webxr_output_path, filename))
 
         logging.info(f"Exported mesh data to: {webxr_output_path}")
         return webxr_output_path
