@@ -220,13 +220,13 @@ class CMUPanopticDataset:
                               - color_sync.universal_time[color_index])
 
         if depth_color_gap > self.MAX_DEPTH_COLOR_GAP_MS:
-            raise RuntimeError(f"Kinect frame data for frame index {frame_index:,d} has a "
-                               f"time difference of {depth_color_gap:,.2f}.")
+            raise RuntimeError(f"Frame {frame_index:,d}: depth/colour timestamps differ "
+                               f"by {depth_color_gap:,.2f}.")
 
         if color_distance > self.MAX_COLOR_DISTANCE_MS \
                 or depth_distance > self.MAX_DEPTH_DISTANCE_MS:
-            raise RuntimeError(f"Kinect frame data for frame index {frame_index:,d} "
-                               f"are too far apart.")
+            raise RuntimeError(f"Frame {frame_index:,d}: the synced Kinect streams are "
+                               f"too far apart in time.")
 
         # Fetch the frames the sync search actually selected — the Kinect
         # streams drift from the HD index whenever frames drop (that is the

@@ -125,15 +125,14 @@ class DatasetAdaptor(Dataset, ABC):
                             f"{self.output_path}.")
             shutil.rmtree(self.output_path)
         elif cached := self._try_get_cached_dataset(estimate_pose, estimate_depth):
-            logging.info(f"Found cached dataset at {self.output_path}.")
+            logging.info(f"Reusing the cached converted dataset at {self.output_path}.")
             return cached
 
-        logging.info(f"Converting input dataset at {self.base_path} and writing converted "
-                     f"dataset to {self.output_path}.")
+        logging.info(f"Converting {self.base_path} -> {self.output_path} (HIVE format).")
 
         image_folder, depth_folder, mask_folder = self._setup_folders(exist_ok=not no_cache)
 
-        with timed_block("Creating metadata for dataset.", profiling,
+        with timed_block("Writing dataset metadata.", profiling,
                          ["timing", "load_dataset", "create_metadata"]):
             metadata = self.get_metadata(estimate_pose, estimate_depth)
             metadata.save(pjoin(str(self.output_path), HiveDataset.metadata_filename))
@@ -148,7 +147,7 @@ class DatasetAdaptor(Dataset, ABC):
 
         with timed_block(None, profiling, ["timing", "load_dataset", "get_depth_maps"]):
             if estimate_depth:
-                logging.info("Creating depth maps.")
+                logging.info("Estimating depth maps.")
                 estimate_depth_dpt(ImageFolderDataset(image_folder), depth_folder)
             else:
                 logging.info("Copying depth maps.")
@@ -182,7 +181,7 @@ class DatasetAdaptor(Dataset, ABC):
         with timed_block(None, profiling, ["timing", "load_dataset", "inpainting"]):
             self._inpaint_frame_data(mode=inpainting_mode)
 
-        logging.info(f"Created new dataset at {self.output_path}.")
+        logging.info(f"Converted dataset ready at {self.output_path}.")
         return HiveDataset(self.output_path)
 
     def _try_get_cached_dataset(self, estimate_pose: bool,
@@ -254,7 +253,7 @@ class DatasetAdaptor(Dataset, ABC):
 
         frames, frames_subset = self._get_frame_subset(self.num_frames, self.frame_step)
 
-        logging.info("Copying RGB frames for COLMAP...")
+        logging.info("Staging RGB frames for the COLMAP run...")
         self.copy_frames(colmap_rgb_path, self.num_frames, file_extension=file_extension)
 
         if self.frame_step > 1:
@@ -392,7 +391,7 @@ class DatasetAdaptor(Dataset, ABC):
         if mode == InpaintingMode.Off:
             return
 
-        logging.info("Creating inpainted frame data.")
+        logging.info("Inpainting masked frame regions.")
 
         rgb_path = pjoin(str(self.output_path), HiveDataset.rgb_folder)
         depth_path = pjoin(str(self.output_path), HiveDataset.depth_folder)
@@ -449,8 +448,8 @@ class DatasetAdaptor(Dataset, ABC):
             lama_inpaint_folder(image_dir=depth_path, mask_dir=inpainted_mask_path,
                                 output_dir=inpainted_depth_path, depth=True)
         else:
-            raise RuntimeError(f"The inpainting mode must either be {InpaintingMode.Off} "
-                               f"or specify a depth inpainting method.")
+            raise RuntimeError(f"Inpainting mode should be {InpaintingMode.Off} or name a "
+                               f"depth-inpainting backend.")
 
         # Inpainted data has no dynamic objects left, so downstream consumers
         # get all-black masks.
@@ -671,8 +670,8 @@ class VideoAdaptorBase(DatasetAdaptor, ABC):
             self.target_height, self.target_width = self.source_height, self.source_width
 
         if (self.target_height, self.target_width) != (self.source_height, self.source_width):
-            logging.info(f"Will resize frames from {self.source_width}x{self.source_height} "
-                         f"to {self.target_width}x{self.target_height} (width x height).")
+            logging.info(f"Frames will be resized {self.source_width}x{self.source_height} -> "
+                         f"{self.target_width}x{self.target_height} (w x h).")
 
     def _count_frames(self) -> int:
         """Exact frame count by decoding (metadata counts can lie, ref :907-928).
@@ -684,7 +683,7 @@ class VideoAdaptorBase(DatasetAdaptor, ABC):
         if getattr(self, "_cached_frame_count", None) is not None:
             return self._cached_frame_count
 
-        logging.debug(f"Counting frames for the video {self.video_path}...")
+        logging.debug(f"Determining the exact frame count of {self.video_path}...")
         count = 0
 
         capture = cv2.VideoCapture(self.video_path)
@@ -718,8 +717,8 @@ class VideoAdaptorBase(DatasetAdaptor, ABC):
             capture.release()
 
         if not ok:
-            raise RuntimeError(f"Could not read frame {index} (zero-based index) from the "
-                               f"video {self.video_path}.")
+            raise RuntimeError(f"Failed to decode frame index {index} (0-based) of "
+                               f"{self.video_path}.")
 
         frame = cv2.resize(frame, (self.target_width, self.target_height))
         return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
@@ -815,13 +814,13 @@ class VideoAdaptor(VideoAdaptorBase):
                      if os.path.isfile(pjoin(str(base_path), f))]
 
             if not files:
-                raise InvalidDatasetFormatError(f"The folder {base_path} contains no files.")
+                raise InvalidDatasetFormatError(f"Nothing to load: {base_path} has no files.")
 
             if not any(Path(f).suffix == ".mp4" for f in files):
                 raise InvalidDatasetFormatError(
                     f"The folder {base_path} contains no .mp4 video.")
         else:
-            raise InvalidDatasetFormatError(f"The folder {base_path} does not exist!")
+            raise InvalidDatasetFormatError(f"Dataset folder {base_path} is missing.")
 
     def get_camera_matrix(self) -> np.ndarray:
         raise NotImplementedError(self._no_ground_truth_error_message)
@@ -859,8 +858,8 @@ class DeviceOrientation(enum.Enum):
         if 135 < abs(angle) <= 180:
             return cls.LandscapeReverse
 
-        raise ValueError(f"Roll angle {angle} falls outside [-180, 180]"
-                         + ("." if degrees else " (angle converted from radians)."))
+        raise ValueError(f"Roll angle {angle} lies outside [-180, 180]"
+                         + ("." if degrees else " (after radians-to-degrees conversion)."))
 
     @classmethod
     def to_opencv_rotation(cls, orientation: "DeviceOrientation") -> Optional[int]:
@@ -1064,7 +1063,7 @@ def get_dataset(storage_options: StorageOptions,
     elif VideoAdaptor.is_valid_folder_structure(dataset_path):
         adaptor = VideoAdaptor(resize_to=resize_to, **base_kwargs)
     elif not os.path.isdir(dataset_path):
-        raise RuntimeError(f"Could not open the path {dataset_path} or it is not a folder.")
+        raise RuntimeError(f"{dataset_path} is unreadable or not a directory.")
     else:
         raise RuntimeError(f"The folder {dataset_path} matches no known dataset layout "
                            f"(TUM, Unreal, StrayScanner, video, or HIVE).")

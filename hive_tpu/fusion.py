@@ -34,7 +34,7 @@ def adjust_voxel_size(dataset: HiveDataset, options: BackgroundMeshOptions,
     Unlike the reference's per-frame Python loop (hive/fusion.py:53-61), the
     frustum union is computed in one batched device call.
     """
-    logging.info("Estimating voxel volume bounds...")
+    logging.info("Deriving the voxel-volume bounds from the view frusta...")
 
     # TSDF fusion needs cam-to-world poses; dataset trajectories are world-to-cam.
     cam_to_world = dataset.camera_trajectory.inverse().to_homogenous_transforms()
@@ -107,7 +107,7 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
         voxel_size, volume_bounds = adjust_voxel_size(dataset=dataset, options=options,
                                                       frame_set=frame_set)
 
-    logging.info("Initializing voxel volume...")
+    logging.info("Allocating the TSDF voxel volume...")
 
     # Above ~100M voxels switch to bf16 storage (fp32 accumulate): halves HBM
     # so the reference's default 320M-voxel budget fits a 16 GB part.
@@ -365,7 +365,7 @@ def bundle_fusion(output_folder: str, dataset: HiveDataset,
                                                   frame_set=frame_set)
     max_distance = float(np.ceil(np.max(volume_bounds[:, 1] - volume_bounds[:, 0])))
 
-    logging.info("Configuring BundleFusion...")
+    logging.info("Writing the BundleFusion config files...")
     config = BundleFusionConfig.load(pjoin(bundle_fusion_path, "zParametersDefault.txt"))
     config["s_SDFMaxIntegrationDistance"] = max_distance
     config["s_SDFVoxelSize"] = float(voxel_size)

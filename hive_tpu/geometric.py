@@ -199,7 +199,7 @@ class Quaternion:
 
     def __mul__(self, other: "Quaternion") -> "Quaternion":
         if not isinstance(other, Quaternion):
-            raise TypeError(f"Cannot multiply a {type(self).__name__} with a {type(other)}")
+            raise TypeError(f"{type(self).__name__} * {type(other)} is not defined")
         return Quaternion(T.quat_multiply(self.values.T, other.values.T).T)
 
     def __rmul__(self, other):
@@ -507,7 +507,7 @@ class Trajectory:
 
         axis.set_xlabel("x [m]")
         axis.set_ylabel(f"{secondary} [m]")
-        axis.set_title(f"Trajectory on X{secondary.upper()} Plane")
+        axis.set_title(f"Trajectory, X{secondary.upper()} plane")
 
 
 # ---------------------------------------------------------------------------

@@ -116,14 +116,14 @@ class ImageFolderDataset:
 
     def __init__(self, base_dir: File, transform: Optional[Callable] = None):
         if not os.path.isdir(base_dir):
-            raise NotADirectoryError(f"Could not find the folder: {base_dir}")
+            raise NotADirectoryError(f"Missing folder: {base_dir}")
 
         self.base_dir = str(base_dir)
         self.transform = transform
 
         filenames = sorted(os.listdir(base_dir))
         if len(filenames) == 0:
-            raise FileNotFoundError(f"No files found in the folder: {base_dir}")
+            raise FileNotFoundError(f"Folder {base_dir} is empty - no files to load")
 
         self.image_filenames = filenames
         self.image_paths = [pjoin(self.base_dir, name) for name in filenames]
@@ -191,7 +191,7 @@ def create_masks(rgb_source, mask_folder: File, for_colmap: bool = False,
     """
     from hive_tpu.models.segmentation import PersonSegmenter
 
-    logging.info("Creating segmentation masks...")
+    logging.info("Running instance segmentation over the frames...")
 
     os.makedirs(mask_folder, exist_ok=True)
     segmenter = PersonSegmenter()
@@ -276,8 +276,8 @@ class COLMAPProcessor:
         os.makedirs(self.mask_path, exist_ok=True)
 
         if use_masks and len(os.listdir(self.mask_path)) == 0:
-            logging.info(f"Could not find masks in folder: {self.mask_path}.")
-            logging.info("Creating masks for COLMAP...")
+            logging.info(f"No masks present under {self.mask_path}.")
+            logging.info("Generating COLMAP exclusion masks...")
             create_masks(ImageFolderDataset(self.image_path), self.mask_path, for_colmap=True)
         elif use_masks:
             logging.info(f"Found {len(os.listdir(self.mask_path))} masks in {self.mask_path}.")
@@ -291,7 +291,7 @@ class COLMAPProcessor:
                 logging.debug(line.rstrip("\n"))
 
         if (return_code := p.wait()) != 0:
-            raise RuntimeError(f"COLMAP exited with code {return_code}.")
+            raise RuntimeError(f"COLMAP failed (exit status {return_code}).")
 
     def get_command(self, use_masks: bool = True, return_as_string: bool = False):
         """Build the `colmap automatic_reconstructor` command
@@ -315,7 +315,7 @@ class COLMAPProcessor:
                    "--quality", options.quality]
 
         if use_masks and self.mask_path is not None:
-            assert os.path.isdir(self.mask_path), f"Could not open mask folder: {self.mask_path}."
+            assert os.path.isdir(self.mask_path), f"Mask folder {self.mask_path} is not a directory."
             command += ["--mask_path", self.mask_path]
 
         command = list(map(str, command))
@@ -327,7 +327,7 @@ class COLMAPProcessor:
 
         if len(models) != 1:
             raise RuntimeError(
-                f"COLMAP reconstructed {len(models)} models when 1 was expected, meaning the "
+                f"COLMAP produced {len(models)} sub-models instead of one, meaning the "
                 f"camera trajectory could not be estimated for the entire video. This may be due "
                 f"to COLMAP using a bad random initial guess of the camera parameters and can "
                 f"sometimes be fixed by running the program again, or by increasing the quality "
@@ -341,7 +341,7 @@ class COLMAPProcessor:
         # points3D.bin reaches hundreds of MB on long videos.
         if getattr(self, "_model_cache", None) is None \
                 or self._model_cache[0] != sparse_recon_path:
-            logging.debug(f"Reading COLMAP model from {sparse_recon_path}...")
+            logging.debug(f"Loading the sparse COLMAP model at {sparse_recon_path}...")
             self._model_cache = (sparse_recon_path,
                                  colmap_model.read_model(sparse_recon_path,
                                                          ext=".bin"))
@@ -452,8 +452,8 @@ class COLMAPProcessor:
                      & (projected[:, 1] > 0) & (projected[:, 1] < h))
 
             if valid.sum() < 1:
-                logging.debug(f"COLMAP image data for frame {image_data.name} has no valid "
-                              f"points, skipping...")
+                logging.debug(f"Frame {image_data.name}: every reprojected COLMAP point fell "
+                              f"outside the image/depth gates - skipped.")
                 continue
 
             u, v = projected[valid].T
@@ -522,8 +522,10 @@ class VideoMetadata:
         return datetime.timedelta(seconds=self.length_seconds)
 
     def __repr__(self):
-        return (f"{type(self).__name__}(path={self.path}, width={self.width}, "
-                f"height={self.height}, num_frames={self.num_frames}, fps={self.fps})")
+        fields = dict(path=self.path, width=self.width, height=self.height,
+                      num_frames=self.num_frames, fps=self.fps)
+        body = ", ".join(f"{k}={v}" for k, v in fields.items())
+        return f"{type(self).__name__}({body})"
 
     def save(self, f: Union[File, IO]):
         # str(path): the File alias allows pathlib.Path, which json rejects.
@@ -574,7 +576,7 @@ class Dataset(abc.ABC):
         folders_to_find = set(cls.required_folders)
 
         if not os.path.isdir(base_path):
-            raise InvalidDatasetFormatError(f"The folder {base_path} does not exist!")
+            raise InvalidDatasetFormatError(f"Dataset folder {base_path} is missing.")
 
         for filename in os.listdir(base_path):
             file_path = pjoin(str(base_path), filename)
@@ -652,12 +654,9 @@ class DatasetMetadata:
                 and self.colmap_options == other.colmap_options)
 
     def __repr__(self):
-        return (f"{type(self).__name__}(num_frames={self.num_frames}, fps={self.fps}, "
-                f"frame_step={self.frame_step}, width={self.width}, height={self.height}, "
-                f"max_depth={self.max_depth}, estimate_pose={self.estimate_pose}, "
-                f"estimate_depth={self.estimate_depth}, "
-                f"depth_mask_dilation_iterations={self.depth_mask_dilation_iterations}, "
-                f"depth_scale={self.depth_scale}, colmap_options={self.colmap_options!r})")
+        body = ", ".join(f"{key}={value!r}" if key == "colmap_options" else f"{key}={value}"
+                         for key, value in self.to_json().items())
+        return f"{type(self).__name__}({body})"
 
     @property
     def duration(self) -> datetime.timedelta:
@@ -916,7 +915,7 @@ class HiveDataset(Dataset):
 
         if os.path.isdir(masked_depth_path) and len(os.listdir(masked_depth_path)) == len(self):
             if self.metadata.depth_mask_dilation_iterations == dilation_options.num_iterations:
-                logging.info(f"Found cached masked depth at {masked_depth_path}")
+                logging.info(f"Reusing cached masked depth maps from {masked_depth_path}")
                 self._masked_depth_path = masked_depth_path
                 return self
 
@@ -925,7 +924,7 @@ class HiveDataset(Dataset):
                 f"{self.metadata.depth_mask_dilation_iterations} dilation iterations but "
                 f"{dilation_options.num_iterations} were requested — regenerating them.")
 
-        logging.info(f"Creating masked depth maps at {masked_depth_path}")
+        logging.info(f"Writing masked depth maps into {masked_depth_path}")
         os.makedirs(masked_depth_path, exist_ok=True)
 
         def save_masked_depth(args):
@@ -945,8 +944,8 @@ class HiveDataset(Dataset):
         self._masked_depth_path = masked_depth_path
 
         elapsed = datetime.datetime.now() - start
-        logging.info(f"Created {len(os.listdir(masked_depth_path))} masked depth maps "
-                     f"in {elapsed}")
+        logging.info(f"Masked depth maps written: {len(os.listdir(masked_depth_path))} "
+                     f"(took {elapsed})")
 
         return self
 
@@ -957,7 +956,7 @@ class HiveDataset(Dataset):
         into every existing key frame, covers less than ``threshold`` of that
         view (hive/io.py:1117-1189 behaviour).
         """
-        logging.info(f"Selecting key frames (threshold={threshold})...")
+        logging.info(f"Choosing key frames at overlap threshold {threshold}...")
 
         if not (0.0 <= threshold <= 1.0):
             raise ValueError(
@@ -1012,7 +1011,7 @@ class HiveDataset(Dataset):
                 key_frames.append(frame)
                 key_poses.append((R, t))
 
-        logging.debug(f"Selected key frames: {key_frames}.")
+        logging.debug(f"Key-frame set: {key_frames}.")
         return key_frames
 
 

@@ -43,14 +43,14 @@ class StorageOptions(Options):
     def add_args(parser: argparse.ArgumentParser):
         group = parser.add_argument_group("Storage Options")
         group.add_argument("--dataset_path", type=str, required=True,
-                           help="Path to the folder containing the RGB and depth image folders.")
+                           help="Root folder of the input dataset (holds the rgb/ and depth/ subfolders).")
         group.add_argument("--output_path", type=str, required=True,
-                           help="Where to save the outputs.")
+                           help="Directory where all outputs are written.")
         group.add_argument("--overwrite_ok", action="store_true",
-                           help="Whether it is okay to overwrite preexisting mesh data in the "
-                                "output and export folders.")
+                           help="Allow clobbering any mesh data already present in the "
+                                "output/export directories.")
         group.add_argument("--no_cache", action="store_true",
-                           help="Whether cached datasets/results should be ignored.")
+                           help="Ignore any cached datasets/results and recompute from scratch.")
 
     @staticmethod
     def from_args(args) -> "StorageOptions":
@@ -80,20 +80,19 @@ class COLMAPOptions(Options):
     def add_args(parser: argparse.ArgumentParser):
         group = parser.add_argument_group("COLMAP Options")
         group.add_argument("--multiple_cameras", action="store_true",
-                           help="Whether the video dataset was captured with multiple camera devices "
-                                "or a single camera device with different settings per-frame "
-                                "(e.g. focal length).")
+                           help="Set when the footage comes from several camera devices, or from one "
+                                "device whose per-frame settings (e.g. focal length) vary.")
         group.add_argument("--single_camera_per_folder", action="store_true",
-                           help="Whether COLMAP will be given a folder where frames are organised in "
-                                "sub-folders (e.g., for stereo footage).")
-        group.add_argument("--dense", action="store_true", help="Whether to run dense reconstruction.")
+                           help="Tell COLMAP the frames are organised into per-camera sub-folders "
+                                "(e.g. stereo rigs).")
+        group.add_argument("--dense", action="store_true", help="Also run COLMAP dense reconstruction.")
         group.add_argument("--quality", type=str, default="low",
                            choices=COLMAPOptions.QUALITY_CHOICES,
-                           help="The quality of the COLMAP reconstruction.")
+                           help="COLMAP reconstruction quality preset.")
         group.add_argument("--binary_path", type=str, default="/usr/local/bin/colmap",
-                           help="The path to the COLMAP binary.")
+                           help="Location of the COLMAP executable.")
         group.add_argument("--vocab_path", type=str, default="/root/.cache/colmap/vocab.bin",
-                           help="The path to the COLMAP vocabulary file.")
+                           help="Location of the COLMAP vocabulary-tree file.")
 
     @staticmethod
     def from_args(args: argparse.Namespace) -> "COLMAPOptions":
@@ -134,11 +133,11 @@ class MeshDecimationOptions(Options):
 
     @staticmethod
     def add_args(parser: argparse.ArgumentParser):
-        group = parser.add_argument_group("Mesh Decimation Options")
+        group = parser.add_argument_group("Mesh decimation")
         group.add_argument("--num_faces_background", type=int, default=2 ** 14,
-                           help="The target number of vertices for the background mesh.")
+                           help="Decimation face budget for the background mesh.")
         group.add_argument("--num_faces_object", type=int, default=2 ** 10,
-                           help="The target number of vertices for any object meshes.")
+                           help="Decimation face budget for each foreground object mesh.")
         group.add_argument("--decimation_max_error", type=float, default=0.001,
                            help="Maximum quadric error allowed when collapsing an edge.")
 
@@ -165,11 +164,10 @@ class MaskDilationOptions(Options):
 
     @staticmethod
     def add_args(parser: argparse.ArgumentParser):
-        group = parser.add_argument_group("Mask Dilation Options")
+        group = parser.add_argument_group("Mask dilation")
         group.add_argument("--dilate_mask_iter", type=int, default=0,
-                           help="The number of times to run a dilation filter over the object masks. "
-                                "A higher number results in larger masks and zero results in the "
-                                "original mask.")
+                           help="How many dilation passes to apply to the object masks; larger values "
+                                "grow the masks, 0 leaves them untouched.")
 
     @staticmethod
     def from_args(args) -> "MaskDilationOptions":
@@ -187,16 +185,13 @@ class MeshFilteringOptions(Options):
 
     @staticmethod
     def add_args(parser: argparse.ArgumentParser):
-        group = parser.add_argument_group("Mesh Filtering Options")
+        group = parser.add_argument_group("Mesh filtering")
         group.add_argument("--max_depth_dist", type=float, default=0.1,
-                           help="The maximum difference in depth between vertices of a face. "
-                                "Used when filtering mesh faces.")
+                           help="Faces whose vertices differ in depth by more than this are filtered out.")
         group.add_argument("--max_pixel_dist", type=float, default=2,
-                           help="The maximum distance between vertices of a face in terms of their "
-                                "image space coordinates.")
+                           help="Faces whose vertices are further apart than this (in pixels) are filtered out.")
         group.add_argument("--min_num_components", type=float, default=5,
-                           help="The minimum number of connected components in a mesh fragment. "
-                                "Fragments with fewer components will be culled.")
+                           help="Mesh fragments with fewer connected faces than this are culled as floaters.")
         group.add_argument("--triangulation", type=str, default="grid",
                            choices=["grid", "delaunay"],
                            help="Per-frame depth meshing strategy: vectorised pixel-grid "
@@ -237,7 +232,7 @@ class MeshReconstructionMethod(enum.Enum):
         if name.lower() in choices:
             return choices[name.lower()]
 
-        raise RuntimeError(f"No method called {name}, valid choices are: {list(choices)}")
+        raise RuntimeError(f"Unknown reconstruction method {name!r}; choose one of {list(choices)}")
 
 
 @dataclasses.dataclass
@@ -285,25 +280,23 @@ class BackgroundMeshOptions(Options):
         group.add_argument("--mesh_reconstruction_method", type=str, default="tsdf_fusion",
                            choices=[m.get_cli_name()
                                     for m in BackgroundMeshOptions.SUPPORTED_RECONSTRUCTION_METHODS],
-                           help="The method to use for reconstructing the static mesh.")
+                           help="Algorithm used to reconstruct the static background mesh.")
         group.add_argument("--depth_mask_dilation_iterations", type=int, default=10,
-                           help="The number of times to dilate the dynamic object masks for masking "
+                           help="Dilation passes applied to the dynamic-object masks before they mask "
                                 "the depth maps.")
         group.add_argument("--sdf_volume_size", type=float, default=5.0,
-                           help="The size of the SDF volume in cubic meters. This option has no "
-                                "effect for the reconstruction method `tsdf_fusion` as it "
-                                "automatically infers the volume size from the input data.")
+                           help="Edge length of the SDF volume in metres; ignored by `tsdf_fusion`, "
+                                "which derives the volume bounds from the input frames.")
         group.add_argument("--sdf_voxel_size", type=float, default=0.005,
-                           help="The size of a voxel in the SDF volume in cubic meters.")
+                           help="Edge length of one SDF voxel, in metres.")
         group.add_argument("--sdf_max_voxels", type=int, default=320_000_000,
-                           help="The maximum number of voxels allowed in the resulting voxel volume. "
-                                "This option only has an effect for the reconstruction method "
-                                "`tsdf_fusion`. If exceeded, the voxel size is grown to fit.")
+                           help="Voxel-count budget for `tsdf_fusion`: when the scene would exceed it, "
+                                "the voxel size is grown until the volume fits.")
         group.add_argument("--key_frame_threshold", type=float, default=0.3,
-                           help="The maximum overlap ratio before a frame is excluded from the key "
-                                "frame set.")
+                           help="Frames whose view overlap with the chosen key frames exceeds this "
+                                "ratio are dropped from the key-frame set.")
         group.add_argument("--key_frame_step", type=int, default=30,
-                           help="The frequency to sample frames at for key frame selection.")
+                           help="Stride between frames considered for key-frame selection.")
 
     @staticmethod
     def from_args(args: argparse.Namespace) -> "BackgroundMeshOptions":
@@ -327,13 +320,11 @@ class ForegroundTrajectorySmoothingOptions(Options):
 
     @staticmethod
     def add_args(parser: argparse.ArgumentParser):
-        group = parser.add_argument_group("Foreground Trajectory Smoothing")
+        group = parser.add_argument_group("Foreground trajectory smoothing")
         group.add_argument("--fts_learning_rate", type=float, default=1e-5,
-                           help="The learning rate/step size to take each epoch when smoothing the "
-                                "trajectory.")
+                           help="Per-epoch step size used while smoothing the trajectory.")
         group.add_argument("--fts_num_epochs", type=int, default=0,
-                           help="The number of iterations to loop the smoothing algorithm. Set to "
-                                "zero to disable foreground trajectory smoothing.")
+                           help="Smoothing iteration count; 0 turns foreground trajectory smoothing off.")
 
     @staticmethod
     def from_args(args: argparse.Namespace) -> "ForegroundTrajectorySmoothingOptions":
@@ -356,17 +347,17 @@ class WebXROptions(Options):
     def add_args(parser: argparse.ArgumentParser):
         group = parser.add_argument_group("WebXR")
         group.add_argument("--webxr_source_path", type=str, default="third_party/HIVE_Renderer",
-                           help="The path to the source code for the renderer.")
+                           help="Checkout location of the renderer source tree.")
         group.add_argument("--webxr_path", type=str, default="third_party/HIVE_Renderer/docs/video",
-                           help="Where to export the 3D video files to.")
+                           help="Destination directory for the exported 3D-video files.")
         group.add_argument("--webxr_url", type=str, default="http://localhost:8080",
-                           help="The URL to the WebXR 3D video player.")
+                           help="URL at which the WebXR 3D-video player is served.")
         group.add_argument("--webxr_add_ground_plane", action="store_true",
-                           help="Whether to render a white ground plane to the scene in the renderer.")
+                           help="Have the renderer draw a white ground plane under the scene.")
         group.add_argument("--webxr_add_sky_box", action="store_true",
-                           help="Whether to render a sky cube map in the background.")
+                           help="Have the renderer draw a sky cube map behind the scene.")
         group.add_argument("--webxr_run_server", action="store_true",
-                           help="Whether to automatically start the web server.")
+                           help="Launch the viewer web server automatically after export.")
 
     @staticmethod
     def from_args(args: argparse.Namespace) -> "WebXROptions":
@@ -448,45 +439,41 @@ class PipelineOptions(Options):
     def add_args(parser: argparse.ArgumentParser):
         group = parser.add_argument_group("Pipeline")
         group.add_argument("--num_frames", type=int, default=-1,
-                           help="The maximum of frames to process. Set to -1 (default) to process "
-                                "all frames.")
+                           help="Cap on the number of frames processed; -1 (default) means every frame.")
         group.add_argument("--frame_step", type=int, default=15,
-                           help="The frequency to sample frames at for COLMAP and pose optimisation. "
-                                "If set to 1, samples all frames (i.e. no effect). Otherwise if set "
-                                "to n > 1, samples every n frames.")
+                           help="Stride for the frames fed to COLMAP and the pose optimiser: 1 uses "
+                                "every frame, n > 1 takes every n-th frame.")
         group.add_argument("--estimate_pose", action="store_true",
-                           help="Whether to estimate camera parameters with COLMAP or use provided "
-                                "ground truth data.")
+                           help="Estimate the camera parameters with COLMAP instead of reading the "
+                                "dataset's ground-truth values.")
         group.add_argument("--estimate_depth", action="store_true",
-                           help="Whether to estimate depth maps or use provided ground truth depth "
-                                "maps.")
+                           help="Estimate depth maps with the depth network instead of reading the "
+                                "dataset's ground-truth depth.")
         group.add_argument("--background_only", action="store_true",
-                           help="Whether to only reconstruct the static background.")
+                           help="Reconstruct only the static background and skip the foreground stage.")
         group.add_argument("--static_camera", action="store_true",
-                           help="Whether the camera was moved during capture, or should be treated "
-                                "as such.")
+                           help="Treat the capture as coming from a fixed (non-moving) camera.")
         group.add_argument("--align_scene", action="store_true",
-                           help="Whether to align the scene with the ground plane. Enable this if "
-                                "the recording device was held at an angle (facing upwards or "
-                                "downwards, not level) and the scene is not level in the renderer.")
+                           help="Level the scene against the detected ground plane - useful when the "
+                                "capture device was tilted up/down and the result sits askew in "
+                                "the renderer.")
         group.add_argument("--inpainting_mode", type=int, default=0,
                            choices=InpaintingMode.get_modes_as_integer(),
-                           help="Whether to use inpainting in the pipeline process. "
+                           help="Inpainting backend selection (integer code). "
                                 + ", ".join(f"{m.to_integer()}={m.name}"
                                             for m in InpaintingMode.get_modes()))
         group.add_argument("--billboard", action="store_true",
-                           help="Creates flat billboards for foreground objects. This is intended "
-                                "as a workaround for cases where the estimated depth results in "
-                                "stretched out meshes with missing body parts.")
+                           help="Flatten each foreground object onto a billboard - a workaround for "
+                                "estimated depth that stretches people into distorted meshes with "
+                                "missing limbs.")
         group.add_argument("--disable_scaling", action="store_true",
-                           help="If set, do not rescale the input sequence to VGA (640x480), "
-                                "otherwise leave the input sequence at its original resolution.")
+                           help="Keep the input sequence at its native resolution instead of "
+                                "rescaling it to VGA (640x480).")
         group.add_argument("--disable_coverage_constraint", action="store_true",
-                           help="Foreground objects are excluded if they do not cover at least 1%% "
-                                "of the frame, set this flag to always include foreground objects "
-                                "in the reconstruction.")
+                           help="By default foreground objects covering under 1%% of the frame are "
+                                "skipped; set this to reconstruct them regardless.")
         group.add_argument("--log_file", type=str, default="logs.log",
-                           help="The path to save the logs to.")
+                           help="File the run log is written to.")
         group.add_argument("--num_devices", type=int, default=1,
                            help="Number of accelerator devices to run over (TSDF "
                                 "integration, depth inference and pose optimisation "

@@ -192,7 +192,7 @@ class Pipeline:
 
         def foreground_job():
             with self.timed_block(
-                    "Creating foreground mesh(es)...",
+                    "Meshing the dynamic foreground...",
                     ["timing", "foreground_reconstruction", "total"]):
                 return self._create_foreground_scene(dataset)
 
@@ -211,7 +211,7 @@ class Pipeline:
             foreground_future = overlap_pool.submit(foreground_job)
 
             try:
-                with self.timed_block("Creating background mesh(es)...",
+                with self.timed_block("Reconstructing the static background...",
                                       ["timing", "background_reconstruction",
                                        "total"]):
                     background_scene = self._create_background_scene(dataset)
@@ -232,7 +232,7 @@ class Pipeline:
             foreground_scene = foreground_future.result()
             overlap_pool.shutdown()
         else:
-            with self.timed_block("Creating background mesh(es)...",
+            with self.timed_block("Reconstructing the static background...",
                                   ["timing", "background_reconstruction",
                                    "total"]):
                 background_scene = self._create_background_scene(dataset)
@@ -244,7 +244,7 @@ class Pipeline:
             foreground_scene, background_scene = self._center_scenes(
                 dataset, foreground_scene, background_scene)
 
-        with self.timed_block("Writing mesh data to disk...", ["timing", "mesh_export"]):
+        with self.timed_block("Saving meshes to disk...", ["timing", "mesh_export"]):
             foreground_scene_path, background_scene_path = self._write_meshes_to_disk(
                 mesh_path=self.mesh_path,
                 foreground_scene=foreground_scene,
@@ -252,7 +252,7 @@ class Pipeline:
                 overwrite_ok=self.storage_options.overwrite_ok,
             )
 
-        with self.timed_block("Compressing mesh data...", ["timing", "mesh_compression", "total"]):
+        with self.timed_block("Compressing the exported meshes...", ["timing", "mesh_compression", "total"]):
             with self.timed_block(None, ["timing", "mesh_compression", "foreground"]):
                 if compress:
                     self._compress_with_draco(foreground_scene_path)
@@ -394,7 +394,7 @@ class Pipeline:
         else:
             frames = list(range(num_frames))
 
-        logging.info("Processing frame data...")
+        logging.info("Building per-frame meshes...")
         meshes = tqdm_imap(process_frame, frames)
 
         for i, mesh in zip(frames, meshes):
@@ -555,7 +555,7 @@ class Pipeline:
         with timed_block(None, profiling,
                          ["timing", "foreground_reconstruction", "texture_atlas_packing", index]):
             if len(texture_atlas) == 0:
-                logging.debug(f"Mesh for frame #{index + 1} is empty!")
+                logging.debug(f"Frame #{index + 1} produced an empty mesh.")
                 return TriangleMesh()
 
             packed_texture, packed_uv = pack_textures(texture_atlas, uv_atlas, n_rows=1)
@@ -765,7 +765,7 @@ class Pipeline:
                     logging.debug(line.rstrip("\n"))
 
             if (return_code := p.wait()) != 0:
-                logging.warning(f"draco_transcoder exited with code {return_code}.")
+                logging.warning(f"draco_transcoder failed (exit status {return_code}).")
                 return
 
             # The dependency-free in-tree viewer decodes
@@ -808,7 +808,7 @@ class Pipeline:
         logging.info(f"Compressed {src_path} with {method} successfully "
                      f"({format_bytes(size_before)} before, {format_bytes(size_after)} after, "
                      f"{data_saving * 100:.2f}% data saving, "
-                     f"{compression_ratio:.2f}:1 compression ratio).")
+                     f"ratio {compression_ratio:.2f}:1).")
 
         name = {"fg": "foreground", "bg": "background"}.get(src_path.stem, src_path.stem)
 
@@ -855,7 +855,7 @@ class Pipeline:
                                   and os.path.isfile(viewer_copy)) else pjoin(mesh_path, filename)
             shutil.copy(src, pjoin(webxr_output_path, filename))
 
-        logging.info(f"Exported mesh data to: {webxr_output_path}")
+        logging.info(f"WebXR assets written to {webxr_output_path}")
         return webxr_output_path
 
     # -- summary / profiling --------------------------------------------------
@@ -926,20 +926,20 @@ class Pipeline:
         logging.info("#" + "=" * 78 + "#")
         logging.info("#" + " " * 36 + "Summary" + " " * 35 + "#")
         logging.info("#" + "=" * 78 + "#")
-        logging.info(f"Processed {self.num_frames} frames ({num_fg_frames} fg, "
-                     f"{num_bg_frames} bg) in {elapsed} ({per_frame} per frame).")
-        logging.info(f"    Total mesh triangles: {total_num_tris:>9,d} "
-                     f"({tris_per_frame:,.1f} per frame)")
-        logging.info(f"        Foreground mesh: {fg_num_tris:>9,d} "
-                     f"({fg_tris_per_frame:,.1f} per frame)")
-        logging.info(f"        Background mesh: {bg_num_tris:>9,d} "
-                     f"({bg_tris_per_frame:,.1f} per frame)")
-        logging.info(f"    Total mesh size on disk: {format_bytes(total_file_size)} "
-                     f"({format_bytes(size_per_frame)} per frame)")
-        logging.info(f"        Foreground Mesh: {format_bytes(fg_file_size)} "
-                     f"({format_bytes(fg_size_per_frame)} per frame)")
-        logging.info(f"        Background Mesh: {format_bytes(bg_file_size)} "
-                     f"({format_bytes(bg_size_per_frame)} per frame)")
+        logging.info(f"{self.num_frames} frames done ({num_fg_frames} fg / "
+                     f"{num_bg_frames} bg) in {elapsed} - {per_frame} each.")
+        logging.info(f"    Triangles (all meshes): {total_num_tris:>9,d} "
+                     f"- {tris_per_frame:,.1f}/frame")
+        logging.info(f"        foreground: {fg_num_tris:>9,d} "
+                     f"- {fg_tris_per_frame:,.1f}/frame")
+        logging.info(f"        background: {bg_num_tris:>9,d} "
+                     f"- {bg_tris_per_frame:,.1f}/frame")
+        logging.info(f"    On-disk mesh size: {format_bytes(total_file_size)} "
+                     f"- {format_bytes(size_per_frame)}/frame")
+        logging.info(f"        foreground: {format_bytes(fg_file_size)} "
+                     f"- {format_bytes(fg_size_per_frame)}/frame")
+        logging.info(f"        background: {format_bytes(bg_file_size)} "
+                     f"- {format_bytes(bg_size_per_frame)}/frame")
         logging.info(f"Peak Device Memory Usage: {format_bytes(vram['allocated'])} "
                      f"({vram['allocated']:,d} Bytes)")
 

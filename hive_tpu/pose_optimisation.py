@@ -86,7 +86,7 @@ def sample_frame_pairs(mode: FrameSamplingMode, num_frames: int) -> FramePairs:
 
         return pairs
 
-    raise RuntimeError(f"Unsupported frame sampling mode: {mode}.")
+    raise RuntimeError(f"No such frame sampling mode: {mode}.")
 
 
 # ---------------------------------------------------------------------------
@@ -195,8 +195,8 @@ class FeatureExtractionOptions:
                              f"(= {min_features}); got {max_features}.")
 
         if min_features < 20:
-            logging.warning(f"`min_features` was set to {min_features}; at least 20 is "
-                            f"recommended to keep a usable SNR.")
+            logging.warning(f"min_features={min_features} is low; values under 20 tend to "
+                            f"leave too few matches for a stable solve.")
 
         self.ignore_dynamic_objects = ignore_dynamic_objects
         self.min_features = min_features
@@ -236,7 +236,7 @@ class FeatureExtractor:
         self._setup_cache()
 
         if self.feature_set_path and os.path.isfile(self.feature_set_path):
-            logging.info(f"Found cached feature set at: {self.feature_set_path}")
+            logging.info(f"Reusing the cached feature set {self.feature_set_path}")
             return FeatureSet.load(self.feature_set_path)
 
         self._load_frame_data()
@@ -287,7 +287,7 @@ class FeatureExtractor:
         num_frames = self.dataset.num_frames
         self.frames = tqdm_imap(load_gray, range(num_frames))
 
-        logging.info("Loading depth maps...")
+        logging.info("Reading the depth maps into memory...")
         self.depth_maps = tqdm_imap(self.dataset.depth_dataset.__getitem__, range(num_frames))
 
         if self.options.ignore_dynamic_objects:
@@ -414,9 +414,8 @@ class FeatureExtractor:
             | set(feature_set.frame_j.index.tolist())
         coverage = len(covered) / max(self.dataset.num_frames, 1)
 
-        logging.info(f"Found {num_good_pairs} good frame pairs "
-                     f"({num_good_pairs}/{len(self.frame_pairs)})")
-        logging.info(f"Frame pairs cover {100 * coverage:.2f}% of the frames.")
+        logging.info(f"Usable frame pairs: {num_good_pairs} of {len(self.frame_pairs)}")
+        logging.info(f"Pair coverage: {100 * coverage:.2f}% of all frames.")
 
 
 # ---------------------------------------------------------------------------
@@ -985,7 +984,7 @@ class PoseOptimiser:
         self._visualise_solution(params, "initial_trajectory")
 
         for i, step in enumerate(options.steps):
-            logging.info(f"Step {i + 1}/{num_steps}: {step.name} Alignment...")
+            logging.info(f"Optimisation step {i + 1}/{num_steps}: {step.name} alignment")
 
             residual_type = (ResidualType.Image2D
                              if step in (OptimisationStep.PairWise2D, OptimisationStep.Global2D)
@@ -1001,7 +1000,7 @@ class PoseOptimiser:
             self._visualise_solution(params, f"{i}_{step.name}")
 
         if options.fine_tune:
-            logging.info(f"Step {num_steps}/{num_steps}: Fine tuning...")
+            logging.info(f"Optimisation step {num_steps}/{num_steps}: fine-tune (no smoothing)")
             params = self._optimisation_loop(feature_set, params, options,
                                              ResidualType.World3D, smooth_trajectory=False)
             self._visualise_solution(params, f"{num_steps}_FineTune")
@@ -1289,7 +1288,7 @@ def main():
     args = parser.parse_args()
 
     if not HiveDataset.is_valid_folder_structure(args.dataset_path):
-        raise RuntimeError(f"The path {args.dataset_path} does not point to a valid dataset.")
+        raise RuntimeError(f"No valid HIVE dataset found at {args.dataset_path}.")
 
     dataset = HiveDataset(args.dataset_path)
 

@@ -38,20 +38,20 @@ def validate_shape(x, x_name: str, expected_shape: tuple):
     accepts any Nx3 array.
     """
     if not isinstance(expected_shape, tuple):
-        raise AssertionError("`expected_shape` must be a tuple.")
+        raise AssertionError("expected_shape should be given as a tuple.")
 
     actual = tuple(x.shape)
     if len(actual) != len(expected_shape):
         raise AssertionError(
-            f"Incorrect number of dimensions for {x_name}; "
-            f"expected {len(expected_shape)} but got {len(actual)}"
+            f"{x_name} has the wrong rank: "
+            f"wanted {len(expected_shape)} dims, got {len(actual)}"
         )
 
     for want, got in zip(expected_shape, actual):
         if want is not None and want != got:
             pretty = "(" + ", ".join("?" if d is None else str(d) for d in expected_shape) + ")"
             raise AssertionError(
-                f"Incorrect shape for {x_name}: expected {pretty} but got {actual}"
+                f"{x_name} has the wrong shape: wanted {pretty}, got {actual}"
             )
 
 
@@ -345,11 +345,11 @@ def setup_logger(log_path: Optional[str] = None):
     logger.handlers = []
 
     detailed = logging.Formatter(
-        "[%(asctime)s.%(msecs)03d] [%(levelname)s] %(pathname)s:%(lineno)s: %(funcName)s: %(message)s",
+        "%(asctime)s.%(msecs)03d %(levelname)s %(pathname)s:%(lineno)s %(funcName)s | %(message)s",
         datefmt="%Y-%m-%d %H:%M:%S",
     )
     simple = logging.Formatter(
-        "[%(asctime)s.%(msecs)03d] [%(levelname)s] %(message)s",
+        "%(asctime)s.%(msecs)03d %(levelname)s | %(message)s",
         datefmt="%Y-%m-%d %H:%M:%S",
     )
 

@@ -16,11 +16,11 @@ class TestValidateShape:
         validate_shape(np.zeros((7, 3)), "x", (None, 3))
 
     def test_rejects_wrong_rank(self):
-        with pytest.raises(AssertionError, match="number of dimensions"):
+        with pytest.raises(AssertionError, match="wrong rank"):
             validate_shape(np.zeros((3,)), "x", (3, 4))
 
     def test_rejects_wrong_size(self):
-        with pytest.raises(AssertionError, match="Incorrect shape for x"):
+        with pytest.raises(AssertionError, match="x has the wrong shape"):
             validate_shape(np.zeros((3, 5)), "x", (None, 4))
 
 
