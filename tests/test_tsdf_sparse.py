@@ -547,3 +547,37 @@ class TestQueryCoverage:
             query_flat_pyramid(*args, grid=3, level_bias=-2)
         with pytest.raises(ValueError):
             query_flat_pyramid(*args, grid=4, level_bias=-2)
+
+
+class TestCompactIds:
+    """compact_ids must reproduce the jnp.nonzero(size, fill_value) contract
+    exactly — the integrator's trip lists are built on it (the sort-based
+    implementation replaced nonzero's cumsum+scatter lowering for a measured
+    +23% integrator throughput; see CLAUDE.md 2026-08-20)."""
+
+    @pytest.mark.parametrize("density", [0.0, 0.05, 0.5, 1.0])
+    def test_matches_nonzero(self, density):
+        from hive_tpu.ops.tsdf_sparse import compact_ids
+
+        rng = np.random.default_rng(7)
+        mask = jnp.asarray(rng.random(1000) < density)
+        want = jnp.nonzero(mask, size=1000, fill_value=1000)[0]
+        got = compact_ids(mask, 1000, 1000)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_truncation_keeps_smallest(self):
+        from hive_tpu.ops.tsdf_sparse import compact_ids
+
+        mask = jnp.asarray(np.arange(100) % 3 == 0)  # 34 True entries
+        want = jnp.nonzero(mask, size=10, fill_value=100)[0]
+        got = compact_ids(mask, 10, 100)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_env_knob_restores_nonzero(self, monkeypatch):
+        from hive_tpu.ops.tsdf_sparse import compact_ids
+
+        monkeypatch.setenv("HIVE_TSDF_COMPACT", "nonzero")
+        mask = jnp.asarray(np.arange(50) % 7 == 0)
+        want = jnp.nonzero(mask, size=50, fill_value=50)[0]
+        got = compact_ids(mask, 50, 50)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
