@@ -655,6 +655,12 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
 
     flat_valid = tri_valid.reshape(-1)
     count = jnp.sum(flat_valid)
+    # MEASURED 2026-08-20 (scripts/ab_extract_compact.py, 32.8M-voxel sphere
+    # scene, same tunnel session, identical checksums): the integrator's
+    # sort-based compact_ids LOSES here — warm get_mesh 1.090 s (sort) vs
+    # 0.938 s (nonzero). At this mask width (chunk * 12 = ~400K) the n log n
+    # sort overtakes nonzero's serialized scatter, the opposite of the 37K-
+    # row integrator masks where sort won 2.7x. Keep nonzero.
     idx_tri = jnp.nonzero(flat_valid, size=capacity, fill_value=0)[0]    # (cap,)
 
     # Vertex flat index: lane w = tri*3 + vert within a row of 36, so the
