@@ -785,17 +785,24 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
 
         return emit(jnp.asarray(chunk), jnp.int32(valid_count), capacity)
 
-    # Software pipeline of depth 2: dispatch chunk k+1 (async) before
-    # collecting chunk k, so the host-side transfers of one chunk overlap
-    # the device compute of the next (behind a high-latency device link the
-    # serialized collect dominated multi-chunk extractions).
+    # Software pipeline: dispatch chunks ahead of the collect point so the
+    # host-side transfers of one chunk overlap the device compute of the
+    # next (behind a high-latency device link the serialized collect
+    # dominated multi-chunk extractions). Depth 2 (one chunk in flight
+    # beyond the collect) is the measured default; HIVE_EXTRACT_PIPELINE
+    # sets a deeper queue for A/B — each extra slot costs one chunk's
+    # device output buffers but hides one more dispatch round-trip.
+    depth = max(2, int(os.environ.get("HIVE_EXTRACT_PIPELINE", "2")))
     starts = list(range(0, len(active), chunk_size))
-    pending = dispatch(starts[0])
+    queue = [dispatch(s) for s in starts[:depth - 1]]
+    next_dispatch = depth - 1
 
     for i in range(len(starts)):
-        upcoming = dispatch(starts[i + 1]) if i + 1 < len(starts) else None
+        if next_dispatch < len(starts):
+            queue.append(dispatch(starts[next_dispatch]))
+            next_dispatch += 1
 
-        packed_lanes, count = pending
+        packed_lanes, count = queue.pop(0)
         nv = 3 * int(count)
 
         # ONE transfer per chunk. The width is rounded up to a 4096 multiple:
@@ -810,8 +817,6 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
             if name == "klo":
                 row = row.view(np.int32)
             parts[name].append(row)
-
-        pending = upcoming
 
     t_collect = time.perf_counter()
 

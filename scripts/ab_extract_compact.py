@@ -55,7 +55,7 @@ def sphere_depth(cam_to_world):
     return depth
 
 bounds = np.array([[-2.0, 2.0], [-2.0, 2.0], [0.0, 4.0]], np.float32)
-vol = SparseTSDFVolume(bounds, voxel_size=4.0 / 320)
+vol = SparseTSDFVolume(bounds, voxel_size=4.0 / float(os.environ.get("ABX_DIM", "320")))
 num = 12
 depths, colors, poses = [], [], []
 for i in range(num):
@@ -86,11 +86,15 @@ print("RESULT %(mode)s median_warm %%.3f s checksum %%.6e" %%
 
 
 def main():
+    """argv: [ENV_VAR value ...] — defaults to HIVE_TSDF_COMPACT sort nonzero.
+    ABX_DIM sets the volume resolution (voxel = 4/ABX_DIM)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for mode in ("sort", "nonzero"):
-        env = dict(os.environ, HIVE_TSDF_COMPACT=mode)
-        code = CHILD % {"root": root, "mode": mode}
-        print(f"=== HIVE_TSDF_COMPACT={mode} ===", flush=True)
+    var = sys.argv[1] if len(sys.argv) > 2 else "HIVE_TSDF_COMPACT"
+    values = sys.argv[2:] if len(sys.argv) > 2 else ["sort", "nonzero"]
+    for mode in values:
+        env = dict(os.environ, **{var: mode})
+        code = CHILD % {"root": root, "mode": f"{var}={mode}"}
+        print(f"=== {var}={mode} ===", flush=True)
         subprocess.run([sys.executable, "-c", code], env=env, check=True)
 
 
