@@ -655,13 +655,16 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
 
     flat_valid = tri_valid.reshape(-1)
     count = jnp.sum(flat_valid)
-    # MEASURED 2026-08-20 (scripts/ab_extract_compact.py, 32.8M-voxel sphere
-    # scene, same tunnel session, identical checksums): the integrator's
-    # sort-based compact_ids LOSES here — warm get_mesh 1.090 s (sort) vs
-    # 0.938 s (nonzero). At this mask width (chunk * 12 = ~400K) the n log n
-    # sort overtakes nonzero's serialized scatter, the opposite of the 37K-
-    # row integrator masks where sort won 2.7x. Keep nonzero.
-    idx_tri = jnp.nonzero(flat_valid, size=capacity, fill_value=0)[0]    # (cap,)
+    # Compaction strategy shares the integrator's HIVE_TSDF_COMPACT knob
+    # (default sort — the width sweep in scripts/micro_compaction.py shows
+    # sort winning at every width up to 1M, increasingly so; an early
+    # extraction A/B that read the other way did not reproduce).
+    # nonzero's fill here is 0, not n, so remap the sort filler; fill slots
+    # land at the tail either way — identical output.
+    from hive_tpu.ops.tsdf_sparse import compact_ids
+    nfv = flat_valid.shape[0]
+    idx_tri = compact_ids(flat_valid, capacity, nfv)                     # (cap,)
+    idx_tri = jnp.where(idx_tri == nfv, 0, idx_tri)
 
     # Vertex flat index: lane w = tri*3 + vert within a row of 36, so the
     # (M, 36) row-major flattening IS the per-vertex order of (M, 12) tris.
@@ -751,9 +754,17 @@ def _active_indices(mask_flat, num_active: int) -> np.ndarray:
     size class, fills trimmed on host (nonzero places fill values at the
     end).
     """
+    from hive_tpu.ops.tsdf_sparse import compact_ids
+
     size = 1 << max(12, int(np.ceil(np.log2(num_active))))
-    size = min(size, int(mask_flat.shape[0]))
-    lin = np.asarray(jnp.nonzero(mask_flat, size=size, fill_value=0)[0])
+    n = int(mask_flat.shape[0])
+    size = min(size, n)
+    # Sort-based compaction (shared HIVE_TSDF_COMPACT knob): nonzero's
+    # serialized scatter scales linearly (11 ms at 1M-wide masks vs 2.7 for
+    # the sort — scripts/micro_compaction.py widths sweep) and dense volumes
+    # are many millions wide. Only the first num_active entries are read,
+    # so the filler value never escapes.
+    lin = np.asarray(compact_ids(mask_flat, size, n))
     return lin[:num_active]
 
 

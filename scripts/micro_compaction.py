@@ -139,5 +139,40 @@ def main():
     print("sort == nonzero:", bool((a == c).all()))
 
 
+def sweep_widths():
+    """Crossover sweep: sort vs nonzero per mask width (the extraction A/B
+    found nonzero wins at ~400K-wide emission masks while sort wins 2.7x at
+    37K integrator rows — find the boundary for the width-gated default)."""
+    for n in (36864, 131072, 262144, 524288, 1048576):
+        key = jax.random.PRNGKey(n)
+        band = jax.random.uniform(key, (16, n)) < BAND_FRAC
+        jax.block_until_ready(band)
+        iota = jnp.arange(n, dtype=jnp.int32)
+
+        def scan_over(fn):
+            @jax.jit
+            def run(band):
+                def body(acc, mask):
+                    return acc + fn(mask), None
+                acc, _ = jax.lax.scan(body, jnp.float32(0), band)
+                return acc
+            return lambda: run(band)
+
+        def cs(ids):
+            return jnp.sum(ids.astype(jnp.float32) * 1e-3)
+
+        t_nz = timed(scan_over(
+            lambda m: cs(jnp.nonzero(m, size=n, fill_value=n)[0])))
+        t_st = timed(scan_over(
+            lambda m: cs(jnp.sort(jnp.where(m, iota, n)))))
+        print(f"n={n:8d}: nonzero {t_nz / 16 * 1e3:7.3f} ms/frame   "
+              f"sort {t_st / 16 * 1e3:7.3f} ms/frame   "
+              f"{'sort' if t_st < t_nz else 'nonzero'} wins", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "widths":
+        sweep_widths()
+    else:
+        main()
