@@ -283,20 +283,27 @@ def bench_e2e(max_reps: int = 3, time_left=None):
                 break
             reps.append(run_once(rep))
 
-        times = [r[0] for r in reps]
-        warm = times[1:] or times
-        warm_sorted = sorted(warm)
-        median = warm_sorted[len(warm_sorted) // 2]
-        stage_totals = reps[times.index(median)][1]
-        rep_stats = {
-            "reps_s_per_frame": [round(t, 2) for t in times],
-            "cold_s_per_frame": round(times[0], 2),
-            "warm_reps": len(warm) if len(times) > 1 else 0,
-            "warm_spread_s": round(max(warm) - min(warm), 2),
-        }
-        return median, stage_totals, rep_stats
+        return aggregate_e2e_reps(reps)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def aggregate_e2e_reps(reps):
+    """Reduce [(s_per_frame, stage_totals), ...] to the reported triple:
+    warm median (rep 1 discarded when >1 rep ran), that rep's stage totals,
+    and the rep-stats block (cold time, warm count, warm spread)."""
+    times = [r[0] for r in reps]
+    warm = times[1:] or times
+    warm_sorted = sorted(warm)
+    median = warm_sorted[len(warm_sorted) // 2]
+    stage_totals = reps[times.index(median)][1]
+    rep_stats = {
+        "reps_s_per_frame": [round(t, 2) for t in times],
+        "cold_s_per_frame": round(times[0], 2),
+        "warm_reps": len(warm) if len(times) > 1 else 0,
+        "warm_spread_s": round(max(warm) - min(warm), 2),
+    }
+    return median, stage_totals, rep_stats
 
 
 def _accelerator_alive() -> bool:

@@ -119,3 +119,30 @@ def test_sigterm_mid_stage_preserves_primary_line():
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+
+
+class TestE2ERepAggregation:
+    """The warm-rep protocol's reduction (VERDICT r3 #4): rep 1 is the cold
+    rep and is discarded whenever warm reps exist; the reported stage totals
+    come from the median warm rep; the spread covers the warm reps only."""
+
+    def test_three_reps(self):
+        import bench
+
+        reps = [(2.58, {"a": 1}), (0.95, {"a": 2}), (0.93, {"a": 3})]
+        median, totals, stats = bench.aggregate_e2e_reps(reps)
+        assert median == 0.95          # median of the two warm reps (upper)
+        assert totals == {"a": 2}
+        assert stats["cold_s_per_frame"] == 2.58
+        assert stats["warm_reps"] == 2
+        assert stats["warm_spread_s"] == round(0.95 - 0.93, 2)
+        assert stats["reps_s_per_frame"] == [2.58, 0.95, 0.93]
+
+    def test_single_rep_budget_cut(self):
+        import bench
+
+        median, totals, stats = bench.aggregate_e2e_reps([(3.1, {"a": 1})])
+        assert median == 3.1           # cold-only: nothing else to report
+        assert totals == {"a": 1}
+        assert stats["warm_reps"] == 0
+        assert stats["warm_spread_s"] == 0.0
