@@ -296,7 +296,11 @@ def aggregate_e2e_reps(reps):
     warm = times[1:] or times
     warm_sorted = sorted(warm)
     median = warm_sorted[len(warm_sorted) // 2]
-    stage_totals = reps[times.index(median)][1]
+    # Search the warm segment only: a cold rep whose time ties the warm
+    # median must not contribute its stage totals (they include the compile
+    # and attach costs the protocol exists to exclude).
+    first_warm = 1 if len(times) > 1 else 0
+    stage_totals = reps[first_warm + times[first_warm:].index(median)][1]
     rep_stats = {
         "reps_s_per_frame": [round(t, 2) for t in times],
         "cold_s_per_frame": round(times[0], 2),
@@ -327,9 +331,9 @@ def _accelerator_alive() -> bool:
         os.environ.get("HIVE_BENCH_PROBE_TOTAL", "900"))
     for timeout_s in (int(x) for x in spec.split(",") if x):
         remaining = deadline - time.monotonic()
-        if remaining <= 0:
+        if remaining < 1.0:  # a zero-second attempt is a guaranteed miss
             break
-        attempt = int(min(timeout_s, remaining))
+        attempt = max(1, int(min(timeout_s, remaining)))
         if accelerator_alive(timeout_s=attempt, retries=1, total_s=attempt):
             return True
     return False
@@ -350,7 +354,12 @@ def _read_last_known_good() -> Optional[dict]:
 def _write_last_known_good(record: dict) -> None:
     """Persist the freshest TPU-backed headline so an outage round still
     carries labeled evidence (judge round-3: across three rounds the driver
-    never witnessed a TPU number above baseline — record it durably)."""
+    never witnessed a TPU number above baseline — record it durably).
+
+    Fields MERGE into the existing record: a TSDF-only run (budget cut or
+    HIVE_BENCH_E2E=0) must not erase previously recorded depth/e2e evidence
+    — the stale fields keep their older provenance implicitly via the run
+    that wrote them, while value/date/commit always reflect this run."""
     import subprocess
 
     try:
@@ -360,7 +369,8 @@ def _write_last_known_good(record: dict) -> None:
             timeout=10).stdout.strip()
     except Exception:  # noqa: BLE001 — the record is still useful without
         commit = ""
-    record = dict(record)
+    previous = _read_last_known_good() or {}
+    record = {**previous, **record}
     record["date"] = time.strftime("%Y-%m-%d")
     record["commit"] = commit
     try:

@@ -208,7 +208,12 @@ def compact_ids(mask, size: int, fill: int):
         return jnp.nonzero(mask, size=size, fill_value=fill)[0]
     ids = jnp.sort(jnp.where(mask, jnp.arange(n, dtype=jnp.int32),
                              jnp.int32(fill)))
-    return ids[:size] if size < n else ids
+    if size < n:
+        return ids[:size]
+    if size > n:  # nonzero pads past the mask width with fill
+        return jnp.concatenate(
+            [ids, jnp.full((size - n,), fill, dtype=ids.dtype)])
+    return ids
 
 
 def pyramid_layout(height: int, width: int):

@@ -744,6 +744,12 @@ class Pipeline:
     @classmethod
     def _write_mesh_to_disk(cls, base_folder: str, scene_name: str, scene: Scene) -> str:
         output_path = pjoin(base_folder, f"{scene_name}.glb")
+        # A previous run into the same folder may have left a .viewer.glb
+        # sibling (written only when draco compresses, see
+        # _compress_with_draco). It describes the OLD mesh — if this run
+        # doesn't produce a fresh one, the WebXR export would prefer the
+        # stale copy over the new .glb.
+        Path(output_path).with_suffix(".viewer.glb").unlink(missing_ok=True)
         export_scene(scene, output_path)
         logging.info(f"Wrote mesh data to {output_path}")
         return output_path

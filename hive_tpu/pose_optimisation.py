@@ -997,13 +997,13 @@ class PoseOptimiser:
                 params = self._optimisation_loop(feature_set, params, options,
                                                  residual_type)
 
-            self._visualise_solution(params, f"{i}_{step.name}")
+            self._visualise_solution(params, f"{i + 1}_{step.name}")
 
         if options.fine_tune:
             logging.info(f"Optimisation step {num_steps}/{num_steps}: fine-tune (no smoothing)")
             params = self._optimisation_loop(feature_set, params, options,
                                              ResidualType.World3D, smooth_trajectory=False)
-            self._visualise_solution(params, f"{num_steps}_FineTune")
+            self._visualise_solution(params, f"{num_steps}_FineTune")  # contiguous with the 1-based step labels
 
         return params
 

@@ -231,6 +231,12 @@ def ensure_responsive_backend() -> bool:
         try:
             jax.config.update("jax_platforms", "cpu")
         except RuntimeError:  # backends already initialised; too late
+            logging.warning(
+                "HIVE_FORCE_CPU=1 was requested but JAX backends are "
+                "already initialised — the CPU pin cannot take effect and "
+                "device ops will use the existing backend (possibly the "
+                "tunnelled accelerator). Set the flag before the first "
+                "jax call.")
             return False
         return forced not in ("", "cpu")
 

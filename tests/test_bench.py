@@ -81,7 +81,10 @@ def test_non_tpu_run_carries_last_known_good_tpu_record():
     final = _parse_json_lines(result.stdout)[-1]
     record = final["breakdown"]["last_known_good_tpu"]
     assert record["metric"] == "tsdf_voxel_updates_per_second"
-    assert record["vs_baseline"] > 1.0
+    # Shape only, not the measured value: bench rewrites LAST_GOOD_TPU.json
+    # on every real TPU run, and one legitimately slow tunnel session must
+    # not break an unrelated unit test.
+    assert isinstance(record["vs_baseline"], (int, float))
     assert record["date"] and record["commit"]
     # This run's own (faked) number must stay the headline value.
     assert final["value"] == 123456789
@@ -146,3 +149,14 @@ class TestE2ERepAggregation:
         assert totals == {"a": 1}
         assert stats["warm_reps"] == 0
         assert stats["warm_spread_s"] == 0.0
+
+    def test_cold_tie_does_not_leak_cold_stage_totals(self):
+        """A cold rep whose time TIES the warm median must not contribute
+        its stage totals (they include compile/attach costs)."""
+        import bench
+
+        reps = [(0.95, {"who": "cold"}), (0.95, {"who": "warm1"}),
+                (0.93, {"who": "warm2"})]
+        median, totals, _ = bench.aggregate_e2e_reps(reps)
+        assert median == 0.95
+        assert totals == {"who": "warm1"}

@@ -231,6 +231,25 @@ class TestDracoViewerCopy:
         assert (webxr_root / "ds" / "bg.glb").read_bytes() == \
             (mesh_dir / "bg.glb").read_bytes()
 
+    def test_rewrite_clears_stale_viewer_sibling(self, tmp_path):
+        """A fresh mesh write must drop a .viewer.glb left by a PREVIOUS
+        run into the same folder — otherwise the WebXR export would prefer
+        last run's mesh over the one just reconstructed."""
+        from hive_tpu.meshing.gltf import load_glb as _load
+        from hive_tpu.pipeline import Pipeline
+        from hive_tpu.meshing.mesh import Scene
+
+        mesh_dir = tmp_path / "mesh"
+        mesh_dir.mkdir()
+        stale = mesh_dir / "fg.viewer.glb"
+        stale.write_bytes(b"stale bytes from an earlier reconstruction")
+
+        scene = Scene(camera_resolution=(640, 480),
+                      camera_focal=(580.0, 580.0))
+        Pipeline._write_mesh_to_disk(str(mesh_dir), "fg", scene)
+
+        assert not stale.exists()
+
 
 class TestHostParallelMeshing:
     """VERDICT r1 #9: the per-frame foreground meshing fan-out must be

@@ -255,7 +255,9 @@ class TestPoseRecovery:
         params = optimiser._init_params(perturbed)
         optimiser._optimise_pose(feature_set, params, problem.gt.shape[0])
 
-        for name in ("initial_trajectory.png", "0_Global3D.png",
+        # Step plots are 1-based and contiguous with the fine-tune label
+        # (matching the "step i/N" log lines).
+        for name in ("initial_trajectory.png", "1_Global3D.png",
                      "2_FineTune.png"):
             path = tmp_path / name
             assert path.exists() and path.stat().st_size > 0, name

@@ -581,3 +581,11 @@ class TestCompactIds:
         want = jnp.nonzero(mask, size=50, fill_value=50)[0]
         got = compact_ids(mask, 50, 50)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_size_beyond_mask_width_pads_with_fill(self):
+        from hive_tpu.ops.tsdf_sparse import compact_ids
+
+        mask = jnp.asarray([True, False, True, False])
+        want = jnp.nonzero(mask, size=8, fill_value=4)[0]
+        got = compact_ids(mask, 8, 4)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
