@@ -577,6 +577,27 @@ class SparseTSDFVolume:
         pallas_dmab = (use_pallas and not pallas_dyn
                        and os.environ.get("HIVE_PALLAS_DMAB", "0") == "1")
 
+        # Refine-query backend: the 25-tap pyramid gather of the band
+        # refinement as a Pallas window-reduce (ops/pallas_refine.py) —
+        # bit-identical, measured 4.96 -> 3.92 ms/frame at cap 16384 and
+        # 1.74 -> 1.53 at cap 4608 (the gather bill is ~10 of 27 ms/frame
+        # at 512^3 volumes). Shares the sampler's backend gating; only the
+        # default (5, -2) query shape is expressible (the kernel reduces the
+        # exact [cv0..cv1] x [cu0..cu1] region 5 row segments cover).
+        # HIVE_PALLAS_REFINE=0 restores the take path; =interpret runs the
+        # kernel in the Pallas interpreter (tests — NOT the default in the
+        # CPU suite: unlike the sampler, the refine kernel's per-step python
+        # cost in interpret mode is material, and the take path is
+        # bit-identical anyway).
+        from hive_tpu.ops import pallas_refine as _pr
+
+        _pr_pref = os.environ.get("HIVE_PALLAS_REFINE", "1")
+        pallas_refine_on = (use_pallas and stub == ""
+                            and (_pr_pref == "interpret"
+                                 or (_pr_pref == "1"
+                                     and not pallas_interpret)))
+        refine_interpret = pallas_interpret or _pr_pref == "interpret"
+
         flat_s = np.arange(BVS)
         iota_axes = [jnp.asarray(((flat_s // By) % Bx).astype(np.float32)),
                      jnp.asarray((flat_s % By).astype(np.float32)),
@@ -763,6 +784,29 @@ class SparseTSDFVolume:
         refine_spec = os.environ.get("HIVE_TSDF_REFINE", "5,-2")
         refine_grid, refine_bias = (int(x) for x in refine_spec.split(","))
 
+        # The window kernel expresses exactly the default query shape (its
+        # 5 row segments reduce the full [cv0..cv1] x [cu0..cu1] region —
+        # identical to the clamped 5x5 taps at bias -2); any A/B override of
+        # HIVE_TSDF_REFINE keeps the take path.
+        pallas_refine_on = (pallas_refine_on
+                            and (refine_grid, refine_bias) == (5, -2))
+        if pallas_refine_on:
+            # The kernel runs on ALL cap slots -> cap must be 8-aligned; the
+            # flat pyramid pads so any clipped RMAX-row window is in bounds.
+            refine_cap = min(self.num_blocks, ((refine_cap + 7) // 8) * 8)
+            total_pyr = int(layout[0][-1]) + int(layout[2][-1]) * int(layout[1][-1])
+            pyr_rows = _pr.padded_pyramid_rows(total_pyr)
+
+            def refine_pyramid_view(pyramid):
+                flat = jnp.pad(pyramid,
+                               (0, pyr_rows * 128 - pyramid.shape[0]))
+                return flat.reshape(pyr_rows, 128)
+
+            def refine_query(pyramid2d, u0, u1, v0, v1):
+                return _pr.query_flat_pyramid_pallas(
+                    pyramid2d, layout, u0, u1, v0, v1, height, width,
+                    interpret=refine_interpret)
+
         def refine_band(classes, block_origins, pyramid, R, t, intr):
             """Re-query band blocks with 5x5 cells two pyramid levels finer.
 
@@ -796,6 +840,9 @@ class SparseTSDFVolume:
                 dmin, dmax, all_valid = (jnp.full_like(u0, 2.2),
                                          jnp.full_like(u0, 2.8),
                                          jnp.ones(u0.shape, bool))
+            elif pallas_refine_on and cap % 8 == 0:
+                dmin, dmax, all_valid = refine_query(
+                    refine_pyramid_view(pyramid), u0, u1, v0, v1)
             else:
                 dmin, dmax, all_valid = query_flat_pyramid(
                     pyramid, layout, u0, u1, v0, v1, height, width,

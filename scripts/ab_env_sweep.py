@@ -27,8 +27,9 @@ from hive_tpu.utils import enable_compile_cache
 
 enable_compile_cache()
 
-NUM_FRAMES = 64
+NUM_FRAMES = int(os.environ.get("HIVE_AB_FRAMES", "64"))
 HEIGHT, WIDTH = 480, 640
+DIM = int(os.environ.get("HIVE_AB_DIM", "256"))  # volume = DIM^3
 
 
 def timed(fn, n=5):
@@ -75,7 +76,7 @@ def main():
     baseline_sums = None
     for value in values:
         os.environ[var] = value
-        volume = SparseTSDFVolume(bounds, voxel_size=4.0 / 256)
+        volume = SparseTSDFVolume(bounds, voxel_size=4.0 / DIM)
         nb, bv = volume.num_blocks, volume.block_voxels
         frac = volume.estimate_candidate_fraction(K, poses, HEIGHT, WIDTH)
         integ = volume._build_integrator(HEIGHT, WIDTH,

@@ -59,11 +59,12 @@ def timed(fn, n=3):
 
 
 def main():
+    dim = int(os.environ.get("HIVE_PROFILE_DIM", "256"))  # volume = dim^3
     K, depths, colors, poses = make_workload()
     num_frames = depths.shape[0]
 
     bounds = np.array([[-2.0, 2.0], [-2.0, 2.0], [0.0, 4.0]], dtype=np.float32)
-    volume = SparseTSDFVolume(bounds, voxel_size=4.0 / 256)
+    volume = SparseTSDFVolume(bounds, voxel_size=4.0 / dim)
     print(f"blocks={volume.num_blocks} block_voxels={volume.block_voxels} "
           f"voxels={volume.num_voxels / 1e6:.1f}M")
 
@@ -131,7 +132,7 @@ def main():
 
     # --- full integrate scan (fresh state each run; NOT donated here) ---
     def full():
-        state = SparseTSDFVolume(bounds, voxel_size=4.0 / 256).state
+        state = SparseTSDFVolume(bounds, voxel_size=4.0 / dim).state
         out = integ.scan_impl(state, bo, depths, colors, w2c, intr, obs)
         return jnp.sum(out.weight.astype(jnp.float32))
 

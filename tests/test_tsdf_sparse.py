@@ -589,3 +589,47 @@ class TestCompactIds:
         want = jnp.nonzero(mask, size=8, fill_value=4)[0]
         got = compact_ids(mask, 8, 4)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestPallasRefineQuery:
+    """The refine-query window kernel (ops/pallas_refine.py) must reproduce
+    query_flat_pyramid(grid=5, level_bias=-2) EXACTLY — integer min/max/AND
+    in-kernel commute with the monotone u16->metres decode, and duplicate
+    clamped rows are idempotent. Interpreter-mode check; hardware
+    bit-identity verified 2026-08-20 at caps 64/4608/16384."""
+
+    def test_bit_identical_to_take_path(self):
+        import numpy as np
+
+        from hive_tpu.ops.pallas_refine import (padded_pyramid_rows,
+                                                query_flat_pyramid_pallas)
+        from hive_tpu.ops.tsdf_sparse import (build_flat_pyramid,
+                                              pyramid_layout,
+                                              query_flat_pyramid)
+
+        height, width = 96, 128
+        layout = pyramid_layout(height, width)
+        total = int(layout[0][-1]) + int(layout[2][-1]) * int(layout[1][-1])
+        rows = padded_pyramid_rows(total)
+
+        rng = np.random.default_rng(3)
+        depth = rng.uniform(0.5, 4.0, (height, width)).astype(np.float32)
+        depth[rng.random((height, width)) < 0.1] = 0.0  # invalid pixels
+        pyramid = build_flat_pyramid(jnp.asarray(depth), height, width)
+        pyr2d = jnp.pad(pyramid,
+                        (0, rows * 128 - pyramid.shape[0])).reshape(rows, 128)
+
+        cap = 16
+        ext_u = rng.uniform(2, 40, cap).astype(np.float32)
+        ext_v = ext_u * rng.uniform(0.5, 1.5, cap).astype(np.float32)
+        u0 = jnp.asarray(rng.uniform(0, width - 1 - ext_u).astype(np.float32))
+        v0 = jnp.asarray(rng.uniform(0, height - 1 - ext_v).astype(np.float32))
+        u1, v1 = u0 + ext_u, v0 + ext_v
+
+        want = query_flat_pyramid(pyramid, layout, u0, u1, v0, v1,
+                                  height, width, grid=5, level_bias=-2)
+        got = query_flat_pyramid_pallas(pyr2d, layout, u0, u1, v0, v1,
+                                        height, width, interpret=True)
+        for name, w, g in zip(("dmin", "dmax", "valid"), want, got):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g),
+                                          err_msg=name)
