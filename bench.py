@@ -77,17 +77,25 @@ BASELINE_E2E_S_PER_FRAME = 10.0      # GT-data config, VGA, bg + fg meshing
 # Conservative stage-cost estimates for budget gating (a DPT compile through
 # a busy tunnel can stall for minutes; e2e needs minutes of 1-core meshing).
 DEPTH_STAGE_ESTIMATE_S = 300.0
+TSDF_REF_SCALE_ESTIMATE_S = 180.0   # 512^3 secondary stage: compile + 3 reps
 E2E_STAGE_ESTIMATE_S = 600.0
 
 
-def bench_tsdf(jax, jnp, small: bool = False, tiny: bool = False):
-    """Sparse TSDF integrate throughput (voxel updates/s), median of 5.
+def bench_tsdf(jax, jnp, small: bool = False, tiny: bool = False,
+               grid_override: int = 0, reps: int = 5):
+    """Sparse TSDF integrate throughput (voxel updates/s), median of ``reps``.
 
     ``small`` (CPU-fallback mode) shrinks the workload to a 128^3-class
     volume x 8 frames so the bench terminates in minutes without an
     accelerator; the throughput is still honestly computed. ``tiny``
     (test mode) shrinks further to a 32^3-class volume x 2 frames so the
-    whole bench runs in seconds on one CPU core.
+    whole bench runs in seconds on one CPU core. ``grid_override`` replaces
+    the volume resolution (the secondary reference-scale stage passes 512:
+    the reference's DEFAULT voxel budget is 320M voxels,
+    hive/options.py:357-359, an order of magnitude above the primary
+    stage's 16.8M — the sparse design's advantage grows with volume, so the
+    reference-scale number is reported separately without moving the
+    primary metric's long-standing workload).
     """
     from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
 
@@ -104,6 +112,8 @@ def bench_tsdf(jax, jnp, small: bool = False, tiny: bool = False):
         height, width, num_frames, grid = 480, 640, 8, 128
     else:
         height, width, num_frames, grid = 480, 640, 64, 256
+    if grid_override:
+        grid = grid_override
 
     K = np.array([[580.0, 0, 319.5], [0, 580.0, 239.5], [0, 0, 1.0]],
                  dtype=np.float32)
@@ -141,10 +151,10 @@ def bench_tsdf(jax, jnp, small: bool = False, tiny: bool = False):
     volume.integrate_frames(colors, depths, K, poses)
     force()
 
-    # Median of five timed runs (remote-tunnel latency is noisy: +-4%
+    # Median of timed runs (remote-tunnel latency is noisy: +-4%
     # run-to-run observed on identical code).
     samples = []
-    for _ in range(5):
+    for _ in range(reps):
         start = time.perf_counter()
         volume.integrate_frames(colors, depths, K, poses)
         force()
@@ -500,6 +510,24 @@ def main():
     def remaining_s() -> float:
         return deadline - time.monotonic()
 
+    # Secondary: TSDF at the reference's DEFAULT voxel budget scale (320M
+    # voxels, hive/options.py:357-359 — the primary stage's 16.8M workload
+    # is kept unchanged for cross-round comparability). TPU-only: at 134M
+    # voxels the CPU fallback would take tens of minutes.
+    if (on_tpu and not tiny and not os.environ.get("HIVE_BENCH_FAKE_TSDF")
+            and remaining_s() >= TSDF_REF_SCALE_ESTIMATE_S):
+        try:
+            ref_scale = bench_tsdf(jax, jnp, grid_override=512, reps=3)
+            breakdown["tsdf_ref_scale_voxel_updates_per_second"] = round(
+                ref_scale)
+            breakdown["tsdf_ref_scale_vs_baseline"] = round(
+                ref_scale / BASELINE_VOXELS_PER_SECOND, 3)
+        except Exception as exc:  # noqa: BLE001 — secondary evidence only
+            breakdown["tsdf_ref_scale_error"] = (
+                f"{type(exc).__name__}: {exc}"[:200])
+    elif on_tpu and not tiny:
+        breakdown.setdefault("tsdf_ref_scale_skipped", "over budget")
+
     # The depth net and the e2e pipeline are pointless (hours-slow) on the
     # CPU fallback; report the honest TSDF number alone. HIVE_BENCH_FORCE_CPU
     # (test mode) still exercises the budget gating below.
@@ -551,7 +579,9 @@ def main():
             "tunnel_health": tunnel_health,
         }
         for key in ("depth_ms_per_frame", "depth_vs_baseline",
-                    "e2e_s_per_frame", "e2e_vs_baseline"):
+                    "e2e_s_per_frame", "e2e_vs_baseline",
+                    "tsdf_ref_scale_voxel_updates_per_second",
+                    "tsdf_ref_scale_vs_baseline"):
             if key in breakdown:
                 record[key] = breakdown[key]
         _write_last_known_good(record)
