@@ -510,24 +510,6 @@ def main():
     def remaining_s() -> float:
         return deadline - time.monotonic()
 
-    # Secondary: TSDF at the reference's DEFAULT voxel budget scale (320M
-    # voxels, hive/options.py:357-359 — the primary stage's 16.8M workload
-    # is kept unchanged for cross-round comparability). TPU-only: at 134M
-    # voxels the CPU fallback would take tens of minutes.
-    if (on_tpu and not tiny and not os.environ.get("HIVE_BENCH_FAKE_TSDF")
-            and remaining_s() >= TSDF_REF_SCALE_ESTIMATE_S):
-        try:
-            ref_scale = bench_tsdf(jax, jnp, grid_override=512, reps=3)
-            breakdown["tsdf_ref_scale_voxel_updates_per_second"] = round(
-                ref_scale)
-            breakdown["tsdf_ref_scale_vs_baseline"] = round(
-                ref_scale / BASELINE_VOXELS_PER_SECOND, 3)
-        except Exception as exc:  # noqa: BLE001 — secondary evidence only
-            breakdown["tsdf_ref_scale_error"] = (
-                f"{type(exc).__name__}: {exc}"[:200])
-    elif on_tpu and not tiny:
-        breakdown.setdefault("tsdf_ref_scale_skipped", "over budget")
-
     # The depth net and the e2e pipeline are pointless (hours-slow) on the
     # CPU fallback; report the honest TSDF number alone. HIVE_BENCH_FORCE_CPU
     # (test mode) still exercises the budget gating below.
@@ -568,6 +550,28 @@ def main():
                 breakdown["e2e_reps"] = rep_stats
             except Exception as exc:  # noqa: BLE001
                 breakdown["e2e_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Secondary: TSDF at the reference's DEFAULT voxel budget scale (320M
+    # voxels, hive/options.py:357-359 — the primary stage's 16.8M workload
+    # is kept unchanged for cross-round comparability). Runs LAST so this
+    # extra evidence can never starve the depth/e2e north-star stages of
+    # budget (review finding). TPU-only: at 134M voxels the CPU fallback
+    # would take tens of minutes.
+    if on_tpu and not tiny:
+        if os.environ.get("HIVE_BENCH_FAKE_TSDF"):
+            breakdown["tsdf_ref_scale_skipped"] = "fake-TSDF test hook"
+        elif remaining_s() < TSDF_REF_SCALE_ESTIMATE_S:
+            breakdown["tsdf_ref_scale_skipped"] = "over budget"
+        else:
+            try:
+                ref_scale = bench_tsdf(jax, jnp, grid_override=512, reps=3)
+                breakdown["tsdf_ref_scale_voxel_updates_per_second"] = round(
+                    ref_scale)
+                breakdown["tsdf_ref_scale_vs_baseline"] = round(
+                    ref_scale / BASELINE_VOXELS_PER_SECOND, 3)
+            except Exception as exc:  # noqa: BLE001 — secondary evidence
+                breakdown["tsdf_ref_scale_error"] = (
+                    f"{type(exc).__name__}: {exc}"[:200])
 
     breakdown["elapsed_s"] = round(time.monotonic() - t_start, 1)
     if on_tpu and not os.environ.get("HIVE_BENCH_FAKE_TSDF"):

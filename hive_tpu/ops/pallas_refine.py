@@ -7,7 +7,7 @@ block, a 5x5-cell region of ONE classification-pyramid level —
 2026-08-20 attribution). The region is CONTIGUOUS in the flat pyramid:
 5 row segments of <= 5 cells spanning < 6 * w_l elements, so per block:
 
-* an async DMA copies the smallest static row class (8/16/24/32/48 rows of
+* an async DMA copies the smallest static row class (8..window_rows(width) of
   the ``(P/128, 128)``-viewed flat pyramid) covering the span into VMEM
   scratch (double-buffered, 8 blocks per grid step — out-blocks must be
   (8, 128)-divisible);
@@ -41,13 +41,34 @@ import functools
 import jax
 import jax.numpy as jnp
 
-RMAX = 48                       # rows: worst span 5*w_l(=1024)/128 + slack
-ROW_CLASSES = (8, 16, 24, 32, 48)
 MAX_KERNEL_BLOCKS = 8192        # 12 prefetch arrays * 8192 * 4 B = 384 KB
 
 
+def window_rows(width: int) -> int:
+    """Static window row count for a frame width.
+
+    Worst span: the 5 row segments sit 4 level-strides apart and each covers
+    <= 5 cells, so his[4] - lo[0] <= 4 * w_l + 5 elements with
+    w_l <= _next_pow2(width) (level 0); plus one boundary row and up to 7
+    rows of r0 round-down slack. 48 rows for VGA-class frames (w_l <= 1024);
+    80 for 720p/1080p-class (w_l = 2048) — a fixed 48 silently truncated the
+    reduce on >1024-wide frames (non-conservative bounds, caught in review).
+    """
+    wp = 1
+    while wp < width:
+        wp *= 2
+    rows = (4 * wp + 5 + 127) // 128 + 1 + 7
+    return ((rows + 7) // 8) * 8
+
+
+def _row_classes(rmax: int):
+    return tuple(r for r in (8, 16, 24, 32, 48, 64, 80, 96, 128)
+                 if r < rmax) + (rmax,)
+
+
 @functools.lru_cache(maxsize=None)
-def _build_kernel(num_blocks: int, interpret: bool = False):
+def _build_kernel(num_blocks: int, rmax: int, interpret: bool = False):
+    ROW_CLASSES = _row_classes(rmax)  # noqa: N806
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -95,15 +116,15 @@ def _build_kernel(num_blocks: int, interpret: bool = False):
 
         run(copies(s, slot), lambda c: c.wait())
 
-        rr = jax.lax.broadcasted_iota(jnp.int32, (RMAX, 128), 0)
-        ll = jax.lax.broadcasted_iota(jnp.int32, (RMAX, 128), 1)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (rmax, 128), 0)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (rmax, 128), 1)
 
         for j in range(8):
             b = s * 8 + j
-            win = scratch[slot, j]                        # (RMAX, 128) u32
+            win = scratch[slot, j]                        # (rmax, 128) u32
             g = r0_ref[b] * 128 + rr * 128 + ll
 
-            mask = jnp.zeros((RMAX, 128), jnp.bool_)
+            mask = jnp.zeros((rmax, 128), jnp.bool_)
             for i in range(5):
                 mask |= (g >= lo_refs[i][b]) & (g <= hi_refs[i][b])
 
@@ -126,7 +147,7 @@ def _build_kernel(num_blocks: int, interpret: bool = False):
             grid=(steps,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((8, 128), lambda s, *_: (s, 0)),
-            scratch_shapes=[pltpu.VMEM((2, 8, RMAX, 128), jnp.uint32),
+            scratch_shapes=[pltpu.VMEM((2, 8, rmax, 128), jnp.uint32),
                             pltpu.SemaphoreType.DMA((2, 8))],
         ),
         out_shape=jax.ShapeDtypeStruct((num_blocks, 128), jnp.uint32),
@@ -134,11 +155,11 @@ def _build_kernel(num_blocks: int, interpret: bool = False):
     )
 
 
-def padded_pyramid_rows(total: int) -> int:
-    """Rows of the (rows, 128) pyramid view, padded so every RMAX-row window
+def padded_pyramid_rows(total: int, rmax: int) -> int:
+    """Rows of the (rows, 128) pyramid view, padded so every rmax-row window
     whose clipped origin is in range stays in bounds."""
     rows = -(-total // 128)
-    return ((rows + RMAX - 1 + 7) // 8) * 8 + RMAX
+    return ((rows + rmax - 1 + 7) // 8) * 8 + rmax
 
 
 def query_flat_pyramid_pallas(pyramid2d, layout, u0, u1, v0, v1,
@@ -154,27 +175,12 @@ def query_flat_pyramid_pallas(pyramid2d, layout, u0, u1, v0, v1,
         ``padded_pyramid_rows(total) * 128`` and reshaped ``(rows, 128)``.
     :param layout: :func:`tsdf_sparse.pyramid_layout` arrays.
     """
-    import numpy as np
+    # THE cell selection lives in tsdf_sparse.pyramid_cell_bounds — both
+    # query paths must pick identical cells to stay bit-identical.
+    from hive_tpu.ops.tsdf_sparse import pyramid_cell_bounds
 
-    offsets, widths, heights = (jnp.asarray(a) for a in layout)
-    num_levels = len(layout[0])
-
-    extent = jnp.maximum(u1 - u0, v1 - v0)
-    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(extent, 1.0))
-                              ).astype(jnp.int32) - 2, 0, num_levels - 1)
-    off = offsets[level]
-    w_l = widths[level]
-    h_l = heights[level]
-    shift = level
-
-    cu0 = jnp.minimum(jnp.clip(u0, 0, width - 1).astype(jnp.int32) >> shift,
-                      w_l - 1)
-    cu1 = jnp.minimum(jnp.clip(u1, 0, width - 1).astype(jnp.int32) >> shift,
-                      w_l - 1)
-    cv0 = jnp.minimum(jnp.clip(v0, 0, height - 1).astype(jnp.int32) >> shift,
-                      h_l - 1)
-    cv1 = jnp.minimum(jnp.clip(v1, 0, height - 1).astype(jnp.int32) >> shift,
-                      h_l - 1)
+    off, w_l, cu0, cu1, cv0, cv1 = pyramid_cell_bounds(
+        layout, u0, u1, v0, v1, height, width, level_bias=-2)
 
     los, his = [], []
     for i in range(5):
@@ -182,18 +188,22 @@ def query_flat_pyramid_pallas(pyramid2d, layout, u0, u1, v0, v1,
         los.append(off + cv * w_l + cu0)
         his.append(off + cv * w_l + cu1)
 
+    rmax = window_rows(width)
     p_rows = pyramid2d.shape[0]
     # Memory-safety clips: bounds derive from clamped coords so they are in
     # range for any finite input, but the DMA origin must be provably valid.
-    r0 = jnp.clip(((los[0] // 128) // 8) * 8, 0, p_rows - RMAX)
-    rows = jnp.clip(his[4] // 128 - r0 + 1, 1, RMAX)
+    # rows can never exceed rmax by construction (see window_rows); the clip
+    # is belt-and-braces, not a truncation.
+    r0 = jnp.clip(((los[0] // 128) // 8) * 8, 0, p_rows - rmax)
+    rows = jnp.clip(his[4] // 128 - r0 + 1, 1, rmax)
 
     cap = u0.shape[0]
     if cap % 8:
         raise ValueError("cap must be a multiple of 8")
 
     def run_chunk(sl):
-        kernel_fn = _build_kernel(sl.stop - sl.start, interpret=interpret)
+        kernel_fn = _build_kernel(sl.stop - sl.start, rmax,
+                                  interpret=interpret)
         return kernel_fn(
             r0[sl].astype(jnp.int32), rows[sl].astype(jnp.int32),
             *[x[sl].astype(jnp.int32) for x in los],

@@ -236,6 +236,34 @@ def pyramid_layout(height: int, width: int):
             np.asarray(heights, np.int32))
 
 
+def pyramid_cell_bounds(layout, u0, u1, v0, v1, height: int, width: int,
+                        level_bias: int):
+    """Covering-level cell ranges for per-block pixel AABBs.
+
+    THE single definition of the level pick and cell clamping — shared by
+    the take path (:func:`query_flat_pyramid`) and the Pallas window kernel
+    (:mod:`hive_tpu.ops.pallas_refine`), which must select identical cells
+    for their results to stay bit-identical.
+    """
+    num_levels = len(layout[0])
+    offsets, widths, heights = (jnp.asarray(a) for a in layout)
+
+    extent = jnp.maximum(u1 - u0, v1 - v0)
+    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(extent, 1.0))).astype(jnp.int32)
+                     + level_bias, 0, num_levels - 1)
+
+    off = offsets[level]
+    w_l = widths[level]
+    h_l = heights[level]
+    shift = level  # cell size = 1 << level
+
+    cu0 = jnp.minimum((jnp.clip(u0, 0, width - 1).astype(jnp.int32)) >> shift, w_l - 1)
+    cu1 = jnp.minimum((jnp.clip(u1, 0, width - 1).astype(jnp.int32)) >> shift, w_l - 1)
+    cv0 = jnp.minimum((jnp.clip(v0, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
+    cv1 = jnp.minimum((jnp.clip(v1, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
+    return off, w_l, cu0, cu1, cv0, cv1
+
+
 def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int,
                        grid: int = 2, level_bias: int = 0):
     """Conservative (dmin, dmax, all_valid) over per-block AABBs.
@@ -260,22 +288,8 @@ def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int,
         raise ValueError(f"grid={grid} cannot cover an AABB at level bias "
                          f"{level_bias}; need >= {(1 << -level_bias) + 1}")
 
-    num_levels = len(layout[0])
-    offsets, widths, heights = (jnp.asarray(a) for a in layout)
-
-    extent = jnp.maximum(u1 - u0, v1 - v0)
-    level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(extent, 1.0))).astype(jnp.int32)
-                     + level_bias, 0, num_levels - 1)
-
-    off = offsets[level]
-    w_l = widths[level]
-    h_l = heights[level]
-    shift = level  # cell size = 1 << level
-
-    cu0 = jnp.minimum((jnp.clip(u0, 0, width - 1).astype(jnp.int32)) >> shift, w_l - 1)
-    cu1 = jnp.minimum((jnp.clip(u1, 0, width - 1).astype(jnp.int32)) >> shift, w_l - 1)
-    cv0 = jnp.minimum((jnp.clip(v0, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
-    cv1 = jnp.minimum((jnp.clip(v1, 0, height - 1).astype(jnp.int32)) >> shift, h_l - 1)
+    off, w_l, cu0, cu1, cv0, cv1 = pyramid_cell_bounds(
+        layout, u0, u1, v0, v1, height, width, level_bias)
 
     # Per-cell (nb,) gathers reduced incrementally — a stacked (nb, grid^2)
     # gather output would tile-pad its minor dim to 128. Cells past the AABB
@@ -588,11 +602,23 @@ class SparseTSDFVolume:
         # kernel in the Pallas interpreter (tests — NOT the default in the
         # CPU suite: unlike the sampler, the refine kernel's per-step python
         # cost in interpret mode is material, and the take path is
-        # bit-identical anyway).
+        # bit-identical anyway). Gated on the BACKEND only, not the
+        # sampler's shape/colour-mode predicate — the pyramid window-reduce
+        # has no rgb565d16/BVS/frame-size preconditions (review finding:
+        # piggybacking the sampler gate silently lost the win under
+        # color_mode="rgb888").
         from hive_tpu.ops import pallas_refine as _pr
 
+        if sampler_pref is None:
+            try:
+                _backend_tpu = jax.default_backend() == "tpu"
+            except Exception:  # pragma: no cover — no backend at all
+                _backend_tpu = False
+        else:
+            _backend_tpu = bool(sampler_pref)
+
         _pr_pref = os.environ.get("HIVE_PALLAS_REFINE", "1")
-        pallas_refine_on = (use_pallas and stub == ""
+        pallas_refine_on = (_backend_tpu and stub == ""
                             and (_pr_pref == "interpret"
                                  or (_pr_pref == "1"
                                      and not pallas_interpret)))
@@ -790,12 +816,18 @@ class SparseTSDFVolume:
         # HIVE_TSDF_REFINE keeps the take path.
         pallas_refine_on = (pallas_refine_on
                             and (refine_grid, refine_bias) == (5, -2))
+        # Always 8-align the cap (the kernel requires it, and a
+        # conditionally different cap would refine a different block set
+        # under HIVE_PALLAS_REFINE=1 vs 0 — breaking the checksum-identity
+        # A/B contract; review finding).
+        refine_cap = min(self.num_blocks, ((refine_cap + 7) // 8) * 8)
         if pallas_refine_on:
-            # The kernel runs on ALL cap slots -> cap must be 8-aligned; the
-            # flat pyramid pads so any clipped RMAX-row window is in bounds.
-            refine_cap = min(self.num_blocks, ((refine_cap + 7) // 8) * 8)
+            # The flat pyramid pads so any clipped window-rows DMA is in
+            # bounds (row count derives from the frame width — a fixed 48
+            # silently truncated the reduce on >1024-wide frames).
             total_pyr = int(layout[0][-1]) + int(layout[2][-1]) * int(layout[1][-1])
-            pyr_rows = _pr.padded_pyramid_rows(total_pyr)
+            pyr_rows = _pr.padded_pyramid_rows(total_pyr,
+                                               _pr.window_rows(width))
 
             def refine_pyramid_view(pyramid):
                 flat = jnp.pad(pyramid,

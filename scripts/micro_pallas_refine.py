@@ -24,7 +24,6 @@ the same bounds. Both ride a lax.scan over varying frames and return
 checksums (LICM/DCE rules).
 """
 
-import functools
 import os
 import sys
 import time
@@ -44,7 +43,7 @@ NUM_FRAMES = int(os.environ.get("MPR_FRAMES", "32"))
 
 
 from hive_tpu.ops.pallas_refine import (  # noqa: E402
-    RMAX, padded_pyramid_rows, query_flat_pyramid_pallas)
+    padded_pyramid_rows, query_flat_pyramid_pallas, window_rows)
 
 # The kernel under test now lives in hive_tpu/ops/pallas_refine.py (the
 # production integration, round 4). This micro keeps the original A/B
@@ -67,7 +66,7 @@ def main():
 
     layout = pyramid_layout(HEIGHT, WIDTH)
     total = int(layout[0][-1]) + 1
-    p_rows = padded_pyramid_rows(total)
+    p_rows = padded_pyramid_rows(total, window_rows(WIDTH))
     p_pad = p_rows * 128
 
     @jax.jit

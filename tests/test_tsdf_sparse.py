@@ -598,19 +598,23 @@ class TestPallasRefineQuery:
     clamped rows are idempotent. Interpreter-mode check; hardware
     bit-identity verified 2026-08-20 at caps 64/4608/16384."""
 
-    def test_bit_identical_to_take_path(self):
+    @pytest.mark.parametrize("height,width", [(96, 128), (120, 1280)])
+    def test_bit_identical_to_take_path(self, height, width):
+        """The wide case exercises the width-derived window-row count: at
+        w_l = 2048 the worst span needs ~73 rows, and a fixed 48-row window
+        silently truncated the reduce (review finding)."""
         import numpy as np
 
         from hive_tpu.ops.pallas_refine import (padded_pyramid_rows,
-                                                query_flat_pyramid_pallas)
+                                                query_flat_pyramid_pallas,
+                                                window_rows)
         from hive_tpu.ops.tsdf_sparse import (build_flat_pyramid,
                                               pyramid_layout,
                                               query_flat_pyramid)
 
-        height, width = 96, 128
         layout = pyramid_layout(height, width)
         total = int(layout[0][-1]) + int(layout[2][-1]) * int(layout[1][-1])
-        rows = padded_pyramid_rows(total)
+        rows = padded_pyramid_rows(total, window_rows(width))
 
         rng = np.random.default_rng(3)
         depth = rng.uniform(0.5, 4.0, (height, width)).astype(np.float32)
@@ -620,7 +624,7 @@ class TestPallasRefineQuery:
                         (0, rows * 128 - pyramid.shape[0])).reshape(rows, 128)
 
         cap = 16
-        ext_u = rng.uniform(2, 40, cap).astype(np.float32)
+        ext_u = rng.uniform(1, 40, cap).astype(np.float32)
         ext_v = ext_u * rng.uniform(0.5, 1.5, cap).astype(np.float32)
         u0 = jnp.asarray(rng.uniform(0, width - 1 - ext_u).astype(np.float32))
         v0 = jnp.asarray(rng.uniform(0, height - 1 - ext_v).astype(np.float32))
