@@ -37,7 +37,8 @@ import numpy as np
 from hive_tpu.ops.tsdf_sparse import (build_flat_pyramid, pyramid_layout,
                                       query_flat_pyramid)
 
-HEIGHT, WIDTH = 480, 640
+HEIGHT = int(os.environ.get("MPR_HEIGHT", "480"))
+WIDTH = int(os.environ.get("MPR_WIDTH", "640"))   # 1280 = the rmax-80 path
 CAP = int(os.environ.get("MPR_CAP", "4608"))       # bench-scale refine_cap
 NUM_FRAMES = int(os.environ.get("MPR_FRAMES", "32"))
 
