@@ -1,11 +1,18 @@
-"""bench.py output contract: the primary JSON line must survive a driver kill.
+"""bench.py output contract: a parseable JSON line must survive ANY kill.
 
-Round-2 postmortem: the driver's bench run timed out mid-depth-stage and
-recorded NOTHING (rc=124, parsed=null) because the old bench printed its
-single JSON line only after ALL stages. The contract now is:
+Round-2 and round-4 postmortems: the driver's bench run timed out and
+recorded NOTHING (rc=124, parsed=null) — round 2 because the single JSON
+line came after ALL stages, round 4 because the probe + attach + cold
+compile burned the driver's wall before the first byte. The contract now is
+a RATCHET (the driver parses the LAST JSON line; every line is complete):
 
-* the primary line (TSDF metric) is printed and flushed the moment the
-  primary stage completes — a SIGTERM during any later stage must not lose it;
+* a provisional line (last-known-good TPU record or zeros, marked
+  ``breakdown.provisional``) is printed within ~2 s of process start —
+  BEFORE the probe, BEFORE backend init, BEFORE importing jax;
+* a second provisional line follows the backend decision;
+* the primary measured line (TSDF metric) is printed the moment the
+  primary stage completes — a SIGTERM during any later stage must not lose
+  it; further lines follow each completed secondary stage;
 * secondary stages are budget-gated (HIVE_BENCH_BUDGET_S) with explicit
   ``<stage>_skipped`` markers, so the process exits 0 inside its budget.
 
@@ -54,18 +61,33 @@ def test_budget_skips_secondary_stages_and_exits_zero():
 
     assert result.returncode == 0, result.stderr[-2000:]
     payloads = _parse_json_lines(result.stdout)
-    # Primary line + enriched final line.
-    assert len(payloads) == 2
+    # Startup provisional + backend-ready provisional + primary + final.
+    assert len(payloads) == 4
 
     for payload in payloads:
         assert payload["metric"] == "tsdf_voxel_updates_per_second"
+        assert isinstance(payload["value"], int)
+        assert "breakdown" in payload
+
+    # The first two lines are the emit-first ratchet: complete, parseable,
+    # and self-describing as provisional.
+    for payload in payloads[:2]:
+        assert payload["breakdown"]["provisional"] is True
+    assert payloads[0]["breakdown"]["provisional_stage"] == "startup"
+    assert payloads[1]["breakdown"]["provisional_stage"] == "backend-ready"
+
+    # The measured lines carry this run's (faked) number.
+    for payload in payloads[2:]:
         assert payload["value"] == 123456789
         assert payload["vs_baseline"] == pytest.approx(0.123, abs=1e-6)
+        assert "provisional" not in payload["breakdown"]
 
     final = payloads[-1]
     assert final["breakdown"]["depth_skipped"] == "over budget"
     assert final["breakdown"]["e2e_skipped"] == "over budget"
     assert "elapsed_s" in final["breakdown"]
+    # The primary line must already say which DPT weight mode would run.
+    assert payloads[2]["breakdown"]["dpt_weights"] in ("converted", "random")
 
 
 def test_non_tpu_run_carries_last_known_good_tpu_record():
@@ -101,6 +123,47 @@ def test_sigterm_mid_stage_preserves_primary_line():
 
     try:
         deadline = time.monotonic() + 240
+        measured_line = None
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            if line.strip().startswith("{"):
+                payload = json.loads(line)
+                if not payload["breakdown"].get("provisional"):
+                    measured_line = payload
+                    break
+        assert measured_line is not None, "no measured line before the slow stage"
+
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=60)
+
+        assert measured_line["metric"] == "tsdf_voxel_updates_per_second"
+        assert measured_line["value"] == 123456789
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+
+
+def test_hung_probe_still_emits_provisional_line_immediately():
+    """The round-4 failure mode: a probe/attach that hangs before backend
+    init. The emit-first line must already be on stdout — complete and
+    parseable — long before the (faked, minutes-long) probe would return."""
+    env = dict(os.environ)
+    env.pop("HIVE_BENCH_FORCE_CPU", None)
+    env.update({
+        "JAX_PLATFORMS": "axon",           # non-cpu → the probe path runs
+        "HIVE_BENCH_FAKE_SLOW_STAGE": "probe",
+        "HIVE_BENCH_FAKE_TSDF": "123456789",
+    })
+    proc = subprocess.Popen(
+        [sys.executable, BENCH], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+
+    try:
+        start = time.monotonic()
+        deadline = start + 90
         first_line = None
         while time.monotonic() < deadline:
             line = proc.stdout.readline()
@@ -109,17 +172,23 @@ def test_sigterm_mid_stage_preserves_primary_line():
             if line.strip().startswith("{"):
                 first_line = line
                 break
-        assert first_line is not None, "no JSON line before the slow stage"
-
-        proc.send_signal(signal.SIGTERM)
-        proc.wait(timeout=60)
+        elapsed = time.monotonic() - start
+        assert first_line is not None, "no JSON line while the probe hung"
+        # Generous bound for a loaded 1-core VM; the line needs only the
+        # stdlib (json emitted before `import jax`), so seconds, not minutes.
+        assert elapsed < 60, f"provisional line took {elapsed:.0f}s"
 
         payload = json.loads(first_line)
         assert payload["metric"] == "tsdf_voxel_updates_per_second"
-        assert payload["value"] == 123456789
-        assert "breakdown" in payload
+        assert payload["breakdown"]["provisional"] is True
+        assert payload["breakdown"]["provisional_stage"] == "startup"
+        assert isinstance(payload["value"], int)
+        assert isinstance(payload["vs_baseline"], (int, float))
     finally:
-        if proc.poll() is None:
+        proc.send_signal(signal.SIGTERM)
+        try:
+            proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait()
 
@@ -138,6 +207,7 @@ class TestE2ERepAggregation:
         assert totals == {"a": 2}
         assert stats["cold_s_per_frame"] == 2.58
         assert stats["warm_reps"] == 2
+        assert stats["warm_min_s_per_frame"] == 0.93
         assert stats["warm_spread_s"] == round(0.95 - 0.93, 2)
         assert stats["reps_s_per_frame"] == [2.58, 0.95, 0.93]
 
