@@ -206,8 +206,8 @@ class DatasetAdaptor(Dataset, ABC):
 
     def _setup_folders(self, exist_ok: bool = False) -> Tuple[str, str, str]:
         if not exist_ok and os.path.isdir(self.output_path):
-            raise RuntimeError(f"The output path {self.output_path} already exists! "
-                               f"Change the output path or pass `--no_cache` to replace it.")
+            raise RuntimeError(f"Output path {self.output_path} exists already — "
+                               f"pick another output path or pass `--no_cache` to replace it.")
 
         os.makedirs(self.output_path, exist_ok=exist_ok)
 

@@ -332,8 +332,8 @@ def get_bundle_fusion_path() -> str:
     try:
         return os.environ["BUNDLE_FUSION_PATH"]
     except KeyError:
-        logging.error("Could not find the environment variable 'BUNDLE_FUSION_PATH'. "
-                      "Set it to the folder containing BundleFusion's default config files.")
+        logging.error("BUNDLE_FUSION_PATH is not set in the environment; point it "
+                      "at the folder holding BundleFusion's default config files.")
         raise
 
 

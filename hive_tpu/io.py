@@ -280,7 +280,7 @@ class COLMAPProcessor:
             logging.info("Generating COLMAP exclusion masks...")
             create_masks(ImageFolderDataset(self.image_path), self.mask_path, for_colmap=True)
         elif use_masks:
-            logging.info(f"Found {len(os.listdir(self.mask_path))} masks in {self.mask_path}.")
+            logging.info(f"Using {len(os.listdir(self.mask_path))} existing masks from {self.mask_path}.")
 
         logging.info("Running COLMAP, this may take a while...")
         command = self.get_command(use_masks=use_masks)
@@ -585,7 +585,7 @@ class Dataset(abc.ABC):
                 files_to_find.discard(filename)
             elif os.path.isdir(file_path):
                 if len(os.listdir(file_path)) == 0 and filename in folders_to_find:
-                    raise InvalidDatasetFormatError(f"Empty folder {filename} in {base_path}.")
+                    raise InvalidDatasetFormatError(f"Folder {filename} under {base_path} is empty.")
 
                 folders_to_find.discard(filename)
 

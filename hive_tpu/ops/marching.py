@@ -830,8 +830,32 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
             parts[name].append(row)
 
     t_collect = time.perf_counter()
+    if stats:
+        print(f"[extract] chunks={len(starts)} "
+              f"dispatch+collect {t_collect - t_start:.2f}s", flush=True)
 
     flat = {name: np.concatenate(chunks) for name, chunks in parts.items()}
+    return weld_and_assemble(flat, dims, origin, voxel_size)
+
+
+def weld_and_assemble(flat, dims, origin, voxel_size: float):
+    """Host-side weld + mesh assembly over the collected emission lanes.
+
+    ``flat`` maps lane names (``klo``/``colcode``/``fracnrm`` — see
+    ``_emit_core`` for the per-vertex encoding) to 1-D host arrays holding
+    the full emitted vertex stream. The stream order does not matter for
+    correctness, but an order-preserving chunk/shard partition makes the
+    output byte-identical across partitions (compaction keeps relative
+    order), which is the bit-equality contract the sharded extraction path
+    (hive_tpu.parallel.fusion.get_mesh_sharded) relies on.
+
+    :return: (vertices (V, 3) f32 world coords, faces (F, 3) int64,
+        vertex colors (V, 3) uint8, vertex normals (V, 3) f32).
+    """
+    import os
+    import time
+    stats = os.environ.get("HIVE_EXTRACT_STATS") == "1"
+    t_collect = time.perf_counter()
 
     # Weld + assembly, all-native fast path: one C++ call fuses the key
     # build, radix-sort weld, unique-vertex position/colour decode,
@@ -847,9 +871,8 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
         vertices, faces, colors, normals = native
         if stats:
             t_end = time.perf_counter()
-            print(f"[extract] chunks={len(starts)} emitted={len(flat['klo'])} "
+            print(f"[extract] emitted={len(flat['klo'])} "
                   f"unique={len(vertices)} faces={len(faces)} | "
-                  f"dispatch+collect {t_collect - t_start:.2f}s  "
                   f"weld+assemble(native) {t_end - t_collect:.2f}s",
                   flush=True)
         return vertices, faces, colors, normals
@@ -903,9 +926,8 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
 
     if stats:
         t_end = time.perf_counter()
-        print(f"[extract] chunks={len(starts)} emitted={len(keys)} "
+        print(f"[extract] emitted={len(keys)} "
               f"unique={len(first_idx)} faces={len(faces)} | "
-              f"dispatch+collect {t_collect - t_start:.2f}s  "
               f"concat+weld {t_weld - t_collect:.2f}s  "
               f"assembly+normals {t_end - t_weld:.2f}s", flush=True)
 

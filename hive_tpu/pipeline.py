@@ -751,7 +751,7 @@ class Pipeline:
         # stale copy over the new .glb.
         Path(output_path).with_suffix(".viewer.glb").unlink(missing_ok=True)
         export_scene(scene, output_path)
-        logging.info(f"Wrote mesh data to {output_path}")
+        logging.info(f"Mesh data written to {output_path}")
         return output_path
 
     def _compress_with_draco(self, path_to_glb: str):

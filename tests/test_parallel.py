@@ -100,6 +100,41 @@ class TestShardedSparseTSDF:
         np.testing.assert_allclose(tsdf_v, tsdf_r, atol=1e-6)
         np.testing.assert_allclose(c_v, c_r, atol=1e-4)
 
+    @pytest.mark.parametrize("placement", ["contiguous", "cyclic"])
+    def test_sharded_extraction_matches_single_device(self, mesh, placement):
+        """get_mesh_sharded partitions active cubes over the mesh (state
+        replicated) — the emitted stream preserves order, so vertices,
+        faces, normals and colors must be BYTE-identical to get_mesh().
+        A small chunk_size forces multiple dispatch rounds."""
+        from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
+        from hive_tpu.parallel.fusion import (get_mesh_sharded,
+                                              integrate_frames_sharded,
+                                              shard_sparse_state)
+
+        height, width = 24, 32
+        K = np.array([[30.0, 0, 15.5], [0, 30.0, 11.5], [0, 0, 1.0]])
+        rng = np.random.default_rng(1)
+        depths = rng.uniform(0.8, 1.6, (2, height, width)).astype(np.float32)
+        colors = rng.uniform(0, 255, (2, height, width, 3)).astype(np.float32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        bounds = np.array([[-1.0, 1.0], [-1.0, 1.0], [0.0, 2.0]])
+
+        ref = SparseTSDFVolume(bounds, voxel_size=2.0 / 32)
+        ref.integrate_frames(colors, depths, K, poses)
+        verts_r, faces_r, norms_r, cols_r = ref.get_mesh()
+        assert len(verts_r) > 0
+
+        vol = SparseTSDFVolume(bounds, voxel_size=2.0 / 32)
+        shard_sparse_state(vol, mesh, placement=placement)
+        integrate_frames_sharded(vol, mesh, colors, depths, K, poses)
+        verts_s, faces_s, norms_s, cols_s = get_mesh_sharded(
+            vol, mesh, chunk_size=64)
+
+        np.testing.assert_array_equal(verts_s, verts_r)
+        np.testing.assert_array_equal(faces_s, faces_r)
+        np.testing.assert_array_equal(norms_s, norms_r)
+        np.testing.assert_array_equal(cols_s, cols_r)
+
     def test_cyclic_placement_interleaves_blocks(self, mesh):
         from hive_tpu.ops.tsdf_sparse import SparseTSDFVolume
         from hive_tpu.parallel.fusion import shard_sparse_state
