@@ -400,7 +400,11 @@ class SparseTSDFVolume:
                               + block_index * B * voxel_size).astype(np.float32)
 
         self.band_capacity = max(64, int(nb * band_capacity_fraction))
-        self.chunk_voxels = int(chunk_voxels)
+        # HIVE_TSDF_CHUNK overrides for A/B sweeps (scripts/ab_env_sweep.py);
+        # the 2^16 default was measured fastest in both the XLA-gather and
+        # Pallas-sampler eras (see CLAUDE.md ledger).
+        self.chunk_voxels = int(os.environ.get("HIVE_TSDF_CHUNK", "0")
+                                or chunk_voxels)
 
         if color_mode not in ("rgb565d16", "rgb888"):
             raise ValueError(f"unknown color_mode {color_mode!r}")
@@ -1330,32 +1334,55 @@ class SparseTSDFVolume:
             _pallas_sample_fn = None
             _pallas_sample_small = None
 
+        # Empty-stream gate (MEASURED DEAD END 2026-08-21, default OFF): a
+        # lax.cond that skips a zero-count trip stream's compact+loop body
+        # sounded like a free ~0.17 ms/frame (the take-path stream is empty
+        # on most frames but still paid its full-width compaction sort) —
+        # but the A/B LOST: 5.47 ms/frame gated vs 5.26 ungated
+        # (ab_env_sweep, same-process, checksums identical). The cond's
+        # pass-through branch returns the carried state unchanged, which
+        # breaks XLA's in-place buffer aliasing through the scan — the
+        # state copies it forces cost more than the skipped sorts save.
+        # Knob kept for re-testing on other parts/compilers.
+        skip_empty = os.environ.get("HIVE_TSDF_SKIP_EMPTY", "0") == "1"
+
+        def count_gated(count, run, state):
+            if not skip_empty:
+                return run(state)
+            return jax.lax.cond(count > 0, run, lambda s: s, state)
+
         def update_band_chunked(state, block_origins, band_flat, sample,
                                 R, t, intr, obs_weight, windows=None):
             # ``state`` is slab-shaped: tsdf rows ARE the slab rows.
             nbs = state.tsdf.shape[0]
             nbs_pad = ((nbs + chunk - 1) // chunk) * chunk
             band_count = jnp.sum(band_flat)
-            band_ids = compact_ids(band_flat, nbs, nbs)
-            # Pad so dynamic_slice never clamps (a clamped slice would re-read
-            # ids from the previous trip and double-integrate those slabs).
-            band_ids = jnp.concatenate(
-                [band_ids, jnp.full((nbs_pad - nbs,), nbs,
-                                    dtype=band_ids.dtype)])
-            num_trips = (band_count + chunk - 1) // chunk
 
-            def trip(carry):
-                state, i = carry
-                ids = jax.lax.dynamic_slice(band_ids, (i * chunk,), (chunk,))
-                valid = ids < nbs
-                ids = jnp.minimum(ids, nbs - 1)
-                state = update_band(state, block_origins, ids, valid, sample,
-                                    R, t, intr, obs_weight, windows=windows)
-                return state, i + 1
+            def run(state):
+                band_ids = compact_ids(band_flat, nbs, nbs)
+                # Pad so dynamic_slice never clamps (a clamped slice would
+                # re-read ids from the previous trip and double-integrate
+                # those slabs).
+                padded = jnp.concatenate(
+                    [band_ids, jnp.full((nbs_pad - nbs,), nbs,
+                                        dtype=band_ids.dtype)])
+                num_trips = (band_count + chunk - 1) // chunk
 
-            state, _ = jax.lax.while_loop(lambda c: c[1] < num_trips, trip,
-                                          (state, jnp.int32(0)))
-            return state
+                def trip(carry):
+                    state, i = carry
+                    ids = jax.lax.dynamic_slice(padded, (i * chunk,), (chunk,))
+                    valid = ids < nbs
+                    ids = jnp.minimum(ids, nbs - 1)
+                    state = update_band(state, block_origins, ids, valid,
+                                        sample, R, t, intr, obs_weight,
+                                        windows=windows)
+                    return state, i + 1
+
+                state_out, _ = jax.lax.while_loop(
+                    lambda c: c[1] < num_trips, trip, (state, jnp.int32(0)))
+                return state_out
+
+            return count_gated(band_count, run, state)
 
         # The edge pass pays no per-voxel gather, so a wider trip is nearly
         # free (padding rows cost only contiguous row movement + VPU math).
@@ -1410,25 +1437,29 @@ class SparseTSDFVolume:
             nbs = state.tsdf.shape[0]
             nbs_pad = ((nbs + edge_chunk - 1) // edge_chunk) * edge_chunk
             edge_count = jnp.sum(edge_flat)
-            edge_ids = compact_ids(edge_flat, nbs, nbs)
-            edge_ids = jnp.concatenate(
-                [edge_ids, jnp.full((nbs_pad - nbs,), nbs,
-                                    dtype=edge_ids.dtype)])
-            num_trips = (edge_count + edge_chunk - 1) // edge_chunk
 
-            def trip(carry):
-                state, i = carry
-                ids = jax.lax.dynamic_slice(edge_ids, (i * edge_chunk,),
-                                            (edge_chunk,))
-                valid = ids < nbs
-                ids = jnp.minimum(ids, nbs - 1)
-                state = update_edge(state, block_origins, ids, valid,
-                                    R, t, intr, obs_weight)
-                return state, i + 1
+            def run(state):
+                edge_ids = compact_ids(edge_flat, nbs, nbs)
+                padded = jnp.concatenate(
+                    [edge_ids, jnp.full((nbs_pad - nbs,), nbs,
+                                        dtype=edge_ids.dtype)])
+                num_trips = (edge_count + edge_chunk - 1) // edge_chunk
 
-            state, _ = jax.lax.while_loop(lambda c: c[1] < num_trips, trip,
-                                          (state, jnp.int32(0)))
-            return state
+                def trip(carry):
+                    state, i = carry
+                    ids = jax.lax.dynamic_slice(padded, (i * edge_chunk,),
+                                                (edge_chunk,))
+                    valid = ids < nbs
+                    ids = jnp.minimum(ids, nbs - 1)
+                    state = update_edge(state, block_origins, ids, valid,
+                                        R, t, intr, obs_weight)
+                    return state, i + 1
+
+                state_out, _ = jax.lax.while_loop(
+                    lambda c: c[1] < num_trips, trip, (state, jnp.int32(0)))
+                return state_out
+
+            return count_gated(edge_count, run, state)
 
         def run_band_updates(state, block_origins, band_flat, windows,
                              sample, R, t, intr, obs_weight):

@@ -521,6 +521,37 @@ class TestPallasSampler:
                 np.asarray(getattr(static.state, name)),
                 np.asarray(getattr(bounded.state, name)), err_msg=name)
 
+    def test_skip_empty_gate_bit_identical(self, monkeypatch):
+        """The empty-stream lax.cond gate (skip a trip stream's compaction
+        sort when its count is zero this frame) must not change a bit vs
+        the unconditional build."""
+        height, width = 48, 64
+        k = np.array([[60.0, 0.0, (width - 1) / 2],
+                      [0.0, 60.0, (height - 1) / 2],
+                      [0.0, 0.0, 1.0]], np.float32)
+        rng = np.random.default_rng(3)
+        depths = rng.uniform(0.8, 1.8, (2, height, width)).astype(np.float32)
+        colors = rng.integers(0, 255, (2, height, width, 3)).astype(np.uint8)
+        poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        poses[:, 0, 3] = [0.0, 0.0123]
+        bounds = np.array([[-0.5, 0.5], [-0.5, 0.5], [0.0, 1.2]], np.float32)
+
+        monkeypatch.setenv("HIVE_TSDF_SKIP_EMPTY", "0")
+        plain = SparseTSDFVolume(bounds, voxel_size=1.0 / 16,
+                                 chunk_voxels=4096)
+        plain.integrate_frames(colors, depths, k, poses)
+
+        monkeypatch.setenv("HIVE_TSDF_SKIP_EMPTY", "1")
+        gated = SparseTSDFVolume(bounds, voxel_size=1.0 / 16,
+                                 chunk_voxels=4096)
+        gated.integrate_frames(colors, depths, k, poses)
+
+        assert float(jnp.sum(gated.state.weight.astype(jnp.float32))) > 0
+        for name in ("tsdf", "weight", "color"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(plain.state, name)),
+                np.asarray(getattr(gated.state, name)), err_msg=name)
+
     def test_unqualifying_shapes_fall_back(self):
         """Frames smaller than the sampler window must auto-disable Pallas
         (width 128 < PW) even when explicitly requested."""
