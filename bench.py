@@ -58,9 +58,10 @@ numbers carry their own weather context.
 Env knobs:
   HIVE_BENCH_BUDGET_S       total wall budget, default 1200
   HIVE_BENCH_PROBE_PLAN     comma list of per-attempt probe timeouts (s),
-                            default "120,150" — each attempt is a FRESH
+                            default "180,120" — each attempt is a FRESH
                             killable subprocess (a hung attach never
-                            recovers; a fresh one often does)
+                            recovers; a fresh one often does); longer
+                            window first (attaches can take ~130 s)
   HIVE_BENCH_PROBE_TOTAL    cap on total probing seconds, default 300
                             (was 900: four rounds of driver evidence say the
                             driver wall is tighter than probe + attach +
@@ -357,19 +358,22 @@ def _accelerator_alive() -> bool:
     The dominant outage mode is an attach that HANGS — but a hung attach
     never recovers in-process while a FRESH subprocess attach often succeeds
     once the tunnel frees up (observed 2026-08-17). So run up to two FRESH
-    subprocess attempts with escalating timeouts (120/150 s by default),
-    capped at 300 s total. The old 240/300/360 plan (total 900 s) was sized
-    for a budget the driver evidently does not grant: BENCH_r04 timed out
-    (rc=124) with zero output while the probe plan alone could burn the
-    whole wall. The emit-first provisional line now covers the
-    nothing-recorded risk, so the probe's only job is to pick the backend
-    quickly and leave room for the measured stages — a healthy attach
-    completes well inside 120 s (14.3 s on the last good run), and a tunnel
-    that needs 300+ s to attach would starve the stages anyway.
+    subprocess attempts (180 then 120 s by default), capped at 300 s total.
+    The old 240/300/360 plan (total 900 s) was sized for a budget the
+    driver evidently does not grant: BENCH_r04 timed out (rc=124) with zero
+    output while the probe plan alone could burn the whole wall. The
+    emit-first provisional line now covers the nothing-recorded risk, so
+    the probe's only job is to pick the backend quickly and leave room for
+    the measured stages — and a tunnel that needs 300+ s to attach would
+    starve the stages anyway. The LONGER window goes FIRST: healthy-session
+    attach times observed here range 14 s to ~130 s, and a 2026-08-21 run
+    with a 120/150 plan burned 236 s (first attempt missed at 120, second
+    re-attached from scratch) where a 180 s first window would have
+    finished in ~130.
     """
     from hive_tpu.utils import accelerator_alive
 
-    spec = os.environ.get("HIVE_BENCH_PROBE_PLAN", "120,150")
+    spec = os.environ.get("HIVE_BENCH_PROBE_PLAN", "180,120")
     deadline = time.monotonic() + float(
         os.environ.get("HIVE_BENCH_PROBE_TOTAL", "300"))
     for timeout_s in (int(x) for x in spec.split(",") if x):
