@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import io
 import json
+import shutil
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -523,6 +524,29 @@ def load_glb(path: str) -> Scene:
         scene.add_geometry(mesh, node_name=node.get("name", f"node_{len(scene.geometry)}"))
 
     return scene
+
+
+def write_gzip_sibling(path: str) -> int:
+    """Write ``<path>.gz`` (gzip -9, deterministic: zero mtime, no name) and
+    return its size in bytes.
+
+    The transfer-side half of the native compression fallback: the in-tree
+    viewer server (hive_tpu.viewer) serves ``X.glb`` from ``X.glb.gz`` with
+    ``Content-Encoding: gzip`` when the client accepts it (every browser
+    does, decoding transparently) — so over the wire the quantized fallback
+    reaches the external draco_transcoder's compression class
+    (ref hive/pipeline.py:938-980) with zero client-side requirements.
+    Any plain static file server can do the same (nginx gzip_static).
+    """
+    import gzip
+    import os
+
+    gz_path = path + ".gz"
+    with open(path, "rb") as src, open(gz_path, "wb") as out:
+        with gzip.GzipFile(filename="", mode="wb", fileobj=out,
+                           compresslevel=9, mtime=0) as gz:
+            shutil.copyfileobj(src, gz)
+    return os.path.getsize(gz_path)
 
 
 def quantize_glb(path: str, output_path: Optional[str] = None) -> Tuple[int, int]:

@@ -42,6 +42,26 @@ class _ViewerRequestHandler(http.server.SimpleHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return
+        # Pre-gzipped siblings (the pipeline's compression stage writes
+        # X.glb.gz next to X.glb): ship those bytes with
+        # Content-Encoding: gzip when the client accepts it — every browser
+        # does, decoding transparently, so the quantized fallback reaches
+        # draco-class transfer sizes with no client-side code.
+        if not path.endswith(".gz") and "gzip" in self.headers.get(
+                "Accept-Encoding", ""):
+            gz_path = self.translate_path(path) + ".gz"
+            if os.path.isfile(gz_path):
+                with open(gz_path, "rb") as f:
+                    body = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 self.guess_type(self.translate_path(path)))
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Vary", "Accept-Encoding")
+                self.end_headers()
+                self.wfile.write(body)
+                return
         super().do_GET()
 
     def log_message(self, fmt, *args):  # quiet: progress floods the console

@@ -122,6 +122,17 @@ class TestPipelineEndToEnd:
             assert stats["compression_ratio"] > 1.0
             assert 0.0 < stats["data_saving"] < 1.0
             assert stats["method"] in ("draco", "quantization")
+            if stats["method"] == "quantization":
+                # Transfer-side gzip sibling: wire ratio beats the on-disk
+                # quantization ratio, and the .gz file exists next to the
+                # canonical .glb for the viewer server to ship.
+                assert stats["gzip_file_size"] < stats["compressed_file_size"]
+                assert (stats["gzip_transfer_ratio"]
+                        > stats["compression_ratio"])
+
+        if compression["background"]["method"] == "quantization":
+            mesh_dir = pjoin(pipeline_run["output_path"], "mesh")
+            assert os.path.isfile(pjoin(mesh_dir, "bg.glb.gz"))
 
     def test_foreground_object_position(self, pipeline_run):
         """The fg blob sits at z=1.5 in front of the z=2 wall; after the

@@ -95,6 +95,57 @@ def test_missing_artifact_is_404(server):
     assert resp.status == 404
 
 
+class TestGzipSiblings:
+    """The pipeline's compression stage leaves X.glb.gz next to X.glb; the
+    server must ship those bytes with Content-Encoding: gzip to clients that
+    accept it (browsers decode transparently), and plain bytes otherwise."""
+
+    @pytest.fixture()
+    def gz_server(self, export_dir):
+        from hive_tpu.meshing.gltf import write_gzip_sibling
+
+        write_gzip_sibling(str(export_dir / "seq01" / "bg.glb"))
+        srv = make_server(str(export_dir), port=0)
+        thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        thread.start()
+        yield srv
+        srv.shutdown()
+
+    @staticmethod
+    def _get_with_headers(server, path, headers):
+        conn = http.client.HTTPConnection("localhost",
+                                          server.server_address[1])
+        conn.request("GET", path, headers=headers)
+        resp = conn.getresponse()
+        body = resp.read()
+        conn.close()
+        return resp, body
+
+    def test_gzip_served_and_decodes_to_original(self, gz_server, export_dir):
+        import gzip
+
+        resp, body = self._get_with_headers(
+            gz_server, "/seq01/bg.glb", {"Accept-Encoding": "gzip, deflate"})
+        assert resp.status == 200
+        assert resp.getheader("Content-Encoding") == "gzip"
+        original = (export_dir / "seq01" / "bg.glb").read_bytes()
+        assert gzip.decompress(body) == original
+        assert len(body) < len(original)
+
+    def test_plain_bytes_without_accept_encoding(self, gz_server, export_dir):
+        resp, body = self._get_with_headers(gz_server, "/seq01/bg.glb", {})
+        assert resp.status == 200
+        assert resp.getheader("Content-Encoding") is None
+        assert body == (export_dir / "seq01" / "bg.glb").read_bytes()
+
+    def test_no_sibling_serves_plain(self, gz_server, export_dir):
+        resp, body = self._get_with_headers(
+            gz_server, "/seq01/fg.glb", {"Accept-Encoding": "gzip"})
+        assert resp.status == 200
+        assert resp.getheader("Content-Encoding") is None
+        assert body == (export_dir / "seq01" / "fg.glb").read_bytes()
+
+
 def test_player_covers_every_writer_feature(export_dir):
     """Tripwire: each glTF feature export_scene emits is handled in the JS."""
     html = VIEWER_HTML.read_text()
