@@ -225,7 +225,17 @@ def tsdf_fusion(dataset: HiveDataset, options: BackgroundMeshOptions = Backgroun
 
     logging.info("Extracting mesh...")
     with stage("mesh_extraction"):
-        verts, faces, norms, colors = volume.get_mesh()
+        if mesh is not None:
+            # Device-parallel emission over the mesh (byte-identical to
+            # get_mesh — tests/test_parallel.py). Single-chip extraction
+            # stays the default because the serialized host collect stream,
+            # not device compute, bounds it there (PARITY.md §2.4); on a
+            # real multi-chip part each device's link ships its own shard.
+            from hive_tpu.parallel.fusion import get_mesh_sharded
+
+            verts, faces, norms, colors = get_mesh_sharded(volume, mesh)
+        else:
+            verts, faces, norms, colors = volume.get_mesh()
 
     return TriangleMesh(vertices=verts, faces=faces, vertex_colors=colors,
                         vertex_normals=norms)

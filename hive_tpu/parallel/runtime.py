@@ -8,6 +8,10 @@ mesh up via :func:`runtime_mesh`:
 
 * sparse TSDF integration block-shards over the mesh
   (:func:`hive_tpu.parallel.fusion.integrate_frames_sharded`);
+* isosurface extraction partitions its active-cube list over the mesh
+  (:func:`hive_tpu.parallel.fusion.get_mesh_sharded`, byte-identical to
+  single-device — on the one-chip tunnel it buys nothing because the host
+  collect stream is the bound, see PARITY.md §2.4);
 * DPT depth inference shards frame batches over the mesh
   (:class:`hive_tpu.models.dpt.DPTDepthEstimator`);
 * pose optimisation shards correspondence residuals over the mesh
