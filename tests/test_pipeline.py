@@ -224,6 +224,8 @@ class TestDracoViewerCopy:
         assert stats["method"] == "draco"
         viewer_copy = mesh_dir / "fg.viewer.glb"
         assert viewer_copy.is_file()
+        # The viewer-facing artifact gets its pre-gzipped sibling too.
+        assert (mesh_dir / "fg.viewer.glb.gz").is_file()
         # The sibling must actually be the quantized (viewer-playable) form.
         assert b"KHR_mesh_quantization" in viewer_copy.read_bytes()
         loaded = load_glb(str(viewer_copy))
@@ -238,6 +240,8 @@ class TestDracoViewerCopy:
                                      export_name="ds")
         exported = webxr_root / "ds" / "fg.glb"
         assert exported.read_bytes() == viewer_copy.read_bytes()
+        # ...and the export ships the gz sibling for the viewer server.
+        assert (webxr_root / "ds" / "fg.glb.gz").is_file()
         # bg had no draco pass, so its plain file ships unchanged.
         assert (webxr_root / "ds" / "bg.glb").read_bytes() == \
             (mesh_dir / "bg.glb").read_bytes()
