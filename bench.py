@@ -342,13 +342,16 @@ def aggregate_e2e_reps(reps):
         "reps_s_per_frame": [round(t, 2) for t in times],
         "cold_s_per_frame": round(times[0], 2),
         "warm_reps": len(warm) if len(times) > 1 else 0,
+        "warm_spread_s": round(max(warm) - min(warm), 2),
+    }
+    if len(times) > 1:
         # Min alongside median+spread (VERDICT r4 weak #4): the warm median
         # swung 0.93 vs 1.27 s/frame across two same-code sessions on
         # extraction-stage tunnel weather — the warm MIN is the
-        # weather-resistant floor, the spread is the weather itself.
-        "warm_min_s_per_frame": round(min(warm), 2),
-        "warm_spread_s": round(max(warm) - min(warm), 2),
-    }
+        # weather-resistant floor, the spread is the weather itself. Absent
+        # on budget-cut single-rep runs: the only rep is the COLD one, and
+        # a compile-inflated number must not masquerade as a warm floor.
+        rep_stats["warm_min_s_per_frame"] = round(min(warm), 2)
     return median, stage_totals, rep_stats
 
 
@@ -391,10 +394,20 @@ LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _read_last_known_good() -> Optional[dict]:
+    """The durable TPU record, or None. Shape-validated: the emit-first
+    provisional line reads record["value"]/["vs_baseline"] BEFORE anything
+    else runs, so a malformed file (truncated hand edit, bad merge) must
+    degrade to None rather than crash the process pre-emission — that would
+    reintroduce the zero-output failure the ratchet exists to prevent."""
     try:
         with open(LAST_GOOD_PATH) as f:
-            return json.load(f)
-    except (OSError, ValueError):
+            record = json.load(f)
+        if not isinstance(record, dict):
+            return None
+        int(record["value"])
+        float(record["vs_baseline"])
+        return record
+    except (OSError, ValueError, KeyError, TypeError):
         return None
 
 
@@ -699,6 +712,14 @@ def main():
             breakdown["tsdf_ref_default_skipped"] = "over budget"
         else:
             for grid in (REF_DEFAULT_GRID, REF_DEFAULT_FALLBACK_GRID):
+                # Re-check per attempt: a failed 680^3 try (OOM after
+                # minutes of compile + integration) may have drained the
+                # budget the 640^3 retry was sized against — starting it
+                # anyway invites a driver kill mid-TPU-dispatch (wedges the
+                # tunnelled device, CLAUDE.md).
+                if remaining_s() < TSDF_REF_DEFAULT_ESTIMATE_S:
+                    breakdown["tsdf_ref_default_skipped"] = "over budget"
+                    break
                 try:
                     ref_default = bench_tsdf(jax, jnp, grid_override=grid,
                                              reps=2, dtype=jnp.bfloat16)

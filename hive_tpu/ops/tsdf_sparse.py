@@ -403,8 +403,8 @@ class SparseTSDFVolume:
         # HIVE_TSDF_CHUNK overrides for A/B sweeps (scripts/ab_env_sweep.py);
         # the 2^16 default was measured fastest in both the XLA-gather and
         # Pallas-sampler eras (see CLAUDE.md ledger).
-        self.chunk_voxels = int(os.environ.get("HIVE_TSDF_CHUNK", "0")
-                                or chunk_voxels)
+        self.chunk_voxels = (int(os.environ.get("HIVE_TSDF_CHUNK", "0"))
+                             or int(chunk_voxels))
 
         if color_mode not in ("rgb565d16", "rgb888"):
             raise ValueError(f"unknown color_mode {color_mode!r}")

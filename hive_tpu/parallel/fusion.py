@@ -234,18 +234,41 @@ def get_mesh_sharded(volume: SparseTSDFVolume, mesh: Mesh, axis: str = "data",
 
     parts = {name: [] for name in ("klo", "colcode", "fracnrm")}
     stride = n * per_dev
-    for start in range(0, len(active), stride):
+
+    def dispatch(start):
         sl = active[start:start + stride]
         counts = np.clip(len(sl) - per_dev * np.arange(n), 0,
                          per_dev).astype(np.int32)
         if len(sl) < stride:
             sl = np.concatenate(
                 [sl, np.zeros((stride - len(sl), 3), np.int32)])
-        lanes, cnts = emit(tsdf_flat, color_flat,
-                           jnp.asarray(sl.reshape(n, per_dev, 3)),
-                           jnp.asarray(counts))
-        lanes = np.asarray(lanes)
+        return emit(tsdf_flat, color_flat,
+                    jnp.asarray(sl.reshape(n, per_dev, 3)),
+                    jnp.asarray(counts))
+
+    # Same two transfer disciplines as the single-device collect loop
+    # (ops/marching._chunked_extract_and_weld — extraction is bound by the
+    # serialized host collect stream, not device compute): a depth-2
+    # software pipeline overlaps one round's transfers with the next
+    # round's emission, and the lane transfer is trimmed to the round's
+    # max per-device count rounded up to a 4096-multiple width class (one
+    # tiny slice program per class; block-cyclic placement keeps
+    # per-device counts close, so the over-the-max waste is small).
+    starts = list(range(0, len(active), stride))
+    queue = [dispatch(s) for s in starts[:1]]
+    next_dispatch = 1
+
+    for _ in range(len(starts)):
+        if next_dispatch < len(starts):
+            queue.append(dispatch(starts[next_dispatch]))
+            next_dispatch += 1
+
+        lanes, cnts = queue.pop(0)
         cnts = np.asarray(cnts)
+        width = lanes.shape[2]
+        nv_max = 3 * int(cnts.max()) if len(cnts) else 0
+        nv_t = min(width, -(-nv_max // 4096) * 4096)
+        lanes = np.asarray(lanes[:, :, :nv_t])
         # Device order = active order: the concatenated stream matches the
         # single-device chunk stream element-for-element.
         for d in range(n):

@@ -744,12 +744,17 @@ class Pipeline:
     @classmethod
     def _write_mesh_to_disk(cls, base_folder: str, scene_name: str, scene: Scene) -> str:
         output_path = pjoin(base_folder, f"{scene_name}.glb")
-        # A previous run into the same folder may have left a .viewer.glb
-        # sibling (written only when draco compresses, see
-        # _compress_with_draco). It describes the OLD mesh — if this run
-        # doesn't produce a fresh one, the WebXR export would prefer the
-        # stale copy over the new .glb.
-        Path(output_path).with_suffix(".viewer.glb").unlink(missing_ok=True)
+        # A previous run into the same folder may have left siblings behind:
+        # a .viewer.glb (written only when draco compresses) and pre-gzipped
+        # .gz copies (written by the compression stage, see
+        # _compress_with_draco). They describe the OLD mesh — if this run
+        # doesn't produce fresh ones, the WebXR export would prefer the
+        # stale viewer copy and the viewer server would ship the stale gz
+        # to every gzip-accepting browser.
+        viewer_sibling = Path(output_path).with_suffix(".viewer.glb")
+        for stale in (viewer_sibling, Path(output_path + ".gz"),
+                      Path(str(viewer_sibling) + ".gz")):
+            stale.unlink(missing_ok=True)
         export_scene(scene, output_path)
         logging.info(f"Mesh data written to {output_path}")
         return output_path
@@ -887,9 +892,14 @@ class Pipeline:
             shutil.copy(src, pjoin(webxr_output_path, filename))
             # Ship the pre-gzipped copy alongside: the viewer server sends
             # it with Content-Encoding: gzip (see _compress_with_draco).
+            # A re-export without one must also DROP any stale .gz a
+            # previous export left in this folder — the server would prefer
+            # it over the fresh plain file.
+            dest_gz = pjoin(webxr_output_path, filename + ".gz")
             if os.path.isfile(src + ".gz"):
-                shutil.copy(src + ".gz",
-                            pjoin(webxr_output_path, filename + ".gz"))
+                shutil.copy(src + ".gz", dest_gz)
+            else:
+                Path(dest_gz).unlink(missing_ok=True)
 
         logging.info(f"WebXR assets written to {webxr_output_path}")
         return webxr_output_path

@@ -29,6 +29,28 @@ from pathlib import Path
 VIEWER_HTML = Path(__file__).with_name("index.html")
 
 
+def _accepts_gzip(accept_encoding: str) -> bool:
+    """True when the Accept-Encoding header admits gzip.
+
+    A plain substring test would treat ``gzip;q=0`` — an explicit refusal
+    (RFC 9110 §12.5.3) — as acceptance; parse the coding tokens instead.
+    """
+    for entry in accept_encoding.split(","):
+        parts = [p.strip() for p in entry.split(";")]
+        if parts[0].lower() not in ("gzip", "*"):
+            continue
+        q = 1.0
+        for param in parts[1:]:
+            if param.lower().startswith("q="):
+                try:
+                    q = float(param[2:])
+                except ValueError:
+                    q = 0.0
+        if q > 0:
+            return True
+    return False
+
+
 class _ViewerRequestHandler(http.server.SimpleHTTPRequestHandler):
     """Serves the export folder, with the viewer page at ``/``."""
 
@@ -47,20 +69,29 @@ class _ViewerRequestHandler(http.server.SimpleHTTPRequestHandler):
         # Content-Encoding: gzip when the client accepts it — every browser
         # does, decoding transparently, so the quantized fallback reaches
         # draco-class transfer sizes with no client-side code.
-        if not path.endswith(".gz") and "gzip" in self.headers.get(
-                "Accept-Encoding", ""):
-            gz_path = self.translate_path(path) + ".gz"
-            if os.path.isfile(gz_path):
-                with open(gz_path, "rb") as f:
-                    body = f.read()
+        if not path.endswith(".gz") and _accepts_gzip(
+                self.headers.get("Accept-Encoding", "")):
+            base_path = self.translate_path(path)
+            gz_path = base_path + ".gz"
+            try:
+                # A sibling older than its base file is stale (out-of-band
+                # regeneration) — fall through to the plain bytes rather
+                # than silently serving an outdated mesh.
+                fresh = (os.path.getmtime(gz_path)
+                         >= os.path.getmtime(base_path))
+            except OSError:
+                fresh = False
+            if fresh:
+                size = os.path.getsize(gz_path)
                 self.send_response(200)
-                self.send_header("Content-Type",
-                                 self.guess_type(self.translate_path(path)))
+                self.send_header("Content-Type", self.guess_type(base_path))
                 self.send_header("Content-Encoding", "gzip")
-                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Content-Length", str(size))
                 self.send_header("Vary", "Accept-Encoding")
                 self.end_headers()
-                self.wfile.write(body)
+                with open(gz_path, "rb") as f:
+                    import shutil
+                    shutil.copyfileobj(f, self.wfile)
                 return
         super().do_GET()
 

@@ -9,6 +9,7 @@ source, so writer extensions fail loudly here instead of rendering wrong.
 
 import http.client
 import json
+import os
 import struct
 import threading
 
@@ -144,6 +145,28 @@ class TestGzipSiblings:
         assert resp.status == 200
         assert resp.getheader("Content-Encoding") is None
         assert body == (export_dir / "seq01" / "fg.glb").read_bytes()
+
+    def test_gzip_refusal_q0_serves_plain(self, gz_server, export_dir):
+        """``gzip;q=0`` is an explicit refusal (RFC 9110) — a substring
+        match would wrongly send gzip bytes the client cannot decode."""
+        resp, body = self._get_with_headers(
+            gz_server, "/seq01/bg.glb", {"Accept-Encoding": "gzip;q=0"})
+        assert resp.status == 200
+        assert resp.getheader("Content-Encoding") is None
+        assert body == (export_dir / "seq01" / "bg.glb").read_bytes()
+
+    def test_stale_sibling_is_skipped(self, gz_server, export_dir):
+        """A .gz older than its base file (out-of-band regeneration) must
+        not be served — the plain, current bytes win."""
+        base = export_dir / "seq01" / "bg.glb"
+        gz = export_dir / "seq01" / "bg.glb.gz"
+        os.utime(gz, (1, 1))  # gz mtime far behind the base file
+
+        resp, body = self._get_with_headers(
+            gz_server, "/seq01/bg.glb", {"Accept-Encoding": "gzip"})
+        assert resp.status == 200
+        assert resp.getheader("Content-Encoding") is None
+        assert body == base.read_bytes()
 
 
 def test_player_covers_every_writer_feature(export_dir):
