@@ -69,11 +69,20 @@ Env knobs:
                             old reason to probe long, and a short probe
                             leaves room for the CPU-fallback TSDF stage)
   HIVE_BENCH_E2E=0          skip the e2e stage outright
+  HIVE_BENCH_DEPTH=0        skip the depth stage outright
+  HIVE_BENCH_RETRY=0        disable the second-chance TPU retry (after a
+                            CPU fallback, the bench keeps re-probing while
+                            budget remains and, on tunnel recovery, reruns
+                            itself in a fresh subprocess and adopts that
+                            TPU record — the tunnel FLAPS: both 2026-08-21
+                            fallback runs were sandwiched by successful
+                            attaches minutes on either side)
   HIVE_BENCH_FORCE_CPU=1    (tests) force the CPU backend, skip the probe
   HIVE_BENCH_TINY=1         (tests) shrink workloads to seconds-scale
   HIVE_BENCH_FAKE_TSDF=N    (tests) skip the TSDF stage, report N
   HIVE_BENCH_FAKE_SLOW_STAGE=depth|probe   (tests) substitute a sleep for
                             that stage to exercise mid-stage kill behaviour
+  HIVE_BENCH_FAKE_PROBE=0,1,...   (tests) scripted probe outcomes
 """
 
 import json
@@ -374,8 +383,6 @@ def _accelerator_alive() -> bool:
     re-attached from scratch) where a 180 s first window would have
     finished in ~130.
     """
-    from hive_tpu.utils import accelerator_alive
-
     spec = os.environ.get("HIVE_BENCH_PROBE_PLAN", "180,120")
     deadline = time.monotonic() + float(
         os.environ.get("HIVE_BENCH_PROBE_TOTAL", "300"))
@@ -383,10 +390,30 @@ def _accelerator_alive() -> bool:
         remaining = deadline - time.monotonic()
         if remaining < 1.0:  # a zero-second attempt is a guaranteed miss
             break
-        attempt = max(1, int(min(timeout_s, remaining)))
-        if accelerator_alive(timeout_s=attempt, retries=1, total_s=attempt):
+        if _probe_once(max(1, int(min(timeout_s, remaining)))):
             return True
     return False
+
+
+def _probe_once(timeout_s: int) -> bool:
+    """One fresh-subprocess accelerator probe attempt."""
+    fake = os.environ.get("HIVE_BENCH_FAKE_PROBE", "")
+    if fake:
+        # Test hook: a comma list of 0/1 outcomes consumed one per probe
+        # attempt (the retry-loop tests need "fail then succeed" sequences
+        # without real hardware). The index persists via the environment —
+        # and is INHERITED by child bench processes, whose first probe
+        # continues the sequence.
+        seq = [x.strip() for x in fake.split(",")]
+        idx = int(os.environ.get("_HIVE_BENCH_FAKE_PROBE_IDX", "0"))
+        os.environ["_HIVE_BENCH_FAKE_PROBE_IDX"] = str(
+            min(idx + 1, len(seq) - 1))
+        return seq[min(idx, len(seq) - 1)] == "1"
+
+    from hive_tpu.utils import accelerator_alive
+
+    return accelerator_alive(timeout_s=timeout_s, retries=1,
+                             total_s=timeout_s)
 
 
 LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -642,7 +669,9 @@ def main():
     # (test mode) still exercises the budget gating below.
     run_secondary = force_cpu or not cpu_fallback
 
-    if run_secondary:
+    if run_secondary and os.environ.get("HIVE_BENCH_DEPTH", "1") == "0":
+        breakdown["depth_skipped"] = "disabled (HIVE_BENCH_DEPTH=0)"
+    elif run_secondary:
         if remaining_s() < DEPTH_STAGE_ESTIMATE_S:
             breakdown["depth_skipped"] = "over budget"
         elif fake_slow == "depth":
@@ -736,6 +765,70 @@ def main():
                     # a documented memory cap beats an unmeasured regime).
                     breakdown[f"tsdf_ref_default_{grid}_error"] = (
                         f"{type(exc).__name__}: {exc}"[:200])
+
+    # Second-chance TPU retry (2026-08-21: the tunnel FLAPS — a probe that
+    # exhausted its whole plan at minute 0 succeeded minutes later in the
+    # same session, twice). While budget remains after a CPU fallback, keep
+    # re-probing; on recovery, run the bench again in a FRESH subprocess
+    # (this process's backend is pinned to CPU by the fallback) and adopt
+    # its measured TPU record as the final ratchet line. The child gets
+    # HIVE_BENCH_RETRY=0 (no grandchildren) and a budget carved from what
+    # remains, and writes LAST_GOOD_TPU.json itself on success.
+    RETRY_FLOOR_S = 420.0  # probe (<=120) + child TSDF (~240 warm) + margin
+    if cpu_fallback and os.environ.get("HIVE_BENCH_RETRY", "1") == "1":
+        import subprocess
+        import sys
+
+        adopt_any = os.environ.get("HIVE_BENCH_RETRY_ADOPT_ANY") == "1"
+        probe_attempts = 0
+        while remaining_s() > RETRY_FLOOR_S:
+            probe_attempts += 1
+            if not _probe_once(120):
+                continue  # each failed probe burns its own timeout of wall
+
+            child_budget = int(min(remaining_s() - 60, 900))
+            child_env = dict(os.environ)
+            child_env.update({
+                "HIVE_BENCH_RETRY": "0",
+                "HIVE_BENCH_E2E": "0",
+                "HIVE_BENCH_PROBE_PLAN": "120",
+                "HIVE_BENCH_PROBE_TOTAL": "120",
+                "HIVE_BENCH_BUDGET_S": str(child_budget),
+            })
+            if os.environ.get("HIVE_BENCH_RETRY_CHILD_FORCE_CPU") == "1":
+                child_env["HIVE_BENCH_FORCE_CPU"] = "1"  # test hook
+            try:
+                child = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=child_env, capture_output=True, text=True,
+                    timeout=child_budget + 360)
+            except subprocess.TimeoutExpired:
+                break
+
+            adopted = None
+            for line in child.stdout.splitlines():
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    candidate = json.loads(line)
+                except ValueError:
+                    continue
+                child_breakdown = candidate.get("breakdown", {})
+                if not child_breakdown.get("provisional") and (
+                        child_breakdown.get("backend") == "tpu" or adopt_any):
+                    adopted = candidate  # last qualifying line wins
+            if adopted:
+                adopted["breakdown"]["retried_after_cpu_fallback"] = {
+                    "probe_attempts": probe_attempts,
+                    "first_probe_s": tunnel_health.get("probe_s"),
+                }
+                payload = adopted
+                breakdown = adopted["breakdown"]
+                break
+            # A child that fell back to CPU itself means the tunnel flapped
+            # again between our probe and its attach — keep trying while
+            # the budget lasts.
 
     breakdown["elapsed_s"] = round(time.monotonic() - t_start, 1)
     if on_tpu and not os.environ.get("HIVE_BENCH_FAKE_TSDF"):

@@ -193,6 +193,45 @@ def test_hung_probe_still_emits_provisional_line_immediately():
             proc.wait()
 
 
+def test_cpu_fallback_retries_and_adopts_child_record():
+    """Second-chance retry: a failed probe plan (tunnel flap) falls back to
+    CPU, but while budget remains the bench re-probes; on recovery it reruns
+    itself in a fresh subprocess and the FINAL line adopts that record,
+    marked retried_after_cpu_fallback. Probe outcomes scripted 0,0 (BOTH
+    plan attempts fail — the default plan probes twice) then 1 (retry
+    succeeds); the child is forced onto CPU via the test hook and adopted
+    via HIVE_BENCH_RETRY_ADOPT_ANY."""
+    env = dict(os.environ)
+    env.pop("HIVE_BENCH_FORCE_CPU", None)
+    env.update({
+        "JAX_PLATFORMS": "axon",          # non-cpu → the probe path runs
+        "HIVE_BENCH_FAKE_PROBE": "0,0,1",
+        "HIVE_BENCH_FAKE_TSDF": "123456789",
+        "HIVE_BENCH_RETRY_CHILD_FORCE_CPU": "1",
+        "HIVE_BENCH_RETRY_ADOPT_ANY": "1",
+        "HIVE_BENCH_BUDGET_S": "3600",
+        # The CPU-forced child would otherwise run the REAL depth stage
+        # (minutes on one host core); inherited by the child.
+        "HIVE_BENCH_DEPTH": "0",
+    })
+    result = subprocess.run(
+        [sys.executable, BENCH], env=env,
+        capture_output=True, text=True, timeout=300)
+
+    assert result.returncode == 0, result.stderr[-2000:]
+    payloads = _parse_json_lines(result.stdout)
+    final = payloads[-1]
+    marker = final["breakdown"]["retried_after_cpu_fallback"]
+    assert marker["probe_attempts"] == 1
+    assert final["value"] == 123456789
+    # The pre-retry record is still earlier in the ratchet, labeled as the
+    # fallback it was.
+    fallback_lines = [p for p in payloads
+                     if p["breakdown"].get("backend", "").startswith(
+                         "cpu-fallback")]
+    assert fallback_lines
+
+
 class TestE2ERepAggregation:
     """The warm-rep protocol's reduction (VERDICT r3 #4): rep 1 is the cold
     rep and is discarded whenever warm reps exist; the reported stage totals
