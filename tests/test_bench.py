@@ -232,6 +232,52 @@ def test_cpu_fallback_retries_and_adopts_child_record():
     assert fallback_lines
 
 
+class TestLastGoodMerge:
+    """merge_last_known_good: latest fields win, absent stages persist,
+    and e2e_best preserves the best-witnessed e2e across weather."""
+
+    def test_bad_weather_run_keeps_best_e2e(self):
+        import bench
+
+        previous = {"value": 1, "e2e_s_per_frame": 0.76,
+                    "e2e_vs_baseline": 13.2,
+                    "e2e_reps": {"warm_spread_s": 0.08},
+                    "date": "2026-08-20"}
+        record = {"value": 2, "e2e_s_per_frame": 2.85,
+                  "e2e_vs_baseline": 3.5,
+                  "e2e_reps": {"warm_spread_s": 4.52}}
+        merged = bench.merge_last_known_good(previous, record,
+                                             "2026-08-21", "abc")
+        assert merged["value"] == 2                  # latest wins
+        assert merged["e2e_s_per_frame"] == 2.85     # latest, honest
+        best = merged["e2e_best"]
+        assert best["e2e_s_per_frame"] == 0.76       # capability preserved
+        assert best["date"] == "2026-08-20"
+        assert merged["commit"] == "abc"
+
+    def test_better_run_advances_best(self):
+        import bench
+
+        previous = {"e2e_best": {"e2e_s_per_frame": 0.9, "date": "d0"},
+                    "e2e_s_per_frame": 2.0, "date": "d1"}
+        record = {"e2e_s_per_frame": 0.7, "e2e_reps": {}}
+        merged = bench.merge_last_known_good(previous, record, "d2", "c")
+        assert merged["e2e_best"]["e2e_s_per_frame"] == 0.7
+        assert merged["e2e_best"]["date"] == "d2"
+
+    def test_tsdf_only_run_preserves_stages(self):
+        import bench
+
+        previous = {"value": 1, "depth_ms_per_frame": 6.8,
+                    "e2e_s_per_frame": 0.76, "date": "d0"}
+        merged = bench.merge_last_known_good(previous, {"value": 3},
+                                             "d1", "c")
+        assert merged["depth_ms_per_frame"] == 6.8
+        assert merged["e2e_s_per_frame"] == 0.76
+        assert merged["e2e_best"]["e2e_s_per_frame"] == 0.76
+        assert merged["value"] == 3
+
+
 class TestE2ERepAggregation:
     """The warm-rep protocol's reduction (VERDICT r3 #4): rep 1 is the cold
     rep and is discarded whenever warm reps exist; the reported stage totals
