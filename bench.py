@@ -99,6 +99,8 @@ BASELINE_E2E_S_PER_FRAME = 10.0      # GT-data config, VGA, bg + fg meshing
 
 # Conservative stage-cost estimates for budget gating (a DPT compile through
 # a busy tunnel can stall for minutes; e2e needs minutes of 1-core meshing).
+TSDF_PRIMARY_ESTIMATE_S = 240.0      # TPU, warm cache; CPU fallback is ~90
+TSDF_PRIMARY_CPU_ESTIMATE_S = 90.0
 DEPTH_STAGE_ESTIMATE_S = 300.0
 TSDF_REF_SCALE_ESTIMATE_S = 180.0   # 512^3 secondary stage: compile + 3 reps
 TSDF_REF_DEFAULT_ESTIMATE_S = 300.0  # 680^3 (~314M voxels): compile + 2 reps
@@ -637,11 +639,27 @@ def main():
         "tunnel_health": tunnel_health or None,
     }))
 
+    def remaining_s() -> float:
+        return deadline - time.monotonic()
+
     if os.environ.get("HIVE_BENCH_FAKE_TSDF"):
         # Test hook: stand-in primary number, so emission-ordering/kill tests
         # don't pay a full CPU compile of the integrator per subprocess.
         voxel_updates_per_second = float(os.environ["HIVE_BENCH_FAKE_TSDF"])
     else:
+        # The primary stage is budget-gated like the secondaries: starting
+        # a TSDF run the wall cannot fit invites a driver (or retry-parent)
+        # kill MID-DISPATCH, which can wedge the tunnelled device for ~an
+        # hour. A gated-out run exits with the provisional record instead.
+        estimate = (30.0 if tiny else TSDF_PRIMARY_CPU_ESTIMATE_S
+                    if (cpu_fallback or force_cpu) else
+                    TSDF_PRIMARY_ESTIMATE_S)
+        if remaining_s() < estimate:
+            breakdown["tsdf_skipped"] = "over budget"
+            breakdown["elapsed_s"] = round(time.monotonic() - t_start, 1)
+            _emit(_provisional_payload(last_good, "primary-gated-out",
+                                       breakdown))
+            return
         voxel_updates_per_second = bench_tsdf(jax, jnp, small=cpu_fallback,
                                               tiny=tiny)
     breakdown["tsdf_voxel_updates_per_second"] = round(voxel_updates_per_second)
@@ -666,9 +684,6 @@ def main():
             "vs_baseline": payload["vs_baseline"],
             "tunnel_health": tunnel_health,
         })
-
-    def remaining_s() -> float:
-        return deadline - time.monotonic()
 
     def update_last_good_from_breakdown():
         record = {
@@ -806,19 +821,33 @@ def main():
     # its measured TPU record as the final ratchet line. The child gets
     # HIVE_BENCH_RETRY=0 (no grandchildren) and a budget carved from what
     # remains, and writes LAST_GOOD_TPU.json itself on success.
-    RETRY_FLOOR_S = 420.0  # probe (<=120) + child TSDF (~240 warm) + margin
-    if cpu_fallback and os.environ.get("HIVE_BENCH_RETRY", "1") == "1":
+    # Floor: probe (<=120) + child TSDF (>= its 240 s gate) + wrap-up. The
+    # child gates its own primary stage on ITS budget, so the parent's
+    # subprocess timeout (capped at the parent deadline minus wrap-up, so
+    # the driver's wall is honoured) should land while the child is either
+    # idle-attached or already done — never mid-dispatch under normal cost
+    # estimates.
+    RETRY_FLOOR_S = 700.0
+    if cpu_fallback and os.environ.get("HIVE_BENCH_RETRY", "1") != "0":
         import subprocess
         import sys
 
         adopt_any = os.environ.get("HIVE_BENCH_RETRY_ADOPT_ANY") == "1"
         probe_attempts = 0
-        while remaining_s() > RETRY_FLOOR_S:
+        while remaining_s() > RETRY_FLOOR_S and probe_attempts < 8:
             probe_attempts += 1
+            probe_started = time.monotonic()
             if not _probe_once(120):
-                continue  # each failed probe burns its own timeout of wall
+                # A hang-mode failure burns its own 120 s window; a
+                # FAST-failing probe (immediate UNAVAILABLE) must not
+                # busy-spin fresh jax-importing subprocesses on this
+                # 1-core VM — pace to one attempt per minute.
+                elapsed = time.monotonic() - probe_started
+                if elapsed < 60:
+                    time.sleep(min(60 - elapsed, remaining_s()))
+                continue
 
-            child_budget = int(min(remaining_s() - 60, 900))
+            child_budget = int(min(remaining_s() - 160, 900))
             child_env = dict(os.environ)
             child_env.update({
                 "HIVE_BENCH_RETRY": "0",
@@ -833,8 +862,10 @@ def main():
                 child = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=child_env, capture_output=True, text=True,
-                    timeout=child_budget + 360)
+                    timeout=max(60.0, remaining_s() - 30))
             except subprocess.TimeoutExpired:
+                breakdown["retry_timeout"] = (
+                    "child bench outlived the remaining budget")
                 break
 
             adopted = None
@@ -846,7 +877,9 @@ def main():
                     candidate = json.loads(line)
                 except ValueError:
                     continue
-                child_breakdown = candidate.get("breakdown", {})
+                child_breakdown = candidate.get("breakdown")
+                if not isinstance(child_breakdown, dict):
+                    continue
                 if not child_breakdown.get("provisional") and (
                         child_breakdown.get("backend") == "tpu" or adopt_any):
                     adopted = candidate  # last qualifying line wins

@@ -193,6 +193,24 @@ def test_hung_probe_still_emits_provisional_line_immediately():
             proc.wait()
 
 
+def test_primary_stage_gated_out_when_budget_exhausted():
+    """A wall that cannot fit even the primary TSDF stage must not start
+    it (a driver kill mid-dispatch can wedge the tunnelled device): the
+    bench exits 0 with a provisional line marked tsdf_skipped."""
+    env = dict(os.environ)
+    env.update({"HIVE_BENCH_FORCE_CPU": "1", "HIVE_BENCH_BUDGET_S": "0"})
+    env.pop("HIVE_BENCH_FAKE_TSDF", None)
+    result = subprocess.run(
+        [sys.executable, BENCH], env=env,
+        capture_output=True, text=True, timeout=300)
+
+    assert result.returncode == 0, result.stderr[-2000:]
+    final = _parse_json_lines(result.stdout)[-1]
+    assert final["breakdown"]["provisional"] is True
+    assert final["breakdown"]["provisional_stage"] == "primary-gated-out"
+    assert final["breakdown"]["tsdf_skipped"] == "over budget"
+
+
 def test_cpu_fallback_retries_and_adopts_child_record():
     """Second-chance retry: a failed probe plan (tunnel flap) falls back to
     CPU, but while budget remains the bench re-probes; on recovery it reruns
