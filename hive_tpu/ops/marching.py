@@ -5,8 +5,11 @@ submodule's ``get_mesh`` (hive/fusion.py:127). This module re-designs
 extraction for TPU with a two-pass, table-free algorithm:
 
 1. **Active-cube pass (device)** — a fused elementwise kernel flags cubes whose
-   8 corners are all observed and straddle the zero level set. Only the small
-   boolean mask crosses to the host (typically <1% of cubes are active).
+   8 corners are all observed and straddle the zero level set. Crossing data
+   is kept minimal: the dense path ships pow2-class-padded compacted int32
+   cube indices (a full bool mask measured as the dominant transfer at
+   production sizes) and the sparse path ships a bit-packed activity mask
+   for candidate blocks only (see ``_active_cubes_blocked_sparse``).
 2. **Triangle pass (device, chunked)** — active cubes are split into 6
    tetrahedra (a face-consistent decomposition around the main diagonal, so
    neighbouring cubes share face diagonals and the mesh is crack-free). Each
@@ -107,28 +110,6 @@ def _cube_corner_reduce(observed, inside):
 def _active_cubes_mask(tsdf: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
     """(X-1, Y-1, Z-1) bool: cube has all corners observed and a sign change."""
     return _cube_corner_reduce(weight > 0.0, tsdf < 0.0)
-
-
-@partial(jax.jit, static_argnames=("grid_blocks", "block_size"))
-def _active_cubes_mask_blocked(tsdf_b, weight_b, *, grid_blocks, block_size):
-    """Active-cube mask straight from the block-major sparse state.
-
-    Assembles ONE dense plane (tsdf with unobserved voxels encoded as NaN —
-    NaN < 0 is False and isfinite is the observed test) instead of the five
-    dense arrays the generic path would build. (Kept for reference/AB — the
-    production sparse path uses the candidate-block pass below, which skips
-    the physical (nb, BV) -> (X, Y, Z) relayout this plane pays.)
-    """
-    nbx, nby, nbz = grid_blocks
-    bx, by, bz = block_size
-
-    val = jnp.where(weight_b > 0, tsdf_b.astype(jnp.float32), jnp.nan)
-    # z-major in-block layout (see hive_tpu.ops.tsdf_sparse).
-    val = val.reshape(nbx, nby, nbz, bz, bx, by)
-    val = jnp.transpose(val, (0, 4, 1, 5, 2, 3))
-    val = val.reshape(nbx * bx, nby * by, nbz * bz)
-
-    return _cube_corner_reduce(jnp.isfinite(val), val < 0.0)
 
 
 def _state_voxel_address(x, y, z, *, grid_blocks, block_size):
@@ -437,7 +418,10 @@ def _emit_triangles_compact(tsdf_flat, packed_color_flat, cube_idx, valid_count,
                             dims, capacity: int):
     """Triangle emission from DENSE flat tsdf/colour arrays (see _emit_core)."""
     corner_lin = _corner_lin(cube_idx, dims)
-    s8 = jnp.take(tsdf_flat, corner_lin)                                 # (M, 8)
+    # f32 like the blocked twin: a bf16 tsdf fed through the fraction/snap
+    # math would collapse fractions to ~256 levels and misfire the 1e-5
+    # snap epsilon (below bf16 resolution near 1.0).
+    s8 = jnp.take(tsdf_flat, corner_lin).astype(jnp.float32)             # (M, 8)
     packed8 = jnp.take(packed_color_flat, corner_lin)                    # (M, 8)
     return _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity)
 
@@ -688,6 +672,21 @@ def _emit_core(s8, packed8, corner_lin, cube_idx, valid_count, capacity: int):
     return packed_lanes, count
 
 
+def _empty_mesh() -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The (vertices, faces, colors, normals) tuple of an empty extraction."""
+    return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
+            np.zeros((0, 3), np.uint8), np.zeros((0, 3), np.float32))
+
+
+def decode_active_coords(lin: np.ndarray, dims) -> np.ndarray:
+    """Linear cube ids (over the (X-1, Y-1, Z-1) cube grid) -> (A, 3) int32
+    coords. One definition — the dense, blocked, and sharded extraction
+    paths must decode identically for their bit-equality contracts."""
+    cy, cz = (dims[1] - 1), (dims[2] - 1)
+    return np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
+                    axis=-1).astype(np.int32)
+
+
 def extract_isosurface(
         tsdf, weight, color, origin, voxel_size: float, chunk_size: int = 1 << 15,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -717,13 +716,10 @@ def extract_isosurface(
     num_active = int(jnp.sum(mask_flat))
 
     if num_active == 0:
-        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
-                np.zeros((0, 3), np.uint8), np.zeros((0, 3), np.float32))
+        return _empty_mesh()
 
     lin = _active_indices(mask_flat, num_active)
-    cy, cz = (dims[1] - 1), (dims[2] - 1)
-    active = np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
-                      axis=-1).astype(np.int32)
+    active = decode_active_coords(lin, dims)
 
     tsdf_flat = tsdf.reshape(-1)
 
@@ -780,10 +776,22 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
     def dispatch(start):
         chunk = active[start:start + chunk_size]
         valid_count = len(chunk)
-        # Pad to the chunk size so every dispatch reuses one compiled program.
-        if len(chunk) < chunk_size and len(active) > chunk_size:
-            chunk = np.concatenate(
-                [chunk, np.zeros((chunk_size - len(chunk), 3), np.int32)])
+        # Pad to a size class so dispatches reuse compiled programs: full
+        # chunks (and the final short chunk of a multi-chunk extraction)
+        # share the one chunk_size program; a single-chunk extraction pads
+        # to a power-of-two class (floor 4096) instead of compiling a
+        # fresh program per distinct scene count — same discipline as
+        # _active_indices, bounding compiles at <=2x compaction padding.
+        if len(chunk) < chunk_size:
+            if len(active) > chunk_size:
+                target = chunk_size
+            else:
+                target = min(chunk_size,
+                             1 << max(12, int(np.ceil(np.log2(
+                                 max(len(chunk), 1))))))
+            if len(chunk) < target:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((target - len(chunk), 3), np.int32)])
 
         # Marching tetrahedra emits at most 12 triangles per cube (6 tets x
         # 2), so this capacity can never overflow. (Sizing for an "average"
@@ -989,17 +997,26 @@ def extract_isosurface_blocked(tsdf_b, weight_b, color_b, *, grid_blocks,
     block_size = tuple(int(b) for b in block_size)
     dims = tuple(g * b for g, b in zip(grid_blocks, block_size))
 
+    # The blocked colour gather addresses (block * 3 + ch) * BV + off in
+    # int32 (int64 indexing needs jax_enable_x64, which this framework
+    # pins off): past 2^31 / 3 voxels the index wraps negative and
+    # jnp.take's clamping would SILENTLY paint block 0's colours
+    # everywhere. Refuse loudly instead — a >715M-voxel volume also
+    # implies a >=7 GiB state, beyond the production voxel budget.
+    num_voxels = int(np.prod([g * b for g, b in zip(grid_blocks, block_size)]))
+    if 3 * num_voxels >= 2 ** 31:
+        raise NotImplementedError(
+            f"blocked extraction addresses colour as (block*3+ch)*BV+off in "
+            f"int32; {num_voxels:,d} voxels overflows it (limit ~715M)")
+
     lin = _active_cubes_blocked_sparse(tsdf_b, weight_b,
                                        grid_blocks=grid_blocks,
                                        block_size=block_size)
 
     if len(lin) == 0:
-        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
-                np.zeros((0, 3), np.uint8), np.zeros((0, 3), np.float32))
+        return _empty_mesh()
 
-    cy, cz = (dims[1] - 1), (dims[2] - 1)
-    active = np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
-                      axis=-1).astype(np.int32)
+    active = decode_active_coords(lin, dims)
     if stats:
         print(f"[extract] candidates+actives {time.perf_counter() - t0:.2f}s "
               f"n_active={len(lin)}", flush=True)

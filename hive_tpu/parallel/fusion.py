@@ -178,6 +178,7 @@ def get_mesh_sharded(volume: SparseTSDFVolume, mesh: Mesh, axis: str = "data",
     """
     from hive_tpu.ops.marching import (_active_cubes_blocked_sparse,
                                        _emit_triangles_blocked,
+                                       _empty_mesh, decode_active_coords,
                                        weld_and_assemble)
 
     # Canonical x-major block order (un-permute block-cyclic placement),
@@ -199,16 +200,19 @@ def get_mesh_sharded(volume: SparseTSDFVolume, mesh: Mesh, axis: str = "data",
                                        grid_blocks=grid_blocks,
                                        block_size=block_size)
     if len(lin) == 0:
-        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64),
-                np.zeros((0, 3), np.float32), np.zeros((0, 3), np.uint8))
+        verts, faces, colors, normals = _empty_mesh()
+        return verts, faces, normals, colors
 
-    cy, cz = (dims[1] - 1), (dims[2] - 1)
-    active = np.stack([lin // (cy * cz), (lin // cz) % cy, lin % cz],
-                      axis=-1).astype(np.int32)
+    active = decode_active_coords(lin, dims)
 
     n = mesh.shape[axis]
-    # Cubes per device per round; capacity never overflows (<= 12 tris/cube).
-    per_dev = min(chunk_size, -(-len(active) // n))
+    # Cubes per device per round, padded to a power-of-two class (floor
+    # 512/device) so extractions of different scenes reuse compiled
+    # emission programs instead of compiling per distinct count; capacity
+    # never overflows (<= 12 tris/cube).
+    per_dev = -(-len(active) // n)
+    per_dev = min(chunk_size,
+                  1 << max(9, int(np.ceil(np.log2(max(per_dev, 1))))))
     capacity = per_dev * 12
     tsdf_flat = tsdf_b.reshape(-1)
     color_flat = color_b.reshape(-1)
