@@ -93,7 +93,12 @@ def _integrate_one(state: TSDFState, frame, *, origin, voxel_size, trunc_margin,
     safe_w = jnp.maximum(w_new, 1e-12)
 
     tsdf_old = state.tsdf.astype(jnp.float32)
-    tsdf_new = jnp.where(valid, (tsdf_old * w_old + dist * w_obs) / safe_w, tsdf_old)
+    # w_obs > 0 guard: a zero obs_weight frame must be a no-op — without it
+    # (tsdf*0 + dist*0)/1e-12 zeroes the tsdf (the isosurface value) at
+    # never-observed voxels. Mirrors the sparse band path (bit-oracle
+    # contract); bit-identical for w_obs > 0.
+    upd = valid & (w_obs > 0.0)
+    tsdf_new = jnp.where(upd, (tsdf_old * w_old + dist * w_obs) / safe_w, tsdf_old)
 
     # One packed-uint32 gather for colour (r | g<<8 | b<<16): 2 serialized
     # gathers per voxel total (depth + colour) instead of 4.
@@ -105,7 +110,7 @@ def _integrate_one(state: TSDFState, frame, *, origin, voxel_size, trunc_margin,
                      ((packed >> 16) & 0xFF).astype(jnp.float32)], axis=0)
 
     color_old = state.color.astype(jnp.float32)
-    color_new = jnp.where(valid[None],
+    color_new = jnp.where(upd[None],
                           (color_old * w_old[None] + rgb * w_obs[None])
                           / safe_w[None],
                           color_old)

@@ -111,8 +111,13 @@ def _next_pow2(n: int) -> int:
     return 1 << (n - 1).bit_length()
 
 
-def build_flat_pyramid(depth, height: int, width: int):
+def build_flat_pyramid(depth, height: int, width: int,
+                       packed_u16: bool = False):
     """Min/max/valid mip pyramid, flattened level-major into ONE buffer.
+
+    ``packed_u16`` selects the validity semantics of the rgb565d16 sampling
+    mode (u16-mm range test matching ``pack_frame``); False keeps the
+    rgb888/raw-f32 semantics (``depth > 0``). See the inline comment.
 
     The image pads to a power-of-two canvas (min: +inf, max: -inf,
     valid: False — all conservative), and every level halves both axes via
@@ -138,7 +143,29 @@ def build_flat_pyramid(depth, height: int, width: int):
     hp, wp = _next_pow2(height), _next_pow2(width)
     num_levels = int(math.log2(max(hp, wp))) + 1
 
-    valid = depth > 0.0
+    # Validity must mirror what the SAMPLING paths will treat as valid, or
+    # the classification's "conservative" bounds stop bounding (review
+    # finding, round 5):
+    # * packed (rgb565d16) mode samples u16-mm depth: valid iff
+    #   1 <= round(depth*1000) <= 65535, exactly pack_frame's range test
+    #   (a finite 100 m depth is INVALID to the sampler — treating it as
+    #   valid here licensed FREE updates the band path would reject).
+    # * rgb888 mode samples raw f32: valid iff depth > 0 (a +inf depth is
+    #   valid far space — dist saturates to 1, same as the dense path).
+    # NaN fails every comparison -> invalid in both modes.
+    if packed_u16:
+        d_mm = jnp.round(depth * 1000.0)
+        valid = (d_mm >= 1.0) & (d_mm <= 65535.0)
+    else:
+        valid = depth > 0.0
+
+    # The dmax channel caps at a finite value past the u16 encode range: a
+    # +inf (or huge) valid pixel must saturate the cell's max into the
+    # 0x7FFF far-cap sentinel (decodes +inf, skip test never fires) — NOT
+    # poison max_flat to +inf, which the no-valid test (~isfinite) would
+    # misread as "cell has no valid pixel" and wrongly SKIP blocks in
+    # front of a real surface sharing the cell.
+    depth_capped = jnp.minimum(depth, 70.0)
 
     # All three per-cell reductions phrase as MAX — min via negation, the
     # "any invalid pixel" flag via max over a 0/1 channel — so each level
@@ -148,7 +175,7 @@ def build_flat_pyramid(depth, height: int, width: int):
     # count; channel-major stacking keeps the tiled minor dims (h, w)).
     stacked = jnp.stack([
         jnp.where(valid, -depth, -jnp.inf),          # -dmin
-        jnp.where(valid, depth, -jnp.inf),           # dmax
+        jnp.where(valid, depth_capped, -jnp.inf),    # dmax
         jnp.where(valid, 0.0, 1.0),                  # any-invalid flag
     ])
     stacked = jnp.pad(
@@ -244,9 +271,29 @@ def pyramid_cell_bounds(layout, u0, u1, v0, v1, height: int, width: int,
     the take path (:func:`query_flat_pyramid`) and the Pallas window kernel
     (:mod:`hive_tpu.ops.pallas_refine`), which must select identical cells
     for their results to stay bit-identical.
+
+    The MAX edge widens by the sampling paths' +0.5 px nearest-pixel
+    rounding before the level pick and cell clamp: the band/dense updates
+    sample ``round(u)``, which lands one pixel PAST ``floor(u1)`` whenever
+    ``frac(u1) >= 0.5`` — without the margin the covered cells do not bound
+    what actually gets sampled, and a depth discontinuity in the uncovered
+    pixel column makes a "conservative" SKIP/FREE classification silently
+    wrong (review finding, round 5). The MIN edge needs no margin:
+    ``round(u) >= floor(u0)`` for every ``u >= u0``, and cells cover from
+    ``floor(u0)``. A/B knob HIVE_TSDF_ROUND_MARGIN: 1 (default, max edge),
+    2 (both edges), 0 (round-4 behaviour, unsound at sub-half-pixel voxel
+    footprints).
     """
     num_levels = len(layout[0])
     offsets, widths, heights = (jnp.asarray(a) for a in layout)
+
+    margin = os.environ.get("HIVE_TSDF_ROUND_MARGIN", "1")
+    if margin != "0":
+        u1 = u1 + 0.5
+        v1 = v1 + 0.5
+        if margin == "2":
+            u0 = u0 - 0.5
+            v0 = v0 - 0.5
 
     extent = jnp.maximum(u1 - u0, v1 - v0)
     level = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(extent, 1.0))).astype(jnp.int32)
@@ -286,7 +333,8 @@ def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int,
     # a grid=3, bias=-2 experiment ran 9% faster with a drifting checksum).
     if grid < (1 << max(0, -level_bias)) + 1:
         raise ValueError(f"grid={grid} cannot cover an AABB at level bias "
-                         f"{level_bias}; need >= {(1 << -level_bias) + 1}")
+                         f"{level_bias}; need >= "
+                         f"{(1 << max(0, -level_bias)) + 1}")
 
     off, w_l, cu0, cu1, cv0, cv1 = pyramid_cell_bounds(
         layout, u0, u1, v0, v1, height, width, level_bias)
@@ -613,13 +661,15 @@ class SparseTSDFVolume:
         # color_mode="rgb888").
         from hive_tpu.ops import pallas_refine as _pr
 
-        if sampler_pref is None:
-            try:
-                _backend_tpu = jax.default_backend() == "tpu"
-            except Exception:  # pragma: no cover — no backend at all
-                _backend_tpu = False
-        else:
-            _backend_tpu = bool(sampler_pref)
+        # Backend test only — NOT derived from sampler_pref: routing the
+        # refine gate through the sampler preference meant
+        # pallas_sampler=False / HIVE_TSDF_PALLAS=0 silently disabled the
+        # refine kernel too, so a sampler-only A/B toggled BOTH kernels and
+        # misattributed the refine win (review finding, round 5).
+        try:
+            _backend_tpu = jax.default_backend() == "tpu"
+        except Exception:  # pragma: no cover — no backend at all
+            _backend_tpu = False
 
         _pr_pref = os.environ.get("HIVE_PALLAS_REFINE", "1")
         pallas_refine_on = (_backend_tpu and stub == ""
@@ -698,8 +748,20 @@ class SparseTSDFVolume:
         def classes_from_bounds(in_front, z_min, z_max, u0, u1, v0, v1,
                                 outside_frustum, dmin, dmax, all_valid):
             nb = in_front.shape[0]
-            overlaps = (u1 >= 0) & (u0 < width) & (v1 >= 0) & (v0 < height)
-            fully_inside = (u0 >= 0) & (u1 < width) & (v0 >= 0) & (v1 < height)
+            # Half-pixel rounding semantics (review finding, round 5): the
+            # band/dense updates test round(u) against [0, width), so a
+            # voxel at u in [-0.5, 0) IS in view (rounds to 0) and one at
+            # u in [width-0.5, width) is NOT (rounds to width). ``overlaps``
+            # must admit everything that COULD round in (else SKIP loses
+            # real updates) and ``fully_inside`` — which licenses the
+            # maskless elementwise FREE update — must guarantee every voxel
+            # rounds in (u0 >= 0 is kept as the stricter-than-(-0.5) lower
+            # bound; ties at width-0.5 round half-to-even, so strict < is
+            # the safe exclusion).
+            overlaps = ((u1 >= -0.5) & (u0 <= width - 0.5)
+                        & (v1 >= -0.5) & (v0 <= height - 0.5))
+            fully_inside = ((u0 >= 0) & (u1 < width - 0.5)
+                            & (v0 >= 0) & (v1 < height - 0.5))
 
             classes = jnp.full((nb,), SparseTSDFVolume.BAND, dtype=jnp.int32)
 
@@ -949,7 +1011,10 @@ class SparseTSDFVolume:
             if SUB == 1:  # slab culling unused — skip the extra scatters
                 return classes, None, None, None, windows
 
-            fully_inside = (u0 >= 0) & (u1 < width) & (v0 >= 0) & (v1 < height)
+            # Same half-pixel-aware bound as classes_from_bounds: free slabs
+            # take the maskless elementwise update.
+            fully_inside = ((u0 >= 0) & (u1 < width - 0.5)
+                            & (v0 >= 0) & (v1 < height - 0.5))
             free_ok = in_front & fully_inside & all_valid
 
             dmin_blk = jnp.full((nb,), -jnp.inf).at[scatter_ids].set(
@@ -1126,14 +1191,22 @@ class SparseTSDFVolume:
                      for i in range(split)]
             return jnp.concatenate(parts, axis=0)
 
+        # Pyramid validity must mirror the sampling mode (see
+        # build_flat_pyramid).
+        packed_u16 = self.color_mode == "rgb565d16"
+
         if self.color_mode == "rgb565d16":
 
             def pack_frame(depth, color_im):
                 # Depths beyond the u16-mm range (65.535 m) become INVALID
                 # (0) rather than clamping — a clamp would fabricate a valid
-                # 65.535 m surface along far-plane rays.
+                # 65.535 m surface along far-plane rays. The condition is
+                # phrased as <= so NaN (which fails every comparison) also
+                # lands on the invalid branch instead of reaching the uint
+                # cast undefined. Mirrors build_flat_pyramid's validity.
                 d_mm = jnp.round(depth * 1000.0)
-                d_mm = jnp.where(d_mm > 65535.0, 0.0, jnp.clip(d_mm, 0.0, 65535.0))
+                d_mm = jnp.where(d_mm <= 65535.0, jnp.clip(d_mm, 0.0, 65535.0),
+                                 0.0)
                 d_mm = d_mm.astype(jnp.uint32)
 
                 # 2x2 ordered dither (0, .5 / .75, .25), computed
@@ -1250,10 +1323,16 @@ class SparseTSDFVolume:
             w_new = slab_weight + w_obs
             safe_w = jnp.maximum(w_new, 1e-12)
 
-            tsdf_new = jnp.where(valid, (slab_tsdf * slab_weight + dist * w_obs)
+            # w_obs > 0 guard: a zero obs_weight frame must be a no-op
+            # ((tsdf*0 + dist*0)/1e-12 would ZERO the tsdf — the isosurface
+            # value — at never-observed voxels, and the FREE/edge passes
+            # already guard, so the state would also become
+            # classification-dependent). Bit-identical for w_obs > 0.
+            upd = valid & (w_obs > 0.0)
+            tsdf_new = jnp.where(upd, (slab_tsdf * slab_weight + dist * w_obs)
                                  / safe_w, slab_tsdf)
 
-            color_new = jnp.where(valid[:, None],
+            color_new = jnp.where(upd[:, None],
                                   (slab_color * slab_weight[:, None]
                                    + rgb * w_obs[:, None]) / safe_w[:, None],
                                   slab_color)
@@ -1505,7 +1584,8 @@ class SparseTSDFVolume:
             t = world_to_cam[:3, 3]
 
             sample = pack_frame(depth, color_im)
-            pyramid = build_flat_pyramid(depth, height, width)
+            pyramid = build_flat_pyramid(depth, height, width,
+                                         packed_u16=packed_u16)
             classes, dmin_blk, dmax_blk, free_ok, windows = classify_refined(
                 block_origins, pyramid, R, t, intr)
             band_flat, free_w, edge_flat = slab_masks(
@@ -1538,7 +1618,8 @@ class SparseTSDFVolume:
                 t = world_to_cam[:3, 3]
 
                 sample = pack_frame(depth, color_im)
-                pyramid = build_flat_pyramid(depth, height, width)
+                pyramid = build_flat_pyramid(depth, height, width,
+                                         packed_u16=packed_u16)
                 classes, dmin_blk, dmax_blk, free_ok, windows = classify_refined(
                     block_origins, pyramid, R, t, intr)
                 band_flat, free_w, edge_flat = slab_masks(
@@ -1573,17 +1654,20 @@ class SparseTSDFVolume:
         # Expose the stages for profiling/testing. The standalone classify
         # wrappers take the raw depth image and build the pyramid themselves.
         def _classify_from_depth(block_origins, depth, R, t, intr):
-            pyramid = build_flat_pyramid(depth, height, width)
+            pyramid = build_flat_pyramid(depth, height, width,
+                                         packed_u16=packed_u16)
             return classify(block_origins, pyramid, R, t, intr)
 
         def _classify_refined_from_depth(block_origins, depth, R, t, intr):
-            pyramid = build_flat_pyramid(depth, height, width)
+            pyramid = build_flat_pyramid(depth, height, width,
+                                         packed_u16=packed_u16)
             return classify_refined(block_origins, pyramid, R, t, intr)[0]
 
         def _classify_refined_full(block_origins, depth, R, t, intr):
             """Full classify_refined output incl. the per-block sampler
             window assignments (profiling: fit-class split per frame)."""
-            pyramid = build_flat_pyramid(depth, height, width)
+            pyramid = build_flat_pyramid(depth, height, width,
+                                         packed_u16=packed_u16)
             return classify_refined(block_origins, pyramid, R, t, intr)
 
         integrate_one.classify = jax.jit(_classify_from_depth)

@@ -147,6 +147,43 @@ class TestSparseEquivalence:
         assert (np.abs(w_s - w_d) > 1e-5).mean() < 1e-3
         assert (np.abs(tsdf_s - tsdf_d) > 1e-4).mean() < 2e-3
 
+    def test_zero_weight_frame_is_noop(self):
+        """obs_weight = 0 must leave BOTH integrators untouched: without
+        the w_obs > 0 guard, (tsdf*0 + dist*0)/1e-12 zeroed the tsdf — the
+        isosurface value — at never-observed voxels on the band/dense
+        paths while the FREE/edge passes (which guard) left it at 1."""
+        depths, colors, poses = _frames(num_frames=1)
+        zero = np.zeros((1,), np.float32)
+
+        dense = TSDFVolume(BOUNDS, voxel_size=0.05)
+        dense.integrate_frames(colors, depths, K, poses, obs_weights=zero)
+        sparse = SparseTSDFVolume(BOUNDS, voxel_size=0.05,
+                                  color_mode="rgb888")
+        sparse.integrate_frames(colors, depths, K, poses, obs_weights=zero)
+
+        tsdf_d, w_d, _ = dense.get_volume()
+        tsdf_s, w_s, _ = sparse.get_volume()
+        assert np.all(w_d == 0) and np.all(tsdf_d == 1.0)
+        assert np.all(w_s == 0) and np.all(tsdf_s == 1.0)
+
+    def test_matches_dense_with_infinite_depth(self):
+        """+inf depth pixels are valid FAR SPACE in rgb888/f32 semantics
+        (dist saturates to 1, like the dense path). The old pyramid let one
+        +inf pixel poison its whole cell into 'no valid pixel', wrongly
+        SKIPping blocks that share the cell with a real finite surface."""
+        depths, colors, poses = _frames(num_frames=2)
+        # A sky region: the top third of every frame reads +inf.
+        depths[:, : H // 3, :] = np.inf
+
+        dense, sparse = self._run_both(depths, colors, poses)
+
+        tsdf_d, w_d, _ = dense.get_volume()
+        tsdf_s, w_s, _ = sparse.get_volume()
+        assert w_d.sum() > 0  # the scene still observes plenty
+        assert (np.abs(w_s - w_d) > 1e-5).mean() < 1e-3
+        assert (np.abs(tsdf_s - tsdf_d) > 1e-4).mean() < 2e-3
+
+
 
 class TestCompactedClassification:
     """Pass-1 pyramid queries on a compacted frustum-candidate list."""
@@ -291,8 +328,12 @@ class TestPackedSampling:
                     err_msg=f"gather_split={split} changed {field}")
 
     def test_depth_beyond_u16_range_is_invalid_not_wrapped(self):
-        # 70 m depth exceeds the u16 mm range; it must clamp (stay a huge
-        # positive depth -> free-space update), never wrap around to small.
+        # 70 m depth exceeds the u16-mm range the packed sampler can
+        # represent: it must be INVALID end-to-end — never wrap around to a
+        # small depth (fabricating a near surface), and never update at all
+        # (round-5 review: the old pyramid counted it valid, so FREE blocks
+        # updated while band blocks sampled the invalid packed 0 and did
+        # not — classification-dependent state).
         depths = np.full((1, H, W), 70.0, dtype=np.float32)
         colors = np.zeros((1, H, W, 3), dtype=np.uint8)
         poses = np.eye(4, dtype=np.float32)[None]
@@ -302,8 +343,8 @@ class TestPackedSampling:
         volume.integrate_frames(colors, depths, K, poses)
 
         tsdf, weight, _ = volume.get_volume()
-        # Everything observed is free space: tsdf stays at +1 there.
-        assert tsdf[weight > 0].min() > 0.99
+        assert weight.sum() == 0.0
+        assert tsdf.min() == 1.0  # no wraparound surface fabricated
 
 
 class TestBF16Storage:
