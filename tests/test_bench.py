@@ -283,6 +283,17 @@ class TestLastGoodMerge:
         assert merged["e2e_best"]["e2e_s_per_frame"] == 0.7
         assert merged["e2e_best"]["date"] == "d2"
 
+    def test_bad_weather_run_keeps_best_tsdf(self):
+        import bench
+
+        previous = {"value": 3142925336, "vs_baseline": 3.143,
+                    "date": "2026-08-21"}
+        record = {"value": 2613697998, "vs_baseline": 2.614}
+        merged = bench.merge_last_known_good(previous, record, "d2", "c")
+        assert merged["value"] == 2613697998          # latest, honest
+        assert merged["tsdf_best"]["value"] == 3142925336
+        assert merged["tsdf_best"]["date"] == "2026-08-21"
+
     def test_tsdf_only_run_preserves_stages(self):
         import bench
 
