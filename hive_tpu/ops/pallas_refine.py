@@ -54,9 +54,11 @@ def window_rows(width: int) -> int:
     80 for 720p/1080p-class (w_l = 2048) — a fixed 48 silently truncated the
     reduce on >1024-wide frames (non-conservative bounds, caught in review).
     """
-    wp = 1
-    while wp < width:
-        wp *= 2
+    # Lazy import — the canvas rule must stay THE definition the pyramid
+    # itself is sized by (module-level import would be circular).
+    from hive_tpu.ops.tsdf_sparse import _next_pow2
+
+    wp = _next_pow2(width)
     rows = (4 * wp + 5 + 127) // 128 + 1 + 7
     return ((rows + 7) // 8) * 8
 
@@ -91,7 +93,11 @@ def _build_kernel(num_blocks: int, rmax: int, interpret: bool = False):
             for j in range(8):
                 i = step * 8 + j
                 r0 = pl.multiple_of(r0_ref[i], 8)
-                rows = rc_ref[i]
+                # Clamp so exactly one ladder class always matches (a rows
+                # value past rmax would match NO class: neither start nor
+                # wait fires and the slot holds stale bytes). The caller
+                # clips too; this is the in-kernel guarantee.
+                rows = jnp.minimum(rc_ref[i], rmax)
                 for ci, cr in enumerate(ROW_CLASSES):
                     cond = rows <= cr
                     if ci:
@@ -190,6 +196,19 @@ def query_flat_pyramid_pallas(pyramid2d, layout, u0, u1, v0, v1,
 
     rmax = window_rows(width)
     p_rows = pyramid2d.shape[0]
+    # The view's padding must cover THIS width's rmax — rmax grows with the
+    # frame width, so a pyramid2d built for a narrower frame would make the
+    # r0 clip below bind and masked window rows read stale/zero bytes:
+    # silently non-conservative bounds. Refuse loudly instead.
+    offsets, widths, heights = layout
+    total = int(offsets[-1]) + int(widths[-1]) * int(heights[-1])
+    expected_rows = padded_pyramid_rows(total, rmax)
+    if p_rows < expected_rows:
+        raise ValueError(
+            f"pyramid2d has {p_rows} rows but a width-{width} query needs "
+            f">= {expected_rows} (= padded_pyramid_rows(total={total}, "
+            f"rmax={rmax})); rmax depends on the frame width — rebuild the "
+            f"view for this frame size")
     # Memory-safety clips: bounds derive from clamped coords so they are in
     # range for any finite input, but the DMA origin must be provably valid.
     # rows can never exceed rmax by construction (see window_rows); the clip

@@ -119,21 +119,28 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
     # Row classes for the bounded DMA: doubling ladder capped at PH.
     row_classes = tuple(r for r in (8, 16, 32, 64, 128) if r < PH) + (PH,)
 
+    def tile_sample(tile, pv, pu, s, h, acc):
+        """One (8, 128) tile's masked gather-combine — THE tile sampling
+        sequence (full-shape indices, axis-1 then axis-0 gather, masked
+        select; see module docstring for the Mosaic constraints). Shared by
+        the static and dynamic-tiles paths so the HIVE_PALLAS_DYN
+        bit-identity contract has a single definition."""
+        rv = pv - 8 * s
+        row_ok = (rv >= 0) & (rv < 8)
+        rv_c = jnp.broadcast_to(jnp.clip(rv, 0, 7)[None, :], (8, 128))
+        cu = pu - 128 * h
+        col_ok = (cu >= 0) & (cu < 128)
+        cu_c = jnp.broadcast_to(jnp.clip(cu, 0, 127)[None, :], (8, 128))
+        colg = jnp.take_along_axis(tile, cu_c, axis=1)
+        val = jnp.take_along_axis(colg, rv_c, axis=0)[0]
+        return jnp.where(row_ok & col_ok, val, acc)
+
     def sample_from_patch(patch, pv, pu):
         acc = jnp.zeros((128,), jnp.uint32)
         for s in range(PH // 8):
-            rv = pv - 8 * s
-            row_ok = (rv >= 0) & (rv < 8)
-            rv_c = jnp.broadcast_to(jnp.clip(rv, 0, 7)[None, :], (8, 128))
             for h in range(PW // 128):
-                cu = pu - 128 * h
-                col_ok = (cu >= 0) & (cu < 128)
-                cu_c = jnp.broadcast_to(jnp.clip(cu, 0, 127)[None, :],
-                                        (8, 128))
                 tile = patch[8 * s:8 * s + 8, 128 * h:128 * h + 128]
-                colg = jnp.take_along_axis(tile, cu_c, axis=1)
-                val = jnp.take_along_axis(colg, rv_c, axis=0)[0]
-                acc = jnp.where(row_ok & col_ok, val, acc)
+                acc = tile_sample(tile, pv, pu, s, h, acc)
         return acc
 
     def kernel(v0_ref, u0_ref, *rest):
@@ -160,7 +167,12 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
                          pltpu.make_async_copy(
                              img_hbm.at[pl.ds(v0, PH), pl.ds(u0, PW)],
                              scratch.at[slot_idx], sem.at[slot_idx]))]
-            rows = nr_ref[i] * 8
+            # Clamp so exactly ONE ladder class always matches: an n_rows
+            # overestimate past PH//8 (the documented 'overestimates are
+            # sound' contract) would otherwise match NO class — neither
+            # start nor wait fires and the block samples the previous
+            # block's stale window bytes, silently (review finding, r5).
+            rows = jnp.minimum(nr_ref[i] * 8, PH)
             out = []
             for ci, cr in enumerate(row_classes):
                 cond = rows <= cr
@@ -184,6 +196,9 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
 
         @pl.when(b + 1 < n)
         def _prefetch():
+            # The clamp cannot bind under the guard; it stays as insurance
+            # against the scalar index read executing if pl.when ever
+            # lowers to predication instead of a branch.
             i = jnp.minimum(b + 1, n - 1)
             run_laddered(window_copy(i, nxt), lambda c: c.start())
 
@@ -213,25 +228,20 @@ def build_patch_sampler(height: int, width: int, num_blocks: int,
             def col(h, accs):
                 base_h = pl.multiple_of(h * 128, 128)
                 tile = scratch[slot, pl.ds(base_s, 8), pl.ds(base_h, 128)]
-                out = []
-                for g in range(groups):
-                    rv = pv[g] - 8 * s
-                    row_ok = (rv >= 0) & (rv < 8)
-                    rv_c = jnp.broadcast_to(jnp.clip(rv, 0, 7)[None, :],
-                                            (8, 128))
-                    cu = pu[g] - 128 * h
-                    col_ok = (cu >= 0) & (cu < 128)
-                    cu_c = jnp.broadcast_to(jnp.clip(cu, 0, 127)[None, :],
-                                            (8, 128))
-                    colg = jnp.take_along_axis(tile, cu_c, axis=1)
-                    val = jnp.take_along_axis(colg, rv_c, axis=0)[0]
-                    out.append(jnp.where(row_ok & col_ok, val, accs[g]))
-                return out
+                return [tile_sample(tile, pv[g], pu[g], s, h, accs[g])
+                        for g in range(groups)]
 
-            return jax.lax.fori_loop(0, nc_ref[b], col, accs)
+            return jax.lax.fori_loop(0, jnp.minimum(nc_ref[b], PW // 128),
+                                     col, accs)
 
         accs = [jnp.zeros((128,), jnp.uint32) for _ in range(groups)]
-        accs = jax.lax.fori_loop(0, nr_ref[b], strip, accs)
+        # Loop bounds clamp to the scratch extents: an n_rows/n_cols
+        # overestimate (documented as sound) would otherwise drive the
+        # ref-level pl.ds reads past the (2, PH, PW) window — out-of-bounds
+        # VMEM whose garbage is never selected, making it invisible to
+        # checksum tests (review finding, r5).
+        accs = jax.lax.fori_loop(0, jnp.minimum(nr_ref[b], PH // 8),
+                                 strip, accs)
         for g in range(groups):
             out_ref[0, g, :] = accs[g]
 
