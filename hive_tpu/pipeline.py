@@ -142,6 +142,14 @@ class Pipeline:
         if trace_dir is not None:
             import jax
 
+            # The probe must run BEFORE jax.profiler.trace: start_trace
+            # calls xla_bridge.get_backend(), which on a dead tunnelled
+            # accelerator hangs for ~45 min — exactly what
+            # ensure_responsive_backend exists to pre-empt (and its CPU
+            # fallback can only take effect before backends initialise).
+            from hive_tpu.utils import ensure_responsive_backend
+
+            ensure_responsive_backend()
             with jax.profiler.trace(trace_dir):
                 return self._run_impl(dataset=dataset, adaptor=adaptor, compress=compress)
 
@@ -158,6 +166,8 @@ class Pipeline:
 
         # Outage detection BEFORE any backend init: a dead tunnelled
         # accelerator otherwise hangs the first device op for ~45 min.
+        # (Idempotent: the trace_dir path above probes before the profiler
+        # context initialises the backend.)
         ensure_responsive_backend()
         configure(self.options.num_devices)
         enable_compile_cache()
@@ -288,10 +298,19 @@ class Pipeline:
                 subprocess.run(["npm", "run", "start"],
                                cwd=self.webxr_options.webxr_source_path)
             else:
+                from urllib.parse import urlsplit
+
                 from hive_tpu.viewer import main as viewer_main
-                port = self.webxr_options.webxr_url.rsplit(":", 1)[-1].rstrip("/")
+
+                # Proper URL parsing: the old rsplit(':') read '9000/view'
+                # out of http://host:9000/view, failed isdigit(), and bound
+                # 8080 while the log above told the user to open :9000.
+                try:
+                    port = urlsplit(self.webxr_options.webxr_url).port
+                except ValueError:
+                    port = None
                 viewer_main(["--webxr_path", self.webxr_options.webxr_path,
-                             "--port", port if port.isdigit() else "8080"])
+                             "--port", str(port or 8080)])
 
     # -- device stats ---------------------------------------------------------
     @staticmethod
@@ -536,7 +555,12 @@ class Pipeline:
                               index, object_id]):
                 if is_object and self.options.billboard:
                     # Flatten the object to its median camera-space depth.
-                    camera_space = rotation @ (vertices.T + translation)
+                    # World -> camera is x_cam = R v + t (the codebase
+                    # convention, geometric.world2image); the reference's
+                    # R(v + t) form was not the inverse of the unproject
+                    # below, translating billboarded objects by (I - R^T)t
+                    # under any rotated camera (review finding, r5).
+                    camera_space = rotation @ vertices.T + translation
                     camera_space[2, :] = np.median(camera_space[2, :])
                     vertices = (rotation.T @ (camera_space - translation)).T
 
@@ -583,8 +607,6 @@ class Pipeline:
             num_frames = dataset.num_frames
 
         if frame_set is None:
-            from hive_tpu.utils import timed_block
-
             with timed_block(None, profiling, ["timing", "background_reconstruction",
                                                "key_frame_selection"]):
                 frame_set = dataset.select_key_frames(
@@ -630,6 +652,8 @@ class Pipeline:
             background_scene.apply_transform(transform)
 
         scene_bounds = self._get_scene_bounds(foreground_scene, background_scene)
+        if scene_bounds is None:  # both scenes empty: nothing to center
+            return foreground_scene, background_scene
         scene_centroid = np.mean(scene_bounds, axis=0)
 
         offset = np.array([-scene_centroid[0], -scene_bounds[0, 1], -scene_bounds[0, 2]])
@@ -687,7 +711,10 @@ class Pipeline:
         foreground (constants reproduced from hive/pipeline.py:1033-1082)."""
         from scipy.spatial.transform import Rotation
 
-        pcd_bounds = np.zeros((2, 3), dtype=float)
+        # +-inf init, tightened by observations: the reference's zeros init
+        # always included the origin, biasing the centroid toward 0 for
+        # scenes strictly one side of an axis (review finding, r5).
+        pcd_bounds = np.stack([np.full(3, np.inf), np.full(3, -np.inf)])
         poses = dataset.camera_trajectory.to_homogenous_transforms()
 
         for i in range(min(self.num_frames, dataset.num_frames)):
@@ -702,6 +729,8 @@ class Pipeline:
                 pcd_bounds[0] = np.minimum(pcd_bounds[0], points3d.min(axis=0))
                 pcd_bounds[1] = np.maximum(pcd_bounds[1], points3d.max(axis=0))
 
+        if not np.isfinite(pcd_bounds).all():  # no valid points at all
+            pcd_bounds = np.zeros((2, 3))
         pcd_centroid = pcd_bounds.mean(axis=0)
 
         aligned = scene.copy()
@@ -721,12 +750,18 @@ class Pipeline:
         return aligned
 
     @staticmethod
-    def _get_scene_bounds(foreground_scene: Scene, background_scene: Scene) -> np.ndarray:
+    def _get_scene_bounds(foreground_scene: Scene, background_scene: Scene) -> Optional[np.ndarray]:
+        """Union of the scene bounds; either scene may be EMPTY (bounds
+        None) — an empty background (all keyframe depths invalid/outside
+        the truncation band) must not crash centering after multi-hour
+        reconstruction stages completed (review finding, r5)."""
         fg_bounds = foreground_scene.bounds
         bg_bounds = background_scene.bounds
 
         if fg_bounds is None:
             return bg_bounds
+        if bg_bounds is None:
+            return fg_bounds
 
         return np.stack([np.minimum(fg_bounds[0], bg_bounds[0]),
                          np.maximum(fg_bounds[1], bg_bounds[1])])
@@ -777,6 +812,9 @@ class Pipeline:
 
             if (return_code := p.wait()) != 0:
                 logging.warning(f"draco_transcoder failed (exit status {return_code}).")
+                # Same cleanup as the quantization-failure path: a partial
+                # tmp write must not linger in the user-facing mesh folder.
+                tmp_path.unlink(missing_ok=True)
                 return
 
             # The dependency-free in-tree viewer decodes

@@ -265,6 +265,12 @@ def ensure_responsive_backend() -> bool:
     if getattr(jax.config, "jax_platforms", None) == "cpu":
         return False
 
+    # Probed healthy earlier in this process (e.g. run(trace_dir=...) probes
+    # before the profiler context, then _run_impl probes again): a second
+    # subprocess attach would burn minutes for nothing.
+    if _LAST_PROBE.get("probe_ok"):
+        return False
+
     import time
 
     probe_start = time.monotonic()

@@ -152,6 +152,42 @@ class TestPipelineEndToEnd:
         assert 0.2 < gap < 0.8
 
 
+class TestSceneBounds:
+    """_get_scene_bounds must survive EITHER scene being empty (bounds
+    None) — an empty background after hours of reconstruction must not
+    crash centering (round-5 review finding)."""
+
+    @staticmethod
+    def _scene_with_tri():
+        from hive_tpu.meshing.mesh import Scene, TriangleMesh
+
+        scene = Scene()
+        scene.add_geometry(TriangleMesh(
+            vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+            faces=np.array([[0, 1, 2]], np.int64)), node_name="m")
+        return scene
+
+    def test_empty_background(self):
+        from hive_tpu.meshing.mesh import Scene
+        from hive_tpu.pipeline import Pipeline
+
+        bounds = Pipeline._get_scene_bounds(self._scene_with_tri(), Scene())
+        assert bounds is not None and bounds.shape == (2, 3)
+
+    def test_empty_foreground(self):
+        from hive_tpu.meshing.mesh import Scene
+        from hive_tpu.pipeline import Pipeline
+
+        bounds = Pipeline._get_scene_bounds(Scene(), self._scene_with_tri())
+        assert bounds is not None and bounds.shape == (2, 3)
+
+    def test_both_empty(self):
+        from hive_tpu.meshing.mesh import Scene
+        from hive_tpu.pipeline import Pipeline
+
+        assert Pipeline._get_scene_bounds(Scene(), Scene()) is None
+
+
 class TestBackgroundOnly:
     def test_background_only_flag(self, tmp_path):
         dataset_path = make_synthetic_hive_dataset(tmp_path / "ds", num_frames=2)
