@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import enum
+import json
 import logging
 import os
 import shutil
@@ -166,9 +167,12 @@ class FeatureSet:
             return FeatureSet(self.camera_matrix.copy())
 
         pairs = np.asarray(list(frame_pairs), dtype=np.int64)
-        ours = self.frame_i.index.astype(np.int64) * (self.frame_j.index.max() + 1) \
-            + self.frame_j.index
-        theirs = pairs[:, 0] * (self.frame_j.index.max() + 1) + pairs[:, 1]
+        # The key base must cover the REQUESTED pairs too: a base taken
+        # from the feature set alone lets a requested j past our max wrap
+        # into a colliding key and falsely match (review finding, r5).
+        base = int(max(self.frame_j.index.max(), pairs[:, 1].max())) + 1
+        ours = self.frame_i.index.astype(np.int64) * base + self.frame_j.index
+        theirs = pairs[:, 0] * base + pairs[:, 1]
         mask = np.isin(ours, theirs)
 
         return FeatureSet(self.camera_matrix.copy(),
@@ -228,6 +232,7 @@ class FeatureExtractor:
         self.masks: Optional[List[np.ndarray]] = None
 
         self.sift = cv2.SIFT_create(nfeatures=self.options.max_features or 0)
+        self._detect_cache: Dict[int, tuple] = {}
 
         self.matcher = cv2.FlannBasedMatcher(dict(algorithm=1, trees=5), dict(checks=50))
 
@@ -265,18 +270,33 @@ class FeatureExtractor:
         self.frame_pairs_path = pjoin(self.debug_path, "frame_pairs.txt")
         self.feature_set_path = pjoin(self.debug_path, "feature_set.npz")
 
-        # Invalidate the cache if the frame-pair set changed.
+        # Invalidate the cache if the frame-pair set OR the extraction
+        # options changed (a cached feature set extracted with different
+        # masking/ratio/count settings silently ignored new options —
+        # review finding, r5).
+        options_path = pjoin(self.debug_path, "feature_options.json")
+        options_fingerprint = json.dumps(vars(self.options), sort_keys=True,
+                                         default=str)
+
         keep_cache = False
         if os.path.isfile(self.frame_pairs_path):
             cached = np.loadtxt(self.frame_pairs_path)
             cached = cached.reshape(-1, 2)
             keep_cache = (len(cached) == len(self.frame_pairs)
                           and np.array_equal(cached, np.asarray(self.frame_pairs)))
+        if keep_cache:
+            try:
+                with open(options_path) as f:
+                    keep_cache = f.read() == options_fingerprint
+            except OSError:
+                keep_cache = False
 
         if not keep_cache:
             if os.path.isfile(self.feature_set_path):
                 os.remove(self.feature_set_path)
             np.savetxt(self.frame_pairs_path, np.asarray(self.frame_pairs))
+            with open(options_path, "w") as f:
+                f.write(options_fingerprint)
 
     def _load_frame_data(self):
         logging.info("Loading frames...")
@@ -303,8 +323,20 @@ class FeatureExtractor:
             self.masks = None
 
     def _detect(self, index: int):
-        mask = self.masks[index] if self.masks is not None else None
-        return self.sift.detectAndCompute(self.frames[index], mask)
+        # Per-frame memo: with hierarchical sampling each frame appears in
+        # ~2*log2(N) pairs (N-1 with exhaustive), and SIFT on a full frame
+        # is the dominant host cost of extraction — detecting once per
+        # frame instead of once per pair occurrence cuts it several-fold
+        # on this 1-core VM (review finding, r5).
+        cache = getattr(self, "_detect_cache", None)
+        if cache is None:  # lazily created: tests build via __new__
+            cache = self._detect_cache = {}
+        cached = cache.get(index)
+        if cached is None:
+            mask = self.masks[index] if self.masks is not None else None
+            cached = self.sift.detectAndCompute(self.frames[index], mask)
+            cache[index] = cached
+        return cached
 
     def _match_pair(self, frame_pair: FramePair) -> Optional[FeatureSet]:
         i, j = frame_pair
@@ -492,6 +524,9 @@ class OptimisationOptions:
         check_domain(trajectory_smoothing, "trajectory_smoothing", float, Domain.NonNegative,
                      nullable=True)
         check_domain(clip_distance, "clip_distance", float, Domain.NonNegative, nullable=True)
+        check_domain(epochs_per_chunk, "epochs_per_chunk", int, Domain.Positive)
+        check_domain(checkpoint_every_chunks, "checkpoint_every_chunks", int,
+                     Domain.Positive)
 
         if not isinstance(steps, (tuple, list)) or len(steps) == 0:
             raise ValueError("steps must be a tuple or list with at least one element.")
@@ -646,15 +681,23 @@ def _make_loss_fn(residual_type: ResidualType, alignment: AlignmentType, smooth:
         loss = jnp.sum(weights * distances) / jnp.maximum(jnp.sum(weights), 1.0)
 
         if smooth:
-            d1 = trans[:-1] - trans[1:]
-            d2 = trans[:-2] - 2 * trans[1:-1] + trans[2:]
-            d3 = d2[:-1] - d2[1:]
-            loss += pose_t_reg * jnp.mean(jnp.sum(jnp.square(d1), axis=1))
-            loss += pose_t_reg * jnp.mean(jnp.sum(jnp.square(d2), axis=1))
-            loss += pose_t_reg * jnp.mean(jnp.sum(jnp.square(d3), axis=1))
-
-            q_dot = jnp.sum(quats[:-1] * quats[1:], axis=-1)
-            loss += pose_r_reg * jnp.mean(1.0 - jnp.square(q_dot))
+            # Guard each difference order on trajectory length (static
+            # shapes, so plain Python conditions): jnp.mean over an EMPTY
+            # d2/d3 (2- or 3-frame runs) is NaN, which poisoned the loss
+            # and every gradient from epoch 1 (review finding, r5).
+            n = trans.shape[0]
+            if n >= 2:
+                d1 = trans[:-1] - trans[1:]
+                loss += pose_t_reg * jnp.mean(jnp.sum(jnp.square(d1), axis=1))
+                q_dot = jnp.sum(quats[:-1] * quats[1:], axis=-1)
+                loss += pose_r_reg * jnp.mean(1.0 - jnp.square(q_dot))
+            if n >= 3:
+                d2 = trans[:-2] - 2 * trans[1:-1] + trans[2:]
+                loss += pose_t_reg * jnp.mean(jnp.sum(jnp.square(d2), axis=1))
+                if n >= 4:
+                    d3 = d2[:-1] - d2[1:]
+                    loss += pose_t_reg * jnp.mean(
+                        jnp.sum(jnp.square(d3), axis=1))
 
         if alignment != AlignmentType.Rigid:
             loss += l2_reg * jnp.mean(jnp.square(1.0 / scale - 1.0))
@@ -778,6 +821,17 @@ def optimise_packed_features(features: dict, intrinsics, params,
             _, treedef = jax.tree.flatten((params, opt_state))
             leaves = [jnp.asarray(leaf) for leaf in restored]
             params, opt_state = jax.tree.unflatten(treedef, leaves)
+            if mesh is not None:
+                # Restored leaves are plain default-device arrays; the
+                # sharded path's contract (params/opt_state REPLICATE over
+                # the mesh, established above) must be re-applied or the
+                # next epoch chunk sees incompatible placements (review
+                # finding, r5).
+                from hive_tpu.parallel.mesh import replicate
+
+                params = jax.tree.map(lambda a: replicate(mesh, a), params)
+                opt_state = jax.tree.map(lambda a: replicate(mesh, a),
+                                         opt_state)
             epochs_done = int(meta.get("epochs_done", 0))
             lr = float(meta.get("lr", lr))
             logging.info(f"Resumed pose optimisation from epoch {epochs_done}.")
@@ -1026,13 +1080,22 @@ class PoseOptimiser:
             subset = feature_set.subset_from(frame_pairs)
 
             if len(subset) == 0:
-                continue
-
-            rigid_params = {**params, "scale": jnp.zeros((0,), dtype=jnp.float32),
-                            "shift": jnp.zeros((0,), dtype=jnp.float32)}
-            optimised = self._optimisation_loop(subset, rigid_params, options,
-                                                residual_type)
-            trajectory = self._params_to_trajectory(optimised)
+                # No matches for this whole mode: fill its pairs from the
+                # UNOPTIMISED trajectory rather than dropping them — the
+                # chaining loop below maps merged-list position to frame
+                # index, so a missing every-other pair would assign each
+                # remaining pair's relative pose to the wrong frame and
+                # shift every downstream frame (review finding, r5; the
+                # reference also fills unmatched pairs from the input
+                # trajectory).
+                trajectory = self._params_to_trajectory(params)
+            else:
+                rigid_params = {**params,
+                                "scale": jnp.zeros((0,), dtype=jnp.float32),
+                                "shift": jnp.zeros((0,), dtype=jnp.float32)}
+                optimised = self._optimisation_loop(subset, rigid_params,
+                                                    options, residual_type)
+                trajectory = self._params_to_trajectory(optimised)
 
             for pair in frame_pairs:
                 pose_data[tuple(pair)] = trajectory[list(pair)]
