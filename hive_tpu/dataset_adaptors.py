@@ -34,7 +34,7 @@ from hive_tpu.geometric import CameraMatrix, Trajectory
 from hive_tpu.image_processing import calculate_target_resolution
 from hive_tpu.io import (COLMAPProcessor, Dataset, DatasetMetadata, HiveDataset,
                          ImageFolderDataset, InvalidDatasetFormatError, VideoMetadata,
-                         create_masks)
+                         create_masks, make_depth_map_transform)
 from hive_tpu.options import (BackgroundMeshOptions, COLMAPOptions, InpaintingMode,
                               PipelineOptions, StorageOptions)
 from hive_tpu.sensor import KinectSensor
@@ -55,7 +55,11 @@ class DatasetAdaptor(Dataset, ABC):
                  frame_step: int = 1, colmap_options: COLMAPOptions = COLMAPOptions()):
         super().__init__(base_path=base_path)
 
-        if str(output_path) == str(base_path):
+        # realpath comparison: a trailing slash, './' prefix, or symlink
+        # spelling of the same directory must not slip past this guard —
+        # convert(no_cache=True) rmtree's output_path, which would DELETE
+        # the user's input dataset (review finding, r5).
+        if os.path.realpath(str(output_path)) == os.path.realpath(str(base_path)):
             raise RuntimeError(
                 "A dataset adaptor must write to a different folder than it reads from.")
 
@@ -308,16 +312,11 @@ class DatasetAdaptor(Dataset, ABC):
         rgb_dataset = ImageFolderDataset(rgb_folder)
         mask_dataset = ImageFolderDataset(mask_folder)
 
-        def depth_transform(depth_map):
-            meters = HiveDataset.depth_scaling_factor * depth_map.astype(np.float32)
-            meters[meters > metadata.max_depth] = 0.0
-            return meters
-
+        depth_transform = make_depth_map_transform(
+            HiveDataset.depth_scaling_factor, metadata.max_depth)
         depth_dataset = ImageFolderDataset(output_depth_folder, transform=depth_transform)
 
         n = min(self.num_frames, len(rgb_dataset), len(depth_dataset))
-
-        from hive_tpu.utils import tqdm_imap
 
         rgb_frames = tqdm_imap(rgb_dataset.__getitem__, range(n), show_progress=False)
         depth_maps = tqdm_imap(depth_dataset.__getitem__, range(n), show_progress=False)
@@ -344,15 +343,19 @@ class DatasetAdaptor(Dataset, ABC):
         else:
             colmap_depth = processor.get_sparse_depth_maps(camera_matrix, camera_poses)
 
-        def transform(depth_map):
-            depth_map = HiveDataset.depth_scaling_factor * depth_map.astype(np.float32)
-            depth_map[depth_map > metadata.max_depth] = 0.0
-            return depth_map
-
+        transform = make_depth_map_transform(HiveDataset.depth_scaling_factor,
+                                             metadata.max_depth)
         depth_dataset = ImageFolderDataset(output_depth_folder, transform=transform)
         subset = [i for i in frames_subset if i < len(depth_dataset)]
         est_depth = np.asarray(tqdm_imap(depth_dataset.__getitem__, subset))
-        colmap_depth = colmap_depth[:len(est_depth)]
+        if len(colmap_depth) != len(est_depth):
+            # A count mismatch means the frame pairing below is wrong —
+            # scaling poses from misaligned frames silently corrupts every
+            # camera position. Fail loudly instead of truncating.
+            raise ValueError(
+                f"COLMAP produced {len(colmap_depth)} dense depth maps but "
+                f"{len(est_depth)} frames were estimated — cannot pair "
+                f"frames for metric pose scaling")
 
         nonzero = (colmap_depth > 0.0) & (est_depth > 0.0)
 
@@ -751,8 +754,15 @@ class VideoAdaptorBase(DatasetAdaptor, ABC):
 
             cv2.imwrite(pjoin(output_path, f"{index:06d}.{file_extension}"), frame)
 
+        workers = os.cpu_count() or 1
+        # Backpressure: decode outruns PNG encode+write several-fold, and
+        # every queued frame pins ~6 MB of decoded pixels — an unbounded
+        # submit loop grows RSS by GBs on long videos (review finding, r5).
+        # Draining the oldest future once 4x workers are in flight bounds
+        # memory at O(workers) frames while keeping every worker busy.
+        max_in_flight = 4 * workers
         try:
-            with ThreadPoolExecutor(max_workers=os.cpu_count() or 1) as pool:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
                 index = 0
                 while capture.isOpened():
                     if num_frames != -1 and index >= num_frames:
@@ -763,6 +773,8 @@ class VideoAdaptorBase(DatasetAdaptor, ABC):
                         break
 
                     futures.append(pool.submit(process, index, frame))
+                    if len(futures) >= max_in_flight:
+                        futures.pop(0).result()
                     index += 1
 
                 for future in futures:

@@ -85,6 +85,15 @@ def get_identity_pose() -> np.ndarray:
     return np.asarray([0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])
 
 
+def _mats_to_pose_vectors(mats: np.ndarray) -> np.ndarray:
+    """(N, 4, 4) homogeneous matrices → (N, 7) pose vectors (host scipy,
+    batched — the per-pose pose_mat2vec in a loop pays scipy setup N times)."""
+    from scipy.spatial.transform import Rotation
+
+    q = Rotation.from_matrix(np.asarray(mats[:, :3, :3], dtype=np.float64)).as_quat()
+    return np.hstack([q, mats[:, :3, 3]])
+
+
 def add_pose(pose_a: np.ndarray, pose_b: np.ndarray) -> np.ndarray:
     """Accumulate two poses (apply ``a`` then ``b``)."""
     return pose_mat2vec(pose_vec2mat(pose_b) @ pose_vec2mat(pose_a))
@@ -334,22 +343,28 @@ class Trajectory:
 
     # -- algebra ------------------------------------------------------------
     def normalise(self) -> "Trajectory":
-        """Re-express the trajectory so the first pose is the identity."""
-        poses = self.array()
-        rebased = T.pose_compose(T.pose_inverse(poses[0:1]), poses)
-        values = np.asarray(rebased, dtype=np.float64)
+        """Re-express the trajectory so the first pose is the identity.
+
+        Host numpy on purpose: GT-pose adaptor constructors call this
+        during SETUP, and the previous jnp form triggered the
+        tunnelled-backend attach (minutes-class during outages) before any
+        device work was needed — the same rule as pose_mat2vec above
+        (review finding, r5).
+        """
+        m = self.to_homogenous_transforms()
+        rebased = np.linalg.inv(m[0]) @ m
+        values = _mats_to_pose_vectors(rebased)
         values[0] = get_identity_pose()
         return Trajectory(values)
 
     def normalise_position(self) -> "Trajectory":
         """Translate the trajectory so the first position is the origin
-        (rotation left untouched)."""
+        (rotation left untouched). Host numpy — see :meth:`normalise`."""
         first = np.array(self.values[0], copy=True)
         first[:4] = [0.0, 0.0, 0.0, 1.0]
-        poses = self.array()
-        inv_first = T.pose_inverse(jnp.asarray(first, dtype=jnp.float32))
-        rebased = T.pose_compose(inv_first[None], poses)
-        return Trajectory(np.asarray(rebased, dtype=np.float64))
+        m = self.to_homogenous_transforms()
+        rebased = np.linalg.inv(pose_vec2mat(first)) @ m
+        return Trajectory(_mats_to_pose_vectors(rebased))
 
     def inverse(self) -> "Trajectory":
         """Per-pose rigid inverse (world-to-cam ↔ cam-to-world); host numpy

@@ -37,7 +37,7 @@ from PIL import Image
 from hive_tpu.custom_types import File
 from hive_tpu.data import colmap_model
 from hive_tpu.geometric import (Trajectory, get_pose_components, point_cloud_from_depth,
-                                pose_vec2mat, world2image)
+                                pose_mat2vec, pose_vec2mat, world2image)
 from hive_tpu.image_processing import calculate_target_resolution, dilate_mask
 from hive_tpu.options import COLMAPOptions, MaskDilationOptions
 from hive_tpu.utils import Domain, check_domain, tqdm_imap
@@ -360,12 +360,27 @@ class COLMAPProcessor:
         """
         cameras, images, _ = self._load_model()
 
-        params = cameras[camera_id].params
-        f, cx, cy = params[0], params[1], params[2]
+        camera = cameras[camera_id]
+        params = camera.params
+        # Parameter layout depends on the camera MODEL: SIMPLE_* models are
+        # (f, cx, cy, ...) while PINHOLE/OPENCV-family models are
+        # (fx, fy, cx, cy, ...) — blind positional indexing would read fy
+        # as cx and shift everything (silently garbage intrinsics for any
+        # non-default COLMAP run; review finding, r5).
+        model = getattr(camera, "model", "SIMPLE_RADIAL")
+        if model.startswith("SIMPLE_") or model in ("RADIAL", "RADIAL_FISHEYE"):
+            fx = fy = params[0]
+            cx, cy = params[1], params[2]
+        elif model in ("PINHOLE", "OPENCV", "OPENCV_FISHEYE", "FULL_OPENCV",
+                       "FOV", "THIN_PRISM_FISHEYE"):
+            fx, fy, cx, cy = params[0], params[1], params[2], params[3]
+        else:
+            raise NotImplementedError(
+                f"COLMAP camera model {model!r} is not supported")
 
         intrinsic = np.eye(3)
-        intrinsic[0, 0] = f
-        intrinsic[1, 1] = f
+        intrinsic[0, 0] = fx
+        intrinsic[1, 1] = fy
         intrinsic[0, 2] = cx
         intrinsic[1, 2] = cy
 
@@ -386,7 +401,6 @@ class COLMAPProcessor:
                 R = colmap_to_normal @ R_cw @ colmap_to_normal.T
                 t = (colmap_to_normal @ t_cw).squeeze()
 
-            from hive_tpu.geometric import pose_mat2vec
 
             M = np.eye(4)
             M[:3, :3] = R
@@ -470,7 +484,15 @@ class COLMAPProcessor:
             raise NotADirectoryError(f"No folder at {path_to_depth_maps} — dense stereo output is missing "
                                      f"(was COLMAP run with dense reconstruction enabled?).")
 
-        filenames = sorted(os.listdir(path_to_depth_maps))
+        # COLMAP stereo writes TWO files per image (*.geometric.bin and
+        # *.photometric.bin); keep the geometric ones (multi-view
+        # consistency-filtered — the maps every downstream consumer wants).
+        # Loading both interleaved would silently pair wrong frames with
+        # the estimated depths in pose scaling (review finding, r5).
+        filenames = sorted(f for f in os.listdir(path_to_depth_maps)
+                           if f.endswith(".geometric.bin"))
+        if not filenames:  # older/configured runs may emit photometric only
+            filenames = sorted(os.listdir(path_to_depth_maps))
 
         if len(filenames) == 0:
             raise FileNotFoundError(f"The folder {path_to_depth_maps} holds no depth maps — was COLMAP "
@@ -708,6 +730,19 @@ class DatasetMetadata:
 # HiveDataset — the converted dataset consumed by the pipeline.
 # ---------------------------------------------------------------------------
 
+def make_depth_map_transform(depth_scaling_factor: float, max_depth: float):
+    """THE depth decode: stored u16 units -> float32 metres, with values
+    past ``max_depth`` zeroed (invalid). One definition — HiveDataset's
+    loader and the adaptors' conversion-time datasets must decode
+    identically or pose scaling silently drifts."""
+    def transform(depth_map: np.ndarray) -> np.ndarray:
+        depth_map = depth_scaling_factor * depth_map.astype(np.float32)
+        depth_map[depth_map > max_depth] = 0.0
+        return depth_map
+
+    return transform
+
+
 class HiveDataset(Dataset):
     """The on-disk HIVE dataset: RGB + depth + instance masks + camera params.
 
@@ -876,12 +911,8 @@ class HiveDataset(Dataset):
 
     # -- loading -------------------------------------------------------------
     def _get_depth_map_transform(self):
-        def transform(depth_map: np.ndarray) -> np.ndarray:
-            depth_map = self.depth_scaling_factor * depth_map.astype(np.float32)
-            depth_map[depth_map > self.metadata.max_depth] = 0.0
-            return depth_map
-
-        return transform
+        return make_depth_map_transform(self.depth_scaling_factor,
+                                        self.metadata.max_depth)
 
     def _load_camera_parameters(self) -> Tuple[np.ndarray, Trajectory]:
         camera_matrix = np.loadtxt(self.path_to_camera_matrix, dtype=np.float32)
@@ -927,8 +958,12 @@ class HiveDataset(Dataset):
         logging.info(f"Writing masked depth maps into {masked_depth_path}")
         os.makedirs(masked_depth_path, exist_ok=True)
 
-        def save_masked_depth(args):
-            i, depth_map, mask = args
+        def save_masked_depth(i):
+            # Load per index inside the worker: pre-materialising every
+            # f32 depth map + mask up front held ~1.5 MB x N frames
+            # resident before the first write (review finding, r5).
+            depth_map = self.depth_dataset[i]
+            mask = self.mask_dataset[i]
             binary_mask = dilate_mask(mask > 0, dilation_options)
 
             depth_map = depth_map.copy()
@@ -936,8 +971,7 @@ class HiveDataset(Dataset):
             as_mm = (depth_map / self.depth_scaling_factor).astype(np.uint16)
             imageio.imwrite(pjoin(masked_depth_path, f"{i:06d}.png"), as_mm)
 
-        tqdm_imap(save_masked_depth,
-                  list(zip(range(len(self)), self.depth_dataset, self.mask_dataset)))
+        tqdm_imap(save_masked_depth, range(len(self)))
 
         self.metadata.depth_mask_dilation_iterations = dilation_options.num_iterations
         self.metadata.save(self.path_to_metadata)
