@@ -95,16 +95,23 @@ def _decimate_clustering(vertices, faces, target_faces):
         return new_vertices.astype(vertices.dtype), new_faces[ok]
 
     lo, hi = 2, 256
-    best = cluster(hi)
+    # Fallback is the COARSEST grid: when every resolution (even 2^3
+    # cells) exceeds the target, the bounded-output contract demands the
+    # fewest-faces result — the old `best = cluster(hi)` init returned the
+    # FINEST grid (most faces) in exactly that case (review finding, r5:
+    # target_faces=2 on an 8K-face mesh returned 7962 faces).
+    best = cluster(lo)
+    if len(best[1]) <= target_faces:
+        # The coarsest already fits; bisect upward for the largest fitting
+        # resolution (closest to the target from below).
+        while lo < hi:
+            mid = (lo + hi) // 2
+            candidate = cluster(mid)
 
-    while lo < hi:
-        mid = (lo + hi) // 2
-        candidate = cluster(mid)
-
-        if len(candidate[1]) > target_faces:
-            hi = mid
-        else:
-            best = candidate
-            lo = mid + 1
+            if len(candidate[1]) > target_faces:
+                hi = mid
+            else:
+                best = candidate
+                lo = mid + 1
 
     return best

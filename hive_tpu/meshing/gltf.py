@@ -194,8 +194,13 @@ def export_scene(scene: Scene, output_path: str, quantize: bool = False):
                 image.save(png, format="PNG")
                 payload, mime = png.getvalue(), "image/png"
 
-            # JPEG cannot carry alpha; only offer it for RGB textures.
-            if quantize and image.mode == "RGB":
+            # JPEG cannot carry alpha; only offer it for RGB textures — and
+            # never re-encode an already-JPEG cached payload: a fresh q92
+            # encode of decoded JPEG pixels is usually byte-smaller (double
+            # compression), so the size test would accept another
+            # generation of loss on EVERY quantize pass (review finding,
+            # r5).
+            if quantize and image.mode == "RGB" and mime != "image/jpeg":
                 jpeg = io.BytesIO()
                 image.save(jpeg, format="JPEG", quality=92)
                 if jpeg.getbuffer().nbytes < len(payload):
@@ -509,11 +514,17 @@ def load_glb(path: str) -> Scene:
 
         mesh = TriangleMesh(vertices=np.concatenate(all_vertices),
                             faces=np.concatenate(all_faces))
-        if all_normals:
+        # Optional attributes attach only when EVERY primitive carried them:
+        # a partial concatenation silently aligns primitive 1's normals to
+        # primitive 0's vertices (and update_faces later indexes the short
+        # array with a full-length mask) — dropping the attribute is the
+        # safe reading of such a foreign glb (review finding, r5).
+        num_primitives = len(all_vertices)
+        if len(all_normals) == num_primitives and all_normals:
             mesh.vertex_normals = np.concatenate(all_normals)
-        if all_colors:
+        if len(all_colors) == num_primitives and all_colors:
             mesh.vertex_colors = np.concatenate(all_colors)
-        if all_uv:
+        if len(all_uv) == num_primitives and all_uv:
             mesh.uv = np.concatenate(all_uv)
             mesh.texture = texture
             if texture is not None:

@@ -65,10 +65,21 @@ class TriangleMesh:
             self.vertices = self.vertices @ transform[:3, :3].T + transform[:3, 3]
 
             if self.vertex_normals is not None:
-                # Rotations/reflections only — ignore scale/shear for normals.
-                normals = self.vertex_normals @ transform[:3, :3].T
-                norms = np.linalg.norm(normals, axis=-1, keepdims=True)
-                self.vertex_normals = normals / np.maximum(norms, 1e-12)
+                # Normals transform by the INVERSE-TRANSPOSE of the linear
+                # part (equal to the rotation itself only for rigid
+                # transforms): applying the raw linear part tilts normals
+                # TOWARD a stretched axis instead of away under non-uniform
+                # scale/shear (review finding, r5). Renormalised below;
+                # singular transforms keep the old normals.
+                linear = transform[:3, :3]
+                try:
+                    normal_matrix = np.linalg.inv(linear).T
+                except np.linalg.LinAlgError:
+                    normal_matrix = None
+                if normal_matrix is not None:
+                    normals = self.vertex_normals @ normal_matrix.T
+                    norms = np.linalg.norm(normals, axis=-1, keepdims=True)
+                    self.vertex_normals = normals / np.maximum(norms, 1e-12)
 
         if np.linalg.det(transform[:3, :3]) < 0 and len(self.faces):
             # A reflection flips winding; reverse faces to keep outward orientation.

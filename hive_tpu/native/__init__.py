@@ -36,8 +36,15 @@ def _needs_rebuild() -> bool:
 
 def _build() -> bool:
     sources = [os.path.join(_SRC_DIR, src) for src in _SOURCES]
+    # Compile to a per-process temp file and rename into place: os.rename
+    # is atomic on one filesystem, so a concurrent process either dlopens
+    # the complete OLD library or the complete NEW one — never the
+    # half-written file g++ would otherwise be streaming into the final
+    # path (the in-process threading.Lock cannot guard cross-process
+    # builds; review finding, r5).
+    tmp_path = f"{_LIB_PATH}.build-{os.getpid()}"
     command = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-               "-o", _LIB_PATH, *sources]
+               "-o", tmp_path, *sources]
 
     logging.info(f"Building native library: {' '.join(command)}")
 
@@ -49,6 +56,12 @@ def _build() -> bool:
 
     if result.returncode != 0:
         logging.warning(f"Native build failed:\n{result.stderr}")
+        return False
+
+    try:
+        os.rename(tmp_path, _LIB_PATH)
+    except OSError as exc:
+        logging.warning(f"Could not move the built library into place: {exc}")
         return False
 
     return True

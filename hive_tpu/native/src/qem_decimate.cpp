@@ -335,7 +335,6 @@ class Decimator {
       if (shared) continue;
 
       const double* p[3];
-      double moved[3];
       for (int k = 0; k < 3; ++k) {
         if (tri[k] == v_moving) {
           p[k] = new_pos;
@@ -343,7 +342,6 @@ class Decimator {
           p[k] = &positions_[static_cast<size_t>(tri[k]) * 3];
         }
       }
-      (void)moved;
 
       const double* o[3];
       for (int k = 0; k < 3; ++k) o[k] = &positions_[static_cast<size_t>(tri[k]) * 3];
@@ -412,7 +410,6 @@ class Decimator {
                                  &positions_[static_cast<size_t>(v0) * 3],
                                  &positions_[static_cast<size_t>(v1) * 3]};
     const double* pos = nullptr;
-    double pos_cost = 0.0;
     for (const double* attempt : attempts) {
       const double cost = combined.evaluate(attempt);
       if (max_error > 0 && cost > max_error) continue;
@@ -420,11 +417,10 @@ class Decimator {
         continue;
       }
       pos = attempt;
-      pos_cost = cost;
       break;
     }
     if (pos == nullptr) return false;
-    (void)pos_cost;  // Note: an endpoint fallback may execute at a cost above
+    // Note: an endpoint fallback may execute at a cost above
     // the heap minimum (a greedy approximation; with max_error > 0 the
     // per-attempt bound above still applies). Re-queueing at the true cost
     // was tried and churns pathologically on flat meshes where every

@@ -94,6 +94,41 @@ static int64_t weld_sorted_unique(const uint64_t* keys, int64_t n,
     return unique_count;
 }
 
+// Decode a packed oct-encoded normal (two unsigned fields at the given
+// scale), fold the lower hemisphere back out, and accumulate into acc.
+// Shared by hive_oct_average (16-bit fields) and hive_extract_assemble
+// (8-bit fields riding fracnrm's high bits) — ONE definition of the fold
+// math so the two paths cannot diverge.
+static inline void accumulate_oct(float ux, float uy, float* acc) {
+    const float ax = ux < 0.0f ? -ux : ux;
+    const float ay = uy < 0.0f ? -uy : uy;
+    const float nz = 1.0f - ax - ay;
+
+    float nx = ux;
+    float ny = uy;
+    if (nz < 0.0f) {  // fold the lower hemisphere back out
+        nx = (1.0f - ay) * (ux >= 0.0f ? 1.0f : -1.0f);
+        ny = (1.0f - ax) * (uy >= 0.0f ? 1.0f : -1.0f);
+    }
+
+    acc[0] += nx;
+    acc[1] += ny;
+    acc[2] += nz;
+}
+
+static inline void normalise_rows(float* out, int64_t num_rows) {
+    for (int64_t r = 0; r < num_rows; ++r) {
+        float* acc = out + 3 * r;
+        const float len2 = acc[0] * acc[0] + acc[1] * acc[1] + acc[2] * acc[2];
+        if (len2 > 1e-24f) {
+            const float inv = 1.0f / std::sqrt(len2);
+            acc[0] *= inv;
+            acc[1] *= inv;
+            acc[2] *= inv;
+        }
+    }
+}
+
 extern "C" {
 
 // Returns the number of unique keys (<= n), or -1 on allocation failure.
@@ -126,34 +161,10 @@ void hive_oct_average(const uint32_t* packed, const int64_t* inverse,
         const uint32_t p = packed[i];
         const float ux = static_cast<float>(p & 0xFFFF) * kScale - 1.0f;
         const float uy = static_cast<float>(p >> 16) * kScale - 1.0f;
-
-        const float ax = ux < 0.0f ? -ux : ux;
-        const float ay = uy < 0.0f ? -uy : uy;
-        const float nz = 1.0f - ax - ay;
-
-        float nx = ux;
-        float ny = uy;
-        if (nz < 0.0f) {  // fold the lower hemisphere back out
-            nx = (1.0f - ay) * (ux >= 0.0f ? 1.0f : -1.0f);
-            ny = (1.0f - ax) * (uy >= 0.0f ? 1.0f : -1.0f);
-        }
-
-        float* acc = out + 3 * inverse[i];
-        acc[0] += nx;
-        acc[1] += ny;
-        acc[2] += nz;
+        accumulate_oct(ux, uy, out + 3 * inverse[i]);
     }
 
-    for (int64_t r = 0; r < num_unique; ++r) {
-        float* acc = out + 3 * r;
-        const float len2 = acc[0] * acc[0] + acc[1] * acc[1] + acc[2] * acc[2];
-        if (len2 > 1e-24f) {
-            const float inv = 1.0f / std::sqrt(len2);
-            acc[0] *= inv;
-            acc[1] *= inv;
-            acc[2] *= inv;
-        }
-    }
+    normalise_rows(out, num_unique);
 }
 
 // Weld directly from the isosurface extraction lanes
@@ -237,33 +248,9 @@ int64_t hive_extract_assemble(const int32_t* klo, const uint32_t* colcode,
         const uint32_t p = fracnrm[i] >> 16;
         const float ux = static_cast<float>(p & 0xFF) * kScale8 - 1.0f;
         const float uy = static_cast<float>((p >> 8) & 0xFF) * kScale8 - 1.0f;
-
-        const float ax = ux < 0.0f ? -ux : ux;
-        const float ay = uy < 0.0f ? -uy : uy;
-        const float nz = 1.0f - ax - ay;
-
-        float nx = ux;
-        float ny = uy;
-        if (nz < 0.0f) {
-            nx = (1.0f - ay) * (ux >= 0.0f ? 1.0f : -1.0f);
-            ny = (1.0f - ax) * (uy >= 0.0f ? 1.0f : -1.0f);
-        }
-
-        float* acc = out_normals + 3 * inverse[i];
-        acc[0] += nx;
-        acc[1] += ny;
-        acc[2] += nz;
+        accumulate_oct(ux, uy, out_normals + 3 * inverse[i]);
     }
-    for (int64_t r = 0; r < num_unique; ++r) {
-        float* acc = out_normals + 3 * r;
-        const float len2 = acc[0] * acc[0] + acc[1] * acc[1] + acc[2] * acc[2];
-        if (len2 > 1e-24f) {
-            const float inv_len = 1.0f / std::sqrt(len2);
-            acc[0] *= inv_len;
-            acc[1] *= inv_len;
-            acc[2] *= inv_len;
-        }
-    }
+    normalise_rows(out_normals, num_unique);
 
     // Drop degenerate triangles (duplicate welded vertices), compacting the
     // survivors to the front of `inverse` viewed as (n/3, 3) faces.

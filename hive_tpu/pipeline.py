@@ -550,6 +550,15 @@ class Pipeline:
                         vertices, faces, is_object,
                         min_components=self.filtering_options.min_num_components)
 
+            if len(vertices) == 0 or len(faces) == 0:
+                # Floater removal legitimately empties a noise object whose
+                # largest component is under min_num_components; texturing
+                # an empty mesh crashed the whole frame (review finding,
+                # r5) — skip just this object instead.
+                logging.debug(f"Object {object_id} of frame {index} is empty "
+                              f"after filtering; skipping.")
+                continue
+
             with timed_block(None, profiling,
                              ["timing", "foreground_reconstruction", "billboard",
                               index, object_id]):
