@@ -1026,10 +1026,20 @@ def estimate_depth_dpt(rgb_dataset: ImageFolderDataset, output_path: str,
     PNGs — the same on-disk contract.
     """
     from hive_tpu.models.dpt import DPTDepthEstimator
+    from hive_tpu.ops.resize import keep_aspect_multiple_of
 
     os.makedirs(output_path, exist_ok=True)
 
-    estimator = DPTDepthEstimator(weights_filename=weights_filename)
+    # Per-dataset net canvas from the source aspect (the reference's
+    # aspect-preserving 'minimal' resize policy): stretching a portrait
+    # sequence onto the fixed landscape 480x640 canvas squashed the aspect
+    # from e.g. 0.75 to 1.33 before the forward pass, silently distorting
+    # every depth map (review finding, r5). One shape per dataset keeps the
+    # single-compile property.
+    net_size = keep_aspect_multiple_of(rgb_dataset[0].shape[:2],
+                                       target_long_side=640)
+    estimator = DPTDepthEstimator(weights_filename=weights_filename,
+                                  net_size=net_size)
 
     index = 0
     for batch in rgb_dataset.batches(batch_size):

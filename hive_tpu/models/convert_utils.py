@@ -89,6 +89,22 @@ class TrackedState:
                 f"Full list: {leftovers}")
 
 
+def unflatten_params(flat, leaf=None):
+    """'a/b/c'-keyed flat mapping -> nested params tree (inverse of the
+    converters' flattening). ``leaf`` optionally maps each value (e.g.
+    ``jnp.asarray``). THE single definition — the per-model load_params
+    used to carry three byte-similar copies (review finding, r5)."""
+    tree = {}
+    for key in (flat.files if hasattr(flat, "files") else flat):
+        value = flat[key]
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = leaf(value) if leaf is not None else value
+    return tree
+
+
 class WriteOnceDict(dict):
     """A dict that refuses duplicate writes (converter output side).
 

@@ -63,10 +63,19 @@ class StdConv(nn.Module):
         var = kernel.var(axis=(0, 1, 2), keepdims=True)
         kernel = (kernel - mean) / jnp.sqrt(var + 1e-8)
 
+        # timm "same" padding (StdConv2dSame): for inputs divisible by the
+        # stride the total pad is k - s, split low-first — (2, 3) for the
+        # 7x7/2 stem, (0, 1) for 3x3/2 — matching the released checkpoint's
+        # spatial alignment. Stride-1 reduces to the symmetric (k-1)//2.
+        def same_pad(k, s):
+            total = max(k - s, 0) if s > 1 else k - 1
+            return (total // 2, total - total // 2)
+
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=self.strides,
-            padding=[((k - 1) // 2, k // 2) for k in self.kernel_size],
+            padding=[same_pad(k, s) for k, s in zip(self.kernel_size,
+                                                    self.strides)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         if self.use_bias:
@@ -76,8 +85,18 @@ class StdConv(nn.Module):
         return y
 
 
-class PreActBottleneck(nn.Module):
-    """ResNetV2 pre-activation bottleneck: GN→ReLU→conv ×3 with projection."""
+class Bottleneck(nn.Module):
+    """POST-activation bottleneck (ResNet V1.5-style with GN + weight
+    standardisation) — the block the released ``dpt_hybrid_nyu.pt`` actually
+    stores: timm's ``vit_base_resnet50_384`` builds its hybrid backbone with
+    ``ResNetV2(..., preact=False)`` ("Non Pre-activation bottleneck ...
+    Used for ViT Hybrid", mirrored by HF transformers'
+    ``BitBottleneckLayer``). Each conv is followed by its own norm (sized
+    to that conv's OUTPUT width), the projection shortcut carries a norm,
+    and the residual add is followed by ReLU. The previous pre-activation
+    block here could not represent the real checkpoint at all (norm widths
+    differ and ``downsample.norm`` had no slot) — review finding, r5.
+    """
 
     features: int  # bottleneck (inner) width; output is 4x
     strides: Tuple[int, int] = (1, 1)
@@ -88,24 +107,23 @@ class PreActBottleneck(nn.Module):
         out_features = self.features * 4
         needs_projection = (x.shape[-1] != out_features or self.strides != (1, 1))
 
-        y = nn.GroupNorm(num_groups=32, name="gn1")(x)
-        y = nn.relu(y)
-
-        residual = x
+        shortcut = x
         if needs_projection:
-            residual = StdConv(out_features, (1, 1), strides=self.strides,
-                               dtype=self.dtype, name="conv_proj")(y)
+            shortcut = StdConv(out_features, (1, 1), strides=self.strides,
+                               dtype=self.dtype, name="conv_proj")(x)
+            shortcut = nn.GroupNorm(num_groups=32, name="gn_proj")(shortcut)
 
-        y = StdConv(self.features, (1, 1), dtype=self.dtype, name="conv1")(y)
-        y = nn.GroupNorm(num_groups=32, name="gn2")(y)
+        y = StdConv(self.features, (1, 1), dtype=self.dtype, name="conv1")(x)
+        y = nn.GroupNorm(num_groups=32, name="gn1")(y)
         y = nn.relu(y)
         y = StdConv(self.features, (3, 3), strides=self.strides,
                     dtype=self.dtype, name="conv2")(y)
-        y = nn.GroupNorm(num_groups=32, name="gn3")(y)
+        y = nn.GroupNorm(num_groups=32, name="gn2")(y)
         y = nn.relu(y)
         y = StdConv(out_features, (1, 1), dtype=self.dtype, name="conv3")(y)
+        y = nn.GroupNorm(num_groups=32, name="gn3")(y)
 
-        return residual + y
+        return nn.relu(y + shortcut)
 
 
 class ResNetV2Stem(nn.Module):
@@ -121,7 +139,10 @@ class ResNetV2Stem(nn.Module):
                     name="conv_root")(x)
         y = nn.GroupNorm(num_groups=32, name="gn_root")(y)
         y = nn.relu(y)
-        y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        # timm 'same' maxpool (3x3/2 on an even dim pads (0, 1)) — a
+        # symmetric (1, 1) pad shifts every downstream feature by a pixel
+        # relative to the released checkpoint's alignment.
+        y = jnp.pad(y, ((0, 0), (0, 1), (0, 1), (0, 0)), constant_values=-jnp.inf)
         y = nn.max_pool(y, (3, 3), strides=(2, 2))
 
         features = []
@@ -131,8 +152,8 @@ class ResNetV2Stem(nn.Module):
 
             for block in range(num_blocks):
                 strides = (2, 2) if stage > 0 and block == 0 else (1, 1)
-                y = PreActBottleneck(stage_width, strides=strides, dtype=self.dtype,
-                                     name=f"stage{stage + 1}_block{block + 1}")(y)
+                y = Bottleneck(stage_width, strides=strides, dtype=self.dtype,
+                               name=f"stage{stage + 1}_block{block + 1}")(y)
 
             features.append(y)
 
@@ -159,7 +180,10 @@ class TransformerBlock(nn.Module):
 
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        # Exact (erf) GELU: torch nn.GELU defaults to erf, flax nn.gelu to
+        # the tanh approximation — the gap compounds over 12 blocks with
+        # real weights (review finding, r5).
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
 
         return x + y
@@ -269,14 +293,28 @@ class DPTHybrid(nn.Module):
                 [patches, jnp.broadcast_to(cls, patches.shape)], axis=-1)
             projected = nn.Dense(self.readout_dim, dtype=self.dtype,
                                  name=f"{name}_readout")(merged)
-            projected = nn.gelu(projected)
+            projected = nn.gelu(projected, approximate=False)  # torch erf GELU
             return projected.reshape(-1, h16, w16, self.readout_dim)
 
         r3 = tokens_to_spatial(tokens3, "reassemble3")
         r4 = tokens_to_spatial(tokens4, "reassemble4")
 
+        # The learned 1x1 projections the released checkpoint carries at
+        # act_postprocess{3,4}.3 (between the readout and the scratch /
+        # downsample convs) — previously missing entirely, so the real
+        # weights had no slot (review finding, r5).
+        r3 = nn.Conv(self.readout_dim, (1, 1), dtype=self.dtype,
+                     name="reassemble3_project")(r3)
+        r4 = nn.Conv(self.readout_dim, (1, 1), dtype=self.dtype,
+                     name="reassemble4_project")(r4)
+
         # Scale adjustments: layer3 stays /16, layer4 downsamples to /32.
-        r4 = nn.Conv(self.readout_dim, (3, 3), strides=(2, 2), padding="SAME",
+        # Explicit (1, 1) padding: the checkpoint's act_postprocess4.4 is a
+        # plain torch Conv2d(stride=2, padding=1), whose sampling grid
+        # starts at -1 — XLA "SAME" on an even input pads (0, 1) instead,
+        # computing a shifted (different) function.
+        r4 = nn.Conv(self.readout_dim, (3, 3), strides=(2, 2),
+                     padding=((1, 1), (1, 1)),
                      dtype=self.dtype, name="reassemble4_downsample")(r4)
 
         # Project every tapped feature map to the fusion width.
@@ -321,6 +359,11 @@ _NORM_MEAN = 0.5
 _NORM_STD = 0.5
 
 
+# Sentinel: "use the process-wide runtime mesh" (distinct from an explicit
+# mesh=None, which forces single-device inference).
+_RUNTIME_MESH = object()
+
+
 class DPTDepthEstimator:
     """Batched DPT depth inference with fused preprocessing.
 
@@ -334,7 +377,7 @@ class DPTDepthEstimator:
     def __init__(self, weights_filename: str = "dpt_hybrid_nyu.npz",
                  net_size: Tuple[int, int] = (480, 640),
                  scale: float = NYU_SCALE, shift: float = NYU_SHIFT,
-                 dtype=jnp.bfloat16, mesh=None):
+                 dtype=jnp.bfloat16, mesh=_RUNTIME_MESH):
         self.net_height, self.net_width = net_size
         self.scale = scale
         self.shift = shift
@@ -343,9 +386,12 @@ class DPTDepthEstimator:
         self.params = self._load_or_init_params(weights_filename)
 
         # Multi-device runtime: shard inference batches over the frame axis
-        # (frames are independent; parameters replicate). Defaults to the
-        # pipeline's --num_devices mesh.
-        if mesh is None:
+        # (frames are independent; parameters replicate). The DEFAULT picks
+        # up the pipeline's --num_devices mesh; pass mesh=None to force
+        # single-device inference even when a runtime mesh is configured
+        # (None used to mean "use the runtime mesh", so callers could not
+        # opt out — review finding, r5).
+        if mesh is _RUNTIME_MESH:
             from hive_tpu.parallel.runtime import runtime_mesh
 
             mesh = runtime_mesh()
@@ -431,20 +477,6 @@ class DPTDepthEstimator:
 # Weight conversion (torch DPT checkpoint → our .npz).
 # ---------------------------------------------------------------------------
 
-def _flatten_params(tree: dict, prefix: str = "") -> dict:
-    flat = {}
-
-    for key, value in tree.items():
-        path = f"{prefix}/{key}" if prefix else key
-
-        if isinstance(value, dict):
-            flat.update(_flatten_params(value, path))
-        else:
-            flat[path] = np.asarray(value)
-
-    return flat
-
-
 def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
                              net_size: Tuple[int, int] = (480, 640)):
     """Convert the released `dpt_hybrid_nyu.pt` torch checkpoint to our layout.
@@ -455,7 +487,8 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
     """
     import torch
 
-    from hive_tpu.models.convert_utils import TrackedState, iter_flat_numpy
+    from hive_tpu.models.convert_utils import (TrackedState, WriteOnceDict,
+                                               iter_flat_numpy)
 
     state = torch.load(torch_checkpoint_path, map_location="cpu")
     if "state_dict" in state:
@@ -463,20 +496,13 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
 
     state = TrackedState(iter_flat_numpy(state), name="DPT checkpoint")
 
-    params: dict = {}
-    written: set = set()
+    # Flat 'a/b/c' output keys in the shared write-once armour (the other
+    # three converters use the same; a hand-rolled duplicate used to live
+    # here — review finding, r5).
+    params = WriteOnceDict()
 
     def put(path: str, value: np.ndarray):
-        if path in written:
-            raise ValueError(f"parameter {path!r} written twice (mapping "
-                             f"collision in the DPT converter)")
-        written.add(path)
-
-        node = params
-        parts = path.split("/")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = value
+        params[path] = value
 
     def conv(src: str, dst: str, bias: bool = True):
         put(f"{dst}/kernel", state[f"{src}.weight"].transpose(2, 3, 1, 0))
@@ -504,6 +530,8 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
             src = f"{resnet}.stages.{stage}.blocks.{block}"
             dst = f"encoder/resnet/stage{stage + 1}_block{block + 1}"
 
+            # Post-activation layout: norm{k} follows conv{k} (sized to its
+            # OUTPUT), the projection shortcut carries downsample.norm.
             group_norm(f"{src}.norm1", f"{dst}/gn1")
             group_norm(f"{src}.norm2", f"{dst}/gn2")
             group_norm(f"{src}.norm3", f"{dst}/gn3")
@@ -513,6 +541,7 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
 
             if f"{src}.downsample.conv.weight" in state:
                 conv(f"{src}.downsample.conv", f"{dst}/conv_proj", bias=False)
+                group_norm(f"{src}.downsample.norm", f"{dst}/gn_proj")
 
     # --- patch embed + tokens ---
     conv(f"{vit}.patch_embed.proj", "encoder/patch_embed")
@@ -551,6 +580,11 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
     # --- reassemble (readout projections + resamples) ---
     dense("pretrained.act_postprocess3.0.project.0", "reassemble3_readout")
     dense("pretrained.act_postprocess4.0.project.0", "reassemble4_readout")
+    # The learned 1x1 projections at sequential index 3 (review finding,
+    # r5 — previously unconsumed, failing assert_fully_consumed on the
+    # real checkpoint).
+    conv("pretrained.act_postprocess3.3", "reassemble3_project")
+    conv("pretrained.act_postprocess4.3", "reassemble4_project")
     conv("pretrained.act_postprocess4.4", "reassemble4_downsample")
 
     # --- scratch ---
@@ -589,5 +623,5 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str,
         r"num_batches_tracked$",
     ))
 
-    np.savez(output_path, **_flatten_params(params))
+    np.savez(output_path, **params)
     logging.info(f"Converted DPT checkpoint written to {output_path}")

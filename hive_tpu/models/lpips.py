@@ -100,15 +100,10 @@ class LPIPSScorer:
 
 
 def load_params(npz_path: str):
-    data = np.load(npz_path, allow_pickle=True)
-    tree = {}
-    for key in data.files:
-        node = tree
-        parts = key.split("/")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = jnp.asarray(data[key])
-    return tree
+    from hive_tpu.models.convert_utils import unflatten_params
+
+    return unflatten_params(np.load(npz_path, allow_pickle=True),
+                            leaf=jnp.asarray)
 
 
 def load_scorer(weights_filename: str = "lpips_alex.npz") -> Optional[LPIPSScorer]:

@@ -61,7 +61,13 @@ PRE_NMS_TOP_N = 512      # RPN candidates per level
 POST_NMS_TOP_N = 512     # proposals kept for the box head
 DETECTIONS_TOP_N = 100   # final detections
 MASK_TOP_N = 32          # detections that get masks
-CROP = 32                # ROIAlign crop side at the assigned level
+CROP = 48                # ROIAlign crop side at the assigned level.
+# Sized against the canonical FPN level assignment (sqrt(area)/stride ~ 14):
+# a box of aspect ratio r spans ~14*sqrt(r) feature px on its long side, so
+# 48 covers up to ~11:1 boxes where the old 32 truncated past ~5:1 — an
+# elongated detection (lying person) had its ROI features edge-replicated
+# over the truncated extent (review finding, r5). Level clamping to P2..P5
+# can still exceed this for extreme boxes; those clamp as before.
 
 BBOX_XFORM_CLIP = math.log(1000.0 / 16.0)
 
@@ -319,15 +325,19 @@ def roi_align(feature, boxes_level, out_size, crop=CROP):
                                              (crop, crop, feature.shape[2]))
     )(cy, cx)  # (N, crop, crop, 256)
 
-    # Sample-point positions relative to the crop (aligned=True convention:
-    # bin centres at (i + 0.5) * bin / s). Clamped to the crop interior —
-    # boxes larger than the crop at their level (only possible for
-    # full-image-scale boxes above ~2K input) replicate edge samples.
+    # Sample-point positions relative to the crop. aligned=False convention
+    # (NO half-pixel shift): torchvision's detection models run
+    # MultiScaleRoIAlign with the roi_align default aligned=False, and the
+    # released COCO weights are calibrated to it — the previous -0.5
+    # (aligned=True) shifted every sample by half a feature pixel, up to 16
+    # canvas px at P5 (review finding, r5). Positions clamp to the crop
+    # interior — boxes longer than the crop at their level (aspect beyond
+    # ~11:1 at CROP=48) replicate edge samples.
     steps = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
     py = y0[:, None] + steps[None, :] * bh[:, None] - cy[:, None].astype(
-        jnp.float32) - 0.5
+        jnp.float32)
     px = x0[:, None] + steps[None, :] * bw[:, None] - cx[:, None].astype(
-        jnp.float32) - 0.5
+        jnp.float32)
     py = jnp.clip(py, 0.0, crop - 1.0)
     px = jnp.clip(px, 0.0, crop - 1.0)
 
@@ -687,12 +697,7 @@ def convert_torch_checkpoint(torch_checkpoint_path: str, output_path: str):
 
 def load_params(npz_path: str):
     """Load a converted ``.npz`` into the nested Flax params tree."""
-    data = np.load(npz_path, allow_pickle=True)
-    tree: Dict[str, Any] = {}
-    for key in data.files:
-        node = tree
-        parts = key.split("/")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = jnp.asarray(data[key])
-    return tree
+    from hive_tpu.models.convert_utils import unflatten_params
+
+    return unflatten_params(np.load(npz_path, allow_pickle=True),
+                            leaf=jnp.asarray)

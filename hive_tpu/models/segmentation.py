@@ -114,17 +114,10 @@ class _UNetBackend:
 
 
 def _unflatten_params(flat: dict) -> dict:
-    """'a/b/c' → nested dict (inverse of the converter's flattening)."""
-    tree: dict = {}
+    """'a/b/c' → nested dict (delegates to the shared converter helper)."""
+    from hive_tpu.models.convert_utils import unflatten_params
 
-    for key, value in flat.items():
-        node = tree
-        parts = key.split("/")
-        for part in parts[:-1]:
-            node = node.setdefault(part, {})
-        node[parts[-1]] = value
-
-    return tree
+    return unflatten_params(flat)
 
 
 class _MaskRCNNBackend:

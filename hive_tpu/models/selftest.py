@@ -56,18 +56,25 @@ def make_fake_dpt_state_dict():
             src = f"{resnet}.stages.{stage}.blocks.{block}"
             prev = in_ch if block == 0 else width * 4
 
-            state[f"{src}.norm1.weight"] = tensor(prev)
-            state[f"{src}.norm1.bias"] = tensor(prev)
+            # POST-activation layout (timm preact=False, the layout the
+            # released checkpoint stores): norm{k} follows conv{k}, sized
+            # to its OUTPUT width; the projection shortcut has its own
+            # norm (review finding, r5 — the old fabrication mirrored the
+            # then-pre-activation Flax model instead of upstream).
             state[f"{src}.conv1.weight"] = tensor(width, prev, 1, 1)
+            state[f"{src}.norm1.weight"] = tensor(width)
+            state[f"{src}.norm1.bias"] = tensor(width)
+            state[f"{src}.conv2.weight"] = tensor(width, width, 3, 3)
             state[f"{src}.norm2.weight"] = tensor(width)
             state[f"{src}.norm2.bias"] = tensor(width)
-            state[f"{src}.conv2.weight"] = tensor(width, width, 3, 3)
-            state[f"{src}.norm3.weight"] = tensor(width)
-            state[f"{src}.norm3.bias"] = tensor(width)
             state[f"{src}.conv3.weight"] = tensor(width * 4, width, 1, 1)
+            state[f"{src}.norm3.weight"] = tensor(width * 4)
+            state[f"{src}.norm3.bias"] = tensor(width * 4)
 
             if block == 0:
                 state[f"{src}.downsample.conv.weight"] = tensor(width * 4, prev, 1, 1)
+                state[f"{src}.downsample.norm.weight"] = tensor(width * 4)
+                state[f"{src}.downsample.norm.bias"] = tensor(width * 4)
 
     # Patch embed + tokens.
     state[f"{vit}.patch_embed.proj.weight"] = tensor(768, 1024, 1, 1)
@@ -96,6 +103,10 @@ def make_fake_dpt_state_dict():
     state["pretrained.act_postprocess3.0.project.0.bias"] = tensor(768)
     state["pretrained.act_postprocess4.0.project.0.weight"] = tensor(768, 1536)
     state["pretrained.act_postprocess4.0.project.0.bias"] = tensor(768)
+    state["pretrained.act_postprocess3.3.weight"] = tensor(768, 768, 1, 1)
+    state["pretrained.act_postprocess3.3.bias"] = tensor(768)
+    state["pretrained.act_postprocess4.3.weight"] = tensor(768, 768, 1, 1)
+    state["pretrained.act_postprocess4.3.bias"] = tensor(768)
     state["pretrained.act_postprocess4.4.weight"] = tensor(768, 768, 3, 3)
     state["pretrained.act_postprocess4.4.bias"] = tensor(768)
 

@@ -64,11 +64,13 @@ class TestROIAlign:
         out = np.asarray(M.roi_align(jnp.asarray(feat), boxes, out_size=7))
         assert out.shape == (1, 7, 7, 4)
 
-        # Oracle: dense bilinear sample at the same aligned=True grid.
+        # Oracle: dense bilinear sample at the aligned=False grid (no
+        # half-pixel shift — torchvision's detection roi_align default,
+        # which the released COCO weights are calibrated to).
         x0, y0, x1, y1 = 5.25, 7.5, 19.25, 30.0
         s = 14
-        ys = y0 + (np.arange(s) + 0.5) / s * (y1 - y0) - 0.5
-        xs = x0 + (np.arange(s) + 0.5) / s * (x1 - x0) - 0.5
+        ys = y0 + (np.arange(s) + 0.5) / s * (y1 - y0)
+        xs = x0 + (np.arange(s) + 0.5) / s * (x1 - x0)
 
         def sample(y, x):
             yf, xf = int(np.floor(y)), int(np.floor(x))
