@@ -81,55 +81,81 @@ def ssim(image_a: np.ndarray, image_b: np.ndarray, data_range: float = 255.0) ->
     return float(ssim_map.mean())
 
 
-def batch_ssim_psnr(frames_a: np.ndarray, frames_b: np.ndarray,
-                    data_range: float = 255.0):
-    """Batched SSIM + PSNR on device: (N, H, W, C) pairs → (N,), (N,).
+def _lazy_jit(fn=None, **jit_kwargs):
+    """functools-style deferred jax.jit: resolves jax on first call so this
+    module keeps its lazy-import discipline, then caches the jitted fn."""
+    def wrap(f):
+        box = {}
 
-    The device path for evaluating whole rendered sequences at once.
-    """
+        def call(*args, **kwargs):
+            if "jit" not in box:
+                import jax
+
+                box["jit"] = jax.jit(f, **jit_kwargs)
+            return box["jit"](*args, **kwargs)
+
+        return call
+
+    return wrap(fn) if fn is not None else wrap
+
+
+@partial(_lazy_jit, static_argnames=("data_range",))
+def _batch_ssim_psnr_device(a, b, data_range: float = 255.0):
     import jax
     import jax.numpy as jnp
 
     kernel = jnp.asarray(_gaussian_kernel(), dtype=jnp.float32)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
-
     pad = kernel.shape[0] // 2
 
-    @jax.jit
-    def compute(a, b):
-        a = a.astype(jnp.float32)
-        b = b.astype(jnp.float32)
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
 
-        mse = jnp.mean((a - b) ** 2, axis=(1, 2, 3))
-        psnr_values = 10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse, 1e-12))
+    mse = jnp.mean((a - b) ** 2, axis=(1, 2, 3))
+    psnr_values = 10.0 * jnp.log10(data_range ** 2 / jnp.maximum(mse, 1e-12))
 
-        # Depthwise Gaussian filtering via conv per channel. Reflect-pad
-        # explicitly ('SAME' pads with ZEROS, which depresses mu/sigma in the
-        # outer ring and makes device SSIM disagree with the host path's
-        # cv2 BORDER_REFLECT near borders).
-        k = kernel[:, :, None, None]
+    # Depthwise Gaussian filtering via conv per channel. Symmetric
+    # (edge-inclusive) padding explicitly: 'SAME' pads with ZEROS (which
+    # depresses mu/sigma in the outer ring) and mode="reflect" is
+    # BORDER_REFLECT_101 — the host path blurs with cv2 BORDER_REFLECT,
+    # which is numpy 'symmetric', so only that mode makes device and host
+    # SSIM agree in the border ring (review finding, r5).
+    k = kernel[:, :, None, None]
 
-        def blur(x):
-            c = x.shape[-1]
-            x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                        mode="reflect")
-            return jax.lax.conv_general_dilated(
-                x, jnp.tile(k, (1, 1, 1, c)), window_strides=(1, 1),
-                padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=c)
+    def blur(x):
+        c = x.shape[-1]
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                    mode="symmetric")
+        return jax.lax.conv_general_dilated(
+            x, jnp.tile(k, (1, 1, 1, c)), window_strides=(1, 1),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
 
-        mu_a, mu_b = blur(a), blur(b)
-        sigma_a2 = blur(a * a) - mu_a ** 2
-        sigma_b2 = blur(b * b) - mu_b ** 2
-        sigma_ab = blur(a * b) - mu_a * mu_b
+    mu_a, mu_b = blur(a), blur(b)
+    sigma_a2 = blur(a * a) - mu_a ** 2
+    sigma_b2 = blur(b * b) - mu_b ** 2
+    sigma_ab = blur(a * b) - mu_a * mu_b
 
-        ssim_map = ((2 * mu_a * mu_b + c1) * (2 * sigma_ab + c2)) \
-            / ((mu_a ** 2 + mu_b ** 2 + c1) * (sigma_a2 + sigma_b2 + c2))
+    ssim_map = ((2 * mu_a * mu_b + c1) * (2 * sigma_ab + c2)) \
+        / ((mu_a ** 2 + mu_b ** 2 + c1) * (sigma_a2 + sigma_b2 + c2))
 
-        return jnp.mean(ssim_map, axis=(1, 2, 3)), psnr_values
+    return jnp.mean(ssim_map, axis=(1, 2, 3)), psnr_values
 
-    ssim_values, psnr_values = compute(jnp.asarray(frames_a), jnp.asarray(frames_b))
+
+def batch_ssim_psnr(frames_a: np.ndarray, frames_b: np.ndarray,
+                    data_range: float = 255.0):
+    """Batched SSIM + PSNR on device: (N, H, W, C) pairs → (N,), (N,).
+
+    The device path for evaluating whole rendered sequences at once. The
+    jitted kernel is module-level so repeat calls at one shape hit the
+    in-process jit cache instead of retracing per call (review finding,
+    r5).
+    """
+    import jax.numpy as jnp
+
+    ssim_values, psnr_values = _batch_ssim_psnr_device(
+        jnp.asarray(frames_a), jnp.asarray(frames_b), data_range=data_range)
     return np.asarray(ssim_values), np.asarray(psnr_values)
 
 

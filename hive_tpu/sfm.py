@@ -228,6 +228,9 @@ def estimate_camera_poses_native(rgb_frames: Sequence[np.ndarray],
     :return: The (N, 7) world-to-camera trajectory, first frame = identity.
     """
     num_frames = len(rgb_frames)
+    if num_frames == 0:
+        raise ValueError("estimate_camera_poses_native needs at least one "
+                         "frame (got an empty sequence)")
 
     subset = list(range(0, num_frames, frame_step))
     if subset[-1] != num_frames - 1:

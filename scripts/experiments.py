@@ -36,7 +36,6 @@ import json
 import logging
 import shutil
 from os.path import join as pjoin
-from pathlib import Path
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -164,14 +163,32 @@ def tsdf_fusion_with_colmap(dataset: HiveDataset, frame_set: List[int],
     colmap_depth = ImageFolderDataset(
         colmap_depth_path, transform=dataset._get_depth_map_transform())
 
-    # COLMAP may drop trailing frames it failed to register.
-    frame_set = [i for i in frame_set if i < len(colmap_depth)]
+    # The adaptor names these files by TRUE frame index over the
+    # frames[::frame_step] subset (000000.png, 000015.png, ...), so
+    # positional indexing would pair each pose/RGB with another frame's
+    # depth whenever frame_step > 1 (review finding, r5) — translate
+    # through the filenames, and keep only frames COLMAP actually
+    # registered a depth map for.
+    positions = {}
+    for pos, name in enumerate(colmap_depth.image_filenames):
+        try:
+            positions[int(os.path.splitext(name)[0])] = pos
+        except ValueError:
+            continue
+    frame_set = [i for i in frame_set if i in positions]
     if not frame_set:
         return None
 
+    class _ByFrameIndex:
+        def __getitem__(self, index):
+            return colmap_depth[positions[index]]
+
+        def __len__(self):
+            return dataset.num_frames
+
     depth_backup = dataset.depth_dataset
     try:
-        dataset.depth_dataset = colmap_depth
+        dataset.depth_dataset = _ByFrameIndex()
         with disable_inpainted_data(dataset):
             return tsdf_fusion(dataset, mesh_options, frame_set=frame_set)
     finally:
@@ -299,6 +316,12 @@ class Experiments:
 
                 logging.info(f"Running pipeline for {dataset_name}/{config}...")
 
+                # BEFORE Pipeline(): its __init__ opens
+                # run_output/logs.log via setup_logger, which does not
+                # create directories (review finding, r5 — fresh runs
+                # crashed with FileNotFoundError).
+                os.makedirs(run_output, exist_ok=True)
+
                 pipeline = Pipeline(
                     options=PipelineOptions(
                         num_frames=self.num_frames, frame_step=self.frame_step,
@@ -310,8 +333,6 @@ class Experiments:
                     colmap_options=self.colmap_options,
                     webxr_options=WebXROptions(webxr_path=pjoin(run_output, "webxr")),
                 )
-
-                os.makedirs(run_output, exist_ok=True)
 
                 try:
                     pipeline.run()
@@ -442,8 +463,7 @@ class Experiments:
         first). Draco steps degrade to uncompressed-only when
         ``draco_transcoder`` is not on PATH.
         """
-        import shutil as _shutil
-
+    
         import imageio.v3 as iio
 
         from hive_tpu.geometric import get_pose_components
@@ -454,7 +474,7 @@ class Experiments:
 
         config_cls = MeshCompressionExperimentConfig
         configs = configs or list(self.CONFIGS)
-        have_draco = _shutil.which("draco_transcoder") is not None
+        have_draco = shutil.which("draco_transcoder") is not None
         if not have_draco:
             logging.info("draco_transcoder not on PATH; compressing with the "
                          "native KHR_mesh_quantization encoder instead.")
@@ -545,7 +565,7 @@ class Experiments:
                 # score the compression loss.
                 if "bg" in entry and "compressed_file_size" in entry["bg"]:
                     pose = dataset.camera_trajectory.to_homogenous_transforms()[0]
-                    R, t = pose[:3, :3], pose[:3, 3:]
+                    R, t = get_pose_components(pose)
 
                     renders = []
                     for folder in (uncompressed_dir, compressed_dir):
@@ -682,7 +702,7 @@ class Experiments:
                     sdf_max_voxels)
 
             per_sequence[sequence] = results
-            mean = results.get("mean", results)
+            mean = results.get("mean", {})
             row = [sequence]
             for metric in ("ssim", "psnr", "lpips", "mifd"):
                 value = mean.get(metric)
@@ -931,6 +951,9 @@ class Experiments:
         from hive_tpu.pipeline import Pipeline
 
         run_output = pjoin(self.output_path, "kid_running")
+        # BEFORE Pipeline(): __init__ opens run_output/logs.log (see the
+        # pipeline-experiments runner).
+        os.makedirs(run_output, exist_ok=True)
 
         pipeline = Pipeline(
             options=PipelineOptions(num_frames=self.num_frames, frame_step=self.frame_step,
@@ -943,7 +966,6 @@ class Experiments:
             webxr_options=WebXROptions(webxr_path=pjoin(run_output, "webxr")),
         )
 
-        os.makedirs(run_output, exist_ok=True)
         pipeline.run()
 
         with open(pjoin(run_output, "dataset", "profiling.json")) as fh:
@@ -977,8 +999,10 @@ def main():
     parser.add_argument("--overwrite_ok", action="store_true")
     args = parser.parse_args()
 
-    setup_logger(pjoin(args.output_path, "experiments.log")
-                 if os.path.isdir(args.output_path) else None)
+    # Create the output folder FIRST so the initial sweep also gets a log
+    # file (the old isdir gate silently logged console-only on fresh runs).
+    os.makedirs(args.output_path, exist_ok=True)
+    setup_logger(pjoin(args.output_path, "experiments.log"))
 
     experiments = Experiments(data_path=args.data_path, output_path=args.output_path,
                               dataset_names=args.dataset_names,
