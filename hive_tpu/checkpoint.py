@@ -23,10 +23,27 @@ def _flatten(tree: Any, prefix: str = "") -> dict:
     flat = {}
 
     if isinstance(tree, dict):
+        # The path encoding cannot represent these unambiguously — refuse
+        # loudly instead of silently restoring a DIFFERENT tree structure
+        # (review finding, r5: {'a/b': x} round-tripped as {'a': {'b': x}},
+        # and empty containers vanished entirely).
+        for key in tree:
+            k = str(key)
+            if "/" in k or k.startswith("#") or k.startswith("%"):
+                raise ValueError(
+                    f"checkpoint dict key {key!r} cannot round-trip (keys "
+                    f"must not contain '/' or start with '#'/'%')")
+        if not tree:
+            raise ValueError("checkpoint cannot represent an empty dict "
+                             "(it would vanish on restore)")
         items = tree.items()
     elif isinstance(tree, tuple):
+        if not tree:
+            raise ValueError("checkpoint cannot represent an empty tuple")
         items = ((f"%{i}", v) for i, v in enumerate(tree))
     elif isinstance(tree, list):
+        if not tree:
+            raise ValueError("checkpoint cannot represent an empty list")
         items = ((f"#{i}", v) for i, v in enumerate(tree))
     else:
         return {prefix or "value": np.asarray(tree)}

@@ -23,7 +23,8 @@ from hive_tpu.io import HiveDataset
 from hive_tpu.meshing.mesh import TriangleMesh
 from hive_tpu.meshing.ply import load_ply
 from hive_tpu.options import BackgroundMeshOptions, MaskDilationOptions, MeshReconstructionMethod
-from hive_tpu.ops.tsdf import TSDFVolume, estimate_volume_bounds
+from hive_tpu.ops.tsdf import (TSDFVolume,
+                               estimate_volume_bounds_from_max_depths)
 
 
 def adjust_voxel_size(dataset: HiveDataset, options: BackgroundMeshOptions,
@@ -41,17 +42,36 @@ def adjust_voxel_size(dataset: HiveDataset, options: BackgroundMeshOptions,
 
     from hive_tpu.utils import tqdm_imap
 
-    depths = np.stack(tqdm_imap(dataset.bg_depth_dataset.__getitem__,
-                                list(frame_set), show_progress=False))
-    poses = cam_to_world[list(frame_set)]
+    # Only each frame's MAX depth reaches the frustum union — loading one
+    # frame at a time keeps this stage O(1 frame) in host memory (stacking
+    # the whole frame set was ~1.2 GB per 1000 VGA frames; review finding,
+    # r5).
+    frame_list = list(frame_set)
+    max_depths = np.asarray(tqdm_imap(
+        lambda i: float(np.max(dataset.bg_depth_dataset[i])), frame_list,
+        show_progress=False), dtype=np.float32)
+    poses = cam_to_world[frame_list]
 
-    vol_bnds = estimate_volume_bounds(depths, dataset.camera_matrix, poses)
+    vol_bnds = estimate_volume_bounds_from_max_depths(
+        max_depths, dataset.camera_matrix, poses)
 
     extent = vol_bnds[:, 1] - vol_bnds[:, 0]
     voxel_count = np.ceil(np.prod(extent / options.sdf_voxel_size))
 
+    # The 12-voxel truncation margin (6 per side, added below) is part of
+    # the final volume, so the budget fit must account for it — sizing the
+    # voxel to make the UNPADDED volume fit exactly left the padded volume
+    # ~5% over sdf_max_voxels, eroding the OOM headroom the flag exists
+    # for (review finding, r5). Solve prod(extent + 12 v) <= budget * v^3
+    # by a few fixed-point rounds (converges fast: the margin term is a
+    # small correction).
     if options.sdf_max_voxels and voxel_count > options.sdf_max_voxels:
-        voxel_size = float((np.prod(extent) / options.sdf_max_voxels) ** (1.0 / 3.0))
+        voxel_size = float((np.prod(extent) / options.sdf_max_voxels)
+                           ** (1.0 / 3.0))
+        for _ in range(8):
+            padded = extent + 12.0 * voxel_size
+            voxel_size = float((np.prod(padded) / options.sdf_max_voxels)
+                               ** (1.0 / 3.0))
         logging.info(f"Voxel size grown to {voxel_size:.3f} m: at "
                      f"{options.sdf_voxel_size} m the scene would need {voxel_count:,.0f} "
                      f"voxels, past the {options.sdf_max_voxels:,d} budget.")

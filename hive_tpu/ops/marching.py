@@ -764,6 +764,46 @@ def _active_indices(mask_flat, num_active: int) -> np.ndarray:
     return lin[:num_active]
 
 
+EMISSION_LANES = ("klo", "colcode", "fracnrm")
+
+
+def check_blocked_colour_addressing(num_voxels: int) -> None:
+    """Refuse volumes past the blocked colour gather's int32 limit.
+
+    _emit_triangles_blocked addresses colour as (block*3+ch)*BV+off in
+    int32 (int64 indexing needs jax_enable_x64, which this framework pins
+    off): past 2^31/3 voxels the index wraps negative and jnp.take's
+    clamping would SILENTLY paint block 0's colours everywhere. Shared by
+    the single-device and sharded extraction entry points.
+    """
+    if 3 * num_voxels >= 2 ** 31:
+        raise NotImplementedError(
+            f"blocked extraction addresses colour as (block*3+ch)*BV+off in "
+            f"int32; {num_voxels:,d} voxels overflows it (limit ~715M)")
+
+
+def transfer_width(nv: int, width: int) -> int:
+    """Lane-transfer width class: nv rounded up to a 4096 multiple, capped.
+
+    The slice-for-transfer is a tiny compiled program per DISTINCT width —
+    classes bound the compile count; the <=4095 extra elements per lane are
+    noise next to the per-transfer latency behind the device link.
+    """
+    return min(width, -(-nv // 4096) * 4096)
+
+
+def append_trimmed_lanes(parts: dict, lane_rows, nv: int) -> None:
+    """Append one emission's (3, >=nv) lane rows to the collect dict,
+    trimmed to the nv valid elements. ONE definition of the lane order and
+    the klo int32 reinterpretation — the single-device and sharded collect
+    loops must decode the _emit_core layout identically for the
+    bit-equality contract."""
+    for name, row in zip(EMISSION_LANES, lane_rows[:, :nv]):
+        if name == "klo":
+            row = row.view(np.int32)
+        parts[name].append(row)
+
+
 def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
                               chunk_size: int):
     import os
@@ -771,7 +811,7 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
     stats = os.environ.get("HIVE_EXTRACT_STATS") == "1"
     t_start = time.perf_counter()
 
-    parts = {name: [] for name in ("klo", "colcode", "fracnrm")}
+    parts = {name: [] for name in EMISSION_LANES}
 
     def dispatch(start):
         chunk = active[start:start + chunk_size]
@@ -824,18 +864,10 @@ def _chunked_extract_and_weld(active, emit, dims, origin, voxel_size: float,
         packed_lanes, count = queue.pop(0)
         nv = 3 * int(count)
 
-        # ONE transfer per chunk. The width is rounded up to a 4096 multiple:
-        # the slice-for-transfer is a tiny compiled program per DISTINCT
-        # width, and per-chunk arbitrary widths would compile a new one
-        # every chunk (~0.1 s each, cold). The ≤4095 extra elements per lane
-        # (~100 KB) are noise next to the per-transfer latency.
-        width = packed_lanes.shape[1]
-        nv_t = min(width, -(-nv // 4096) * 4096)
-        rows = np.asarray(packed_lanes[:, :nv_t])[:, :nv]
-        for name, row in zip(("klo", "colcode", "fracnrm"), rows):
-            if name == "klo":
-                row = row.view(np.int32)
-            parts[name].append(row)
+        # ONE transfer per chunk, at a bounded width class (see
+        # transfer_width).
+        nv_t = transfer_width(nv, packed_lanes.shape[1])
+        append_trimmed_lanes(parts, np.asarray(packed_lanes[:, :nv_t]), nv)
 
     t_collect = time.perf_counter()
     if stats:

@@ -269,14 +269,37 @@ def estimate_volume_bounds(depths, camera_matrix, cam_to_world_poses) -> np.ndar
     quantity needed is each frame's max depth, and shipping whole VGA depth
     stacks to the device for this setup step cost 338 s of a 514 s
     end-to-end run behind the slow host→device tunnel (the frustum-corner
-    math itself is 5 points per frame).
+    math itself is 5 points per frame). Prefer
+    :func:`estimate_volume_bounds_from_max_depths` when the caller can
+    compute per-frame max depths streamingly — stacking a long sequence
+    here costs GBs of host memory.
     """
     depths = np.asarray(depths)
-    poses = np.asarray(cam_to_world_poses, dtype=np.float64)
-    K_inv = np.linalg.inv(np.asarray(camera_matrix, dtype=np.float64))
+    n = depths.shape[0]
+    max_depths = depths.reshape(n, -1).max(axis=1)
+    return estimate_volume_bounds_from_max_depths(
+        max_depths, camera_matrix, cam_to_world_poses,
+        image_hw=depths.shape[1:3])
 
-    n, h, w = depths.shape
-    max_depths = depths.reshape(n, -1).max(axis=1).astype(np.float64)
+
+def estimate_volume_bounds_from_max_depths(max_depths, camera_matrix,
+                                           cam_to_world_poses,
+                                           image_hw=None) -> np.ndarray:
+    """Frustum-union bounds from per-frame MAX depths (O(1 frame) memory).
+
+    ``image_hw`` defaults to the sensor size implied by the intrinsics
+    (2*cx, 2*cy rounded) when not given — exact for centred principal
+    points, which is what every supported dataset provides.
+    """
+    poses = np.asarray(cam_to_world_poses, dtype=np.float64)
+    K = np.asarray(camera_matrix, dtype=np.float64)
+    K_inv = np.linalg.inv(K)
+
+    if image_hw is None:
+        image_hw = (int(round(2.0 * K[1, 2])), int(round(2.0 * K[0, 2])))
+    h, w = image_hw
+    n = len(max_depths)
+    max_depths = np.asarray(max_depths, dtype=np.float64)
 
     corners = np.array([[0.0, 0.0, 1.0], [w, 0.0, 1.0], [w, h, 1.0],
                         [0.0, h, 1.0]])

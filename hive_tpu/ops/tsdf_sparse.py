@@ -366,6 +366,38 @@ def query_flat_pyramid(pyramid, layout, u0, u1, v0, v1, height: int, width: int,
     return dmin, dmax, all_valid
 
 
+def prepare_integration_inputs(colors, depths, camera_matrix,
+                               cam_to_world_poses, obs_weights=None):
+    """THE frame-stack preprocessing for integration — shared by the
+    single-device path and the shard_map wrapper
+    (hive_tpu.parallel.fusion.integrate_frames_sharded), whose bit-identical
+    contract depends on both sides preparing inputs identically.
+
+    jnp.asarray only: device-resident inputs must NOT round-trip through
+    the host (np.asarray on a jax.Array downloads ~80 MB per VGA scan — it
+    dominated integration time behind a remote device tunnel).
+
+    :return: (depths (N,H,W) f32, colors (N,H,W,3) f32, world_to_cams
+        (N,4,4) f32, intr (4,) f32, obs_weights (N,) f32), all jnp arrays.
+    """
+    depths = jnp.asarray(depths, dtype=jnp.float32)
+    n = depths.shape[0]
+
+    colors = jnp.asarray(colors, dtype=jnp.float32)[..., :3]
+
+    K = np.asarray(camera_matrix, dtype=np.float32)
+    intr = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], dtype=jnp.float32)
+
+    world_to_cams = jnp.linalg.inv(
+        jnp.asarray(cam_to_world_poses, dtype=jnp.float32))
+
+    if obs_weights is None:
+        obs_weights = np.ones((n,), dtype=np.float32)
+
+    return (depths, colors, world_to_cams, intr,
+            jnp.asarray(obs_weights, dtype=jnp.float32))
+
+
 class SparseTSDFVolume:
     """Block-major TSDF volume with banded integration.
 
@@ -1760,11 +1792,10 @@ class SparseTSDFVolume:
 
     def integrate_frames(self, colors, depths, camera_matrix, cam_to_world_poses,
                          obs_weights=None):
-        # jnp.asarray only: device-resident inputs must NOT round-trip through
-        # the host (np.asarray on a jax.Array downloads ~80 MB per VGA scan —
-        # it dominated integration time behind a remote device tunnel).
-        depths = jnp.asarray(depths, dtype=jnp.float32)
-        n, height, width = depths.shape
+        (depths, colors, world_to_cams, intr,
+         obs_weights) = prepare_integration_inputs(
+            colors, depths, camera_matrix, cam_to_world_poses, obs_weights)
+        _, height, width = depths.shape
 
         # Compacted-classification build choice, per batch (poses are host
         # data; see estimate_candidate_fraction / pick_compact_cap).
@@ -1775,19 +1806,6 @@ class SparseTSDFVolume:
         if integ is None:
             integ = self._integrators[(height, width, cap)] = \
                 self._build_integrator(height, width, compact_cap=cap)
-
-        colors = jnp.asarray(colors, dtype=jnp.float32)[..., :3]
-
-        K = np.asarray(camera_matrix, dtype=np.float32)
-        intr = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], dtype=jnp.float32)
-
-        world_to_cams = jnp.linalg.inv(
-            jnp.asarray(cam_to_world_poses, dtype=jnp.float32))
-
-        if obs_weights is None:
-            obs_weights = np.ones((n,), dtype=np.float32)
-
-        obs_weights = jnp.asarray(obs_weights, dtype=jnp.float32)
 
         # One fused scan over the frame stack: a single dispatch, and XLA
         # overlaps classification with the previous frame's updates.

@@ -115,17 +115,25 @@ def integrate_frames_sharded(volume: SparseTSDFVolume, mesh: Mesh,
     Call :func:`shard_sparse_state` once first to place the state; this then
     runs the space-sharded scan and keeps ``volume.state`` sharded.
     """
-    depths = jnp.asarray(depths, dtype=jnp.float32)
-    n, height, width = depths.shape
+    from hive_tpu.ops.tsdf_sparse import (pick_compact_cap,
+                                          prepare_integration_inputs)
+
+    # Shared preprocessing with the single-device path (ONE definition —
+    # the bit-identical contract depends on it; review finding, r5).
+    (depths, colors, world_to_cams, intr,
+     obs_weights) = prepare_integration_inputs(
+        colors, depths, camera_matrix, cam_to_world_poses, obs_weights)
+    _, height, width = depths.shape
 
     # Same host-side compacted-classification choice as the single-device
     # path; block-cyclic placement spreads candidates evenly, so the global
     # fraction is also each shard's fraction.
-    from hive_tpu.ops.tsdf_sparse import pick_compact_cap
     cap = pick_compact_cap(volume.estimate_candidate_fraction(
         camera_matrix, cam_to_world_poses, height, width))
 
-    key = ("sharded", height, width, id(mesh), axis, cap)
+    # The Mesh itself (hashable) — id(mesh) could alias a garbage-collected
+    # mesh at the same address and reuse a program bound to dead devices.
+    key = ("sharded", height, width, mesh, axis, cap)
     cache = getattr(volume, "_sharded_integrators", None)
     if cache is None:
         cache = volume._sharded_integrators = {}
@@ -133,15 +141,6 @@ def integrate_frames_sharded(volume: SparseTSDFVolume, mesh: Mesh,
     if fn is None:
         fn = cache[key] = build_sharded_integrator(volume, mesh, height, width,
                                                    axis=axis, compact_cap=cap)
-
-    colors = jnp.asarray(colors, dtype=jnp.float32)[..., :3]
-    K = np.asarray(camera_matrix, dtype=np.float32)
-    intr = jnp.asarray([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], dtype=jnp.float32)
-    world_to_cams = jnp.linalg.inv(jnp.asarray(cam_to_world_poses,
-                                               dtype=jnp.float32))
-    if obs_weights is None:
-        obs_weights = np.ones((n,), dtype=np.float32)
-    obs_weights = jnp.asarray(obs_weights, dtype=jnp.float32)
 
     volume.state = fn(volume.state, volume.block_origins_device, depths,
                       colors, world_to_cams, intr, obs_weights)
@@ -176,9 +175,12 @@ def get_mesh_sharded(volume: SparseTSDFVolume, mesh: Mesh, axis: str = "data",
     hardware, where per-device emission divides the compute and each
     device's link ships its own shard.
     """
-    from hive_tpu.ops.marching import (_active_cubes_blocked_sparse,
+    from hive_tpu.ops.marching import (EMISSION_LANES,
+                                       _active_cubes_blocked_sparse,
                                        _emit_triangles_blocked,
-                                       _empty_mesh, decode_active_coords,
+                                       _empty_mesh, append_trimmed_lanes,
+                                       check_blocked_colour_addressing,
+                                       decode_active_coords, transfer_width,
                                        weld_and_assemble)
 
     # Canonical x-major block order (un-permute block-cyclic placement),
@@ -195,6 +197,10 @@ def get_mesh_sharded(volume: SparseTSDFVolume, mesh: Mesh, axis: str = "data",
     grid_blocks = volume.grid_blocks
     block_size = volume.block_size
     dims = tuple(g * b for g, b in zip(grid_blocks, block_size))
+    # Same int32 colour-addressing refusal as the single-device entry point
+    # (this path exists for real multi-chip parts, where huge volumes are
+    # the point — silently wrong colours past ~715M voxels otherwise).
+    check_blocked_colour_addressing(volume.num_voxels)
 
     lin = _active_cubes_blocked_sparse(tsdf_b, weight_b,
                                        grid_blocks=grid_blocks,
@@ -236,7 +242,7 @@ def get_mesh_sharded(volume: SparseTSDFVolume, mesh: Mesh, axis: str = "data",
                          check_rep=False)
     emit = jax.jit(emit)
 
-    parts = {name: [] for name in ("klo", "colcode", "fracnrm")}
+    parts = {name: [] for name in EMISSION_LANES}
     stride = n * per_dev
 
     def dispatch(start):
@@ -269,19 +275,14 @@ def get_mesh_sharded(volume: SparseTSDFVolume, mesh: Mesh, axis: str = "data",
 
         lanes, cnts = queue.pop(0)
         cnts = np.asarray(cnts)
-        width = lanes.shape[2]
         nv_max = 3 * int(cnts.max()) if len(cnts) else 0
-        nv_t = min(width, -(-nv_max // 4096) * 4096)
-        lanes = np.asarray(lanes[:, :, :nv_t])
+        lanes = np.asarray(lanes[:, :, :transfer_width(nv_max,
+                                                       lanes.shape[2])])
         # Device order = active order: the concatenated stream matches the
-        # single-device chunk stream element-for-element.
+        # single-device chunk stream element-for-element; lane decode is the
+        # shared append_trimmed_lanes (one definition, see ops/marching).
         for d in range(n):
-            nv = 3 * int(cnts[d])
-            for name, row in zip(("klo", "colcode", "fracnrm"),
-                                 lanes[d][:, :nv]):
-                if name == "klo":
-                    row = row.view(np.int32)
-                parts[name].append(row)
+            append_trimmed_lanes(parts, lanes[d], 3 * int(cnts[d]))
 
     flat = {name: np.concatenate(chunks) for name, chunks in parts.items()}
     vertices, faces, colors, normals = weld_and_assemble(

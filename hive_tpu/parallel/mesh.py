@@ -41,6 +41,13 @@ def get_device_mesh(n_devices: Optional[int] = None,
     if n_devices is None:
         n_devices = len(devices)
 
+    if n_devices <= 0:
+        # runtime.configure special-cases -1 (= all devices) before calling
+        # here; any non-positive count reaching this point is caller error —
+        # numpy's reshape(-2) would otherwise raise an unrelated internals
+        # error (review finding, r5).
+        raise ValueError(f"n_devices must be positive, got {n_devices}")
+
     if n_devices > len(devices):
         try:
             cpu_devices = jax.devices("cpu")

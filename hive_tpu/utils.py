@@ -69,6 +69,14 @@ def check_domain(value: Any, name: str, value_type: Union[Type[int], Type[float]
     if nullable and value is None:
         return
 
+    # Type check FIRST: the domain comparison on a non-numeric value would
+    # raise TypeError instead of the promised ValueError (review finding,
+    # r5 — validators exist precisely for the bad inputs).
+    if not isinstance(value, value_type):
+        raise ValueError(
+            f"{name} must be a {value_type.__name__}, "
+            f"but got {value!r} ({type(value).__name__}) instead")
+
     in_domain = True
     domain_name = ""
 
@@ -82,7 +90,7 @@ def check_domain(value: Any, name: str, value_type: Union[Type[int], Type[float]
         in_domain = value >= 0
         domain_name = " non-negative "
 
-    if not isinstance(value, value_type) or not in_domain:
+    if not in_domain:
         raise ValueError(
             f"{name} must be a{domain_name}{value_type.__name__}, "
             f"but got {value!r} ({type(value).__name__}) instead"
