@@ -1,6 +1,7 @@
 """Checkpoint manager tests."""
 
 import numpy as np
+import pytest
 
 from hive_tpu.checkpoint import CheckpointManager
 
@@ -63,3 +64,23 @@ class TestCheckpointManager:
         np.testing.assert_array_equal(restored[0]["q"], np.zeros(3))
         np.testing.assert_array_equal(restored[1][0], np.ones(2))
         np.testing.assert_array_equal(restored[1][1], np.full(1, 7.0))
+
+
+class TestAmbiguousTreesRefused:
+    """The path encoding cannot represent '/'-bearing keys or empty
+    containers; they must refuse loudly instead of silently restoring a
+    different tree (round-5 review finding, verified by execution)."""
+
+    def test_slash_key_refused(self, tmp_path):
+        from hive_tpu.checkpoint import CheckpointManager
+
+        manager = CheckpointManager(str(tmp_path))
+        with pytest.raises(ValueError, match="round-trip"):
+            manager.save(0, {"a/b": np.zeros(2)})
+
+    def test_empty_list_refused(self, tmp_path):
+        from hive_tpu.checkpoint import CheckpointManager
+
+        manager = CheckpointManager(str(tmp_path))
+        with pytest.raises(ValueError, match="empty list"):
+            manager.save(0, {"a": [], "b": np.zeros(2)})

@@ -730,3 +730,40 @@ class TestPLYFormats:
 
         mesh = load_ply(path)
         assert mesh.faces.tolist() == [[0, 1, 2], [0, 2, 3], [0, 2, 4]]
+
+
+class TestClusteringFallback:
+    def test_unreachable_target_returns_coarsest_grid(self):
+        """When even the coarsest grid exceeds target_faces, the fallback
+        must return the FEWEST-faces result (the old init returned the
+        finest grid — 7962 faces for target 2 in the review repro)."""
+        from hive_tpu.meshing.decimate import _decimate_clustering
+
+        verts, faces = make_icosphere(3)
+        out_verts, out_faces = _decimate_clustering(
+            verts.astype(np.float32), faces, target_faces=2)
+        # 2^3 cells can hold at most 8 distinct vertices.
+        assert len(out_verts) <= 8
+        assert len(out_faces) < len(faces) // 10
+
+
+class TestNormalTransform:
+    def test_nonuniform_scale_uses_inverse_transpose(self):
+        """Normals transform by the inverse-transpose of the linear part:
+        stretching x must tilt a diagonal normal AWAY from x, not toward
+        it (the old raw-linear transform did the opposite)."""
+        from hive_tpu.meshing.mesh import TriangleMesh
+
+        n = np.array([[1.0, 1.0, 0.0]]) / np.sqrt(2.0)
+        mesh = TriangleMesh(
+            vertices=np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+            faces=np.array([[0, 1, 2]], np.int64),
+            vertex_normals=n.astype(np.float32))
+
+        transform = np.diag([2.0, 1.0, 1.0, 1.0])
+        mesh.apply_transform(transform)
+
+        out = mesh.vertex_normals[0]
+        # inverse-transpose: (0.5, 1, 0)/norm — the y component dominates.
+        assert out[1] > out[0] > 0
+        np.testing.assert_allclose(np.linalg.norm(out), 1.0, atol=1e-6)

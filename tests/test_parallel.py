@@ -450,3 +450,13 @@ class TestShardedDPT:
 
         assert result.shape == expected.shape == (3, 64, 96)
         np.testing.assert_allclose(result, expected, atol=1e-4)
+
+
+class TestDeviceCountValidation:
+    def test_nonpositive_count_raises(self):
+        from hive_tpu.parallel.mesh import get_device_mesh
+
+        with pytest.raises(ValueError, match="positive"):
+            get_device_mesh(-2)
+        with pytest.raises(ValueError, match="positive"):
+            get_device_mesh(0)

@@ -308,3 +308,21 @@ class TestBackendProbeSkip:
 
         assert utils.ensure_responsive_backend() is False
         assert calls, "the backends-initialised probe-skip never ran"
+
+
+class TestCheckDomainTypeErrors:
+    """check_domain must raise ValueError (its contract) for non-numeric
+    values — the domain comparison used to run first and raise TypeError
+    (round-5 review finding)."""
+
+    def test_string_value_raises_value_error(self):
+        from hive_tpu.utils import Domain, check_domain
+
+        with pytest.raises(ValueError, match="must be a int"):
+            check_domain("20", "n", int, Domain.Positive)
+
+    def test_none_value_raises_value_error_when_not_nullable(self):
+        from hive_tpu.utils import Domain, check_domain
+
+        with pytest.raises(ValueError):
+            check_domain(None, "n", float, Domain.NonNegative)
