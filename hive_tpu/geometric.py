@@ -34,9 +34,6 @@ from hive_tpu.utils import validate_camera_parameter_shapes, validate_shape
 # Pose 7-vector helpers (NumPy, host side).
 # ---------------------------------------------------------------------------
 
-def _np_quat_to_matrix(q: np.ndarray) -> np.ndarray:
-    return np.asarray(T.quat_to_matrix(jnp.asarray(q, dtype=jnp.float64)
-                                       if q.dtype == np.float64 else jnp.asarray(q)))
 
 
 def pose_vec2mat(pose: np.ndarray) -> np.ndarray:
@@ -92,6 +89,29 @@ def _mats_to_pose_vectors(mats: np.ndarray) -> np.ndarray:
 
     q = Rotation.from_matrix(np.asarray(mats[:, :3, :3], dtype=np.float64)).as_quat()
     return np.hstack([q, mats[:, :3, 3]])
+
+
+def _np_quat_slerp(q0: np.ndarray, q1: np.ndarray, t) -> np.ndarray:
+    """Host-numpy spherical interpolation, mirroring
+    :func:`hive_tpu.core.transforms.quat_slerp` (short arc, lerp fallback
+    when nearly parallel)."""
+    q0 = q0 / np.linalg.norm(q0, axis=-1, keepdims=True)
+    q1 = q1 / np.linalg.norm(q1, axis=-1, keepdims=True)
+
+    dot = np.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = np.where(dot < 0.0, -q1, q1)
+    dot = np.clip(np.abs(dot), -1.0, 1.0)
+
+    theta = np.arccos(dot)
+    sin_theta = np.sin(theta)
+
+    near = sin_theta < 1e-6
+    safe = np.where(near, 1.0, sin_theta)
+    w0 = np.where(near, 1.0 - t, np.sin((1.0 - t) * theta) / safe)
+    w1 = np.where(near, t, np.sin(t * theta) / safe)
+
+    out = w0 * q0 + w1 * q1
+    return out / np.linalg.norm(out, axis=-1, keepdims=True)
 
 
 def add_pose(pose_a: np.ndarray, pose_b: np.ndarray) -> np.ndarray:
@@ -186,7 +206,8 @@ class Quaternion:
         values = jnp.asarray(values)
 
         if values.ndim != 2 or values.shape[0] != 4:
-            raise ValueError(f"Homogeneous point arrays must be (4, N); got {values.shape}.")
+            raise ValueError(f"Quaternion batches must be (4, N) — rows "
+                             f"x, y, z, w; got {values.shape}.")
 
         self.values = values
 
@@ -453,9 +474,13 @@ class Trajectory:
         pose_lo = np.stack([poses[i] for i in lo])
         pose_hi = np.stack([poses[i] for i in hi])
 
-        q = np.asarray(T.quat_slerp(jnp.asarray(pose_lo[:, :4], dtype=jnp.float32),
-                                    jnp.asarray(pose_hi[:, :4], dtype=jnp.float32),
-                                    jnp.asarray(alpha[:, None], dtype=jnp.float32)))
+        # Host numpy slerp (same math as core.transforms.quat_slerp): this
+        # runs inside dataset-loading SETUP (COLMAP reader, pose-estimation
+        # adaptors), where the sibling methods were already converted to
+        # host numpy so the first jax call — a minutes-class tunnelled
+        # attach — is never triggered to interpolate a handful of
+        # 7-vectors (review finding, r5; CLAUDE.md device-in-setup rule).
+        q = _np_quat_slerp(pose_lo[:, :4], pose_hi[:, :4], alpha[:, None])
         t = pose_lo[:, 4:] * (1.0 - alpha[:, None]) + pose_hi[:, 4:] * alpha[:, None]
 
         values = np.concatenate([q, t], axis=-1)
