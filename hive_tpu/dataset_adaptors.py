@@ -1037,7 +1037,7 @@ def estimate_depth_dpt(rgb_dataset: ImageFolderDataset, output_path: str,
     # every depth map (review finding, r5). One shape per dataset keeps the
     # single-compile property.
     net_size = keep_aspect_multiple_of(rgb_dataset[0].shape[:2],
-                                       target_long_side=640)
+                                       target_hw=(480, 640))
     estimator = DPTDepthEstimator(weights_filename=weights_filename,
                                   net_size=net_size)
 

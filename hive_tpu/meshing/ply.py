@@ -35,11 +35,17 @@ def load_ply(path: str) -> TriangleMesh:
         current = None
 
         while True:
-            line = fh.readline().decode("ascii").strip()
+            raw = fh.readline()
+            if not raw:  # EOF before end_header
+                raise ValueError(f"{path}: truncated PLY header "
+                                 f"(no end_header)")
+            line = raw.decode("ascii").strip()
 
             if line == "end_header":
                 break
             parts = line.split()
+            if not parts:  # some exporters emit blank header lines
+                continue
 
             if parts[0] == "format":
                 fmt = parts[1]
@@ -47,6 +53,9 @@ def load_ply(path: str) -> TriangleMesh:
                 current = (parts[1], int(parts[2]), [])
                 elements.append(current)
             elif parts[0] == "property":
+                if current is None:
+                    raise ValueError(f"{path}: 'property' before any "
+                                     f"'element' in the PLY header")
                 if parts[1] == "list":
                     current[2].append(("list", _PLY_TYPES[parts[2]],
                                        _PLY_TYPES[parts[3]], parts[4]))
@@ -82,6 +91,16 @@ def load_ply(path: str) -> TriangleMesh:
                         n = int(values[0])
                         faces.append([int(v) for v in values[1:1 + n]])
                 else:
+                    # The binary decoders below assume the list property is
+                    # the element's ONLY property — extra scalars (e.g.
+                    # Poisson's per-face quality) would silently shift every
+                    # record and produce garbage faces (the ASCII branch
+                    # handles them; review finding, r5).
+                    if len(props) != 1:
+                        raise NotImplementedError(
+                            f"{path}: binary face elements with properties "
+                            f"besides the index list are not supported "
+                            f"(got {[p[-1] for p in props]})")
                     _, idx_t, val_t, _ = next(p for p in props if p[0] == "list")
                     idx_size = int(idx_t[1])
                     val_size = int(val_t[1])

@@ -425,12 +425,12 @@ class DPTDepthEstimator:
 
         if os.path.isfile(weights_path):
             logging.info(f"Loading DPT weights from {weights_path}")
-            data = np.load(weights_path, allow_pickle=True)
-            from hive_tpu.models.segmentation import _unflatten_params
+            from hive_tpu.models.convert_utils import unflatten_params
 
             self.weights_loaded = True
-            return jax.tree.map(jnp.asarray,
-                                _unflatten_params({k: data[k] for k in data.files}))
+            return unflatten_params(
+                np.load(weights_path, allow_pickle=True),
+                leaf=jnp.asarray)
 
         logging.warning(f"DPT weights not found at {weights_path}; "
                         f"using random initialisation (depth will be uncalibrated). "

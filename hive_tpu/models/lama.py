@@ -268,11 +268,10 @@ class LamaInpainter:
 
         if os.path.isfile(weights_path):
             logging.info(f"Loading LaMa weights from {weights_path}")
-            from hive_tpu.models.segmentation import _unflatten_params
+            from hive_tpu.models.convert_utils import unflatten_params
 
-            data = np.load(weights_path, allow_pickle=True)
-            return jax.tree.map(jnp.asarray,
-                                _unflatten_params({k: data[k] for k in data.files}))
+            return unflatten_params(np.load(weights_path, allow_pickle=True),
+                                    leaf=jnp.asarray)
 
         logging.warning(f"LaMa weights not found at {weights_path}; "
                         f"using random initialisation.")

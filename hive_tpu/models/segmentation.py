@@ -197,6 +197,11 @@ class _MotionBackend:
             if component.sum() < self.min_area_fraction * fg.size:
                 continue
 
+            if next_id > 255:
+                # uint8 mask: a 256th component would overflow (numpy>=2
+                # raises) — 255 instances already far exceeds any real
+                # scene; drop the remainder (review finding, r5).
+                break
             instance_mask[component] = next_id
             next_id += 1
 
@@ -241,6 +246,13 @@ class PersonSegmenter:
             except Exception as exc:  # pragma: no cover - depends on weight files
                 logging.warning(f"Could not load U-Net weights ({exc}); "
                                 f"falling back to motion masks.")
+        elif explicit_unet and not os.path.isfile(weights_path):
+            # An EXPLICIT request for a missing file must be loud — the
+            # generic 'no model weights found' info line hid a typo'd path
+            # while every downstream mask silently became motion-based
+            # (review finding, r5).
+            logging.warning(f"Requested U-Net weights not found at "
+                            f"{weights_path}; falling back to motion masks.")
 
         if self._maskrcnn is None and self._unet is None:
             logging.info("Person segmentation: motion (MOG2) fallback backend "
@@ -281,6 +293,8 @@ class PersonSegmenter:
             if component.sum() < 0.001 * binary.size:
                 continue
 
+            if next_id > 255:  # uint8 cap — see _instances_from_components
+                break
             instance_mask[component] = next_id
             next_id += 1
 

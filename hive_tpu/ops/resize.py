@@ -36,13 +36,20 @@ def prepare_model_input(frames_uint8: jnp.ndarray, size: Tuple[int, int],
     return resize_batch(normalize(frames_uint8, mean, std), size, method=method)
 
 
-def keep_aspect_multiple_of(source_hw: Tuple[int, int], target_long_side: int,
+def keep_aspect_multiple_of(source_hw: Tuple[int, int],
+                            target_hw: Tuple[int, int] = (480, 640),
                             multiple: int = 32) -> Tuple[int, int]:
-    """The 'minimal resize' policy: scale the longest side to the target,
-    then round each side to a multiple (DPT's Resize(..., ensure_multiple_of=32,
-    resize_method='minimal') behaviour)."""
+    """DPT's Resize(keep_aspect_ratio=True, resize_method='minimal',
+    ensure_multiple_of=32) policy: of the two axis scales implied by the
+    target, take the one CLOSEST to 1 ("scale as least as possible"),
+    apply it to both axes, and round each side to a multiple. One side can
+    end up past its target — that is the reference behaviour (a previous
+    long-side-to-target rule under-resolved non-4:3 inputs by up to ~45%;
+    review finding, r5)."""
     h, w = source_hw
-    scale = target_long_side / max(h, w)
+    th, tw = target_hw
+    scale_h, scale_w = th / h, tw / w
+    scale = scale_w if abs(1.0 - scale_w) < abs(1.0 - scale_h) else scale_h
 
     def round_multiple(x):
         return max(multiple, int(round(x * scale / multiple)) * multiple)

@@ -29,6 +29,18 @@ def compare_images(image_a, image_b) -> dict:
     }
 
 
+def ensure_rgb(image):
+    """Normalise any loaded image to (H, W, 3): grayscale broadcasts, RGBA
+    drops alpha — the metrics (and LPIPS especially) expect 3 channels
+    (review finding, r5: a grayscale pair crashed the LPIPS conv stack)."""
+    import numpy as np
+
+    image = np.asarray(image)
+    if image.ndim == 2:
+        return np.repeat(image[..., None], 3, axis=-1)
+    return image[..., :3]
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="Compare two images with SSIM, PSNR, LPIPS and MIFD.")
@@ -37,8 +49,8 @@ def main():
     parser.add_argument("--json", action="store_true", help="Emit JSON instead of text.")
     args = parser.parse_args()
 
-    image_a = iio.imread(args.image_a)
-    image_b = iio.imread(args.image_b)
+    image_a = ensure_rgb(iio.imread(args.image_a))
+    image_b = ensure_rgb(iio.imread(args.image_b))
 
     if image_a.shape != image_b.shape:
         raise RuntimeError(f"Image shapes differ: {image_a.shape} vs {image_b.shape}")
@@ -48,8 +60,13 @@ def main():
     from hive_tpu.metrics import lpips_available
 
     if args.json:
-        # Unavailable metrics are NaN internally; strict JSON has no NaN.
-        clean = {k: (None if v != v else v) for k, v in results.items()}
+        # Unavailable metrics are NaN internally; strict JSON has neither
+        # NaN nor Infinity (identical images give PSNR = inf — json.dumps
+        # would emit the non-strict 'Infinity' token; review finding, r5).
+        import math
+
+        clean = {k: (None if not math.isfinite(v) else v)
+                 for k, v in results.items()}
         if not lpips_available():
             clean["skipped"] = {"lpips": "skipped: weights absent"}
         print(json.dumps(clean))

@@ -31,9 +31,11 @@ def compare_folders(folder_a: str, folder_b: str) -> dict:
 
     rows = []
 
+    from compare_image_pair import ensure_rgb
+
     for name_a, name_b in zip(filenames_a, filenames_b):
-        image_a = iio.imread(pjoin(folder_a, name_a))
-        image_b = iio.imread(pjoin(folder_b, name_b))
+        image_a = ensure_rgb(iio.imread(pjoin(folder_a, name_a)))
+        image_b = ensure_rgb(iio.imread(pjoin(folder_b, name_b)))
 
         rows.append({
             "name": name_a,
