@@ -111,17 +111,17 @@ class Bottleneck(nn.Module):
         if needs_projection:
             shortcut = StdConv(out_features, (1, 1), strides=self.strides,
                                dtype=self.dtype, name="conv_proj")(x)
-            shortcut = nn.GroupNorm(num_groups=32, name="gn_proj")(shortcut)
+            shortcut = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn_proj")(shortcut)
 
         y = StdConv(self.features, (1, 1), dtype=self.dtype, name="conv1")(x)
-        y = nn.GroupNorm(num_groups=32, name="gn1")(y)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn1")(y)
         y = nn.relu(y)
         y = StdConv(self.features, (3, 3), strides=self.strides,
                     dtype=self.dtype, name="conv2")(y)
-        y = nn.GroupNorm(num_groups=32, name="gn2")(y)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn2")(y)
         y = nn.relu(y)
         y = StdConv(out_features, (1, 1), dtype=self.dtype, name="conv3")(y)
-        y = nn.GroupNorm(num_groups=32, name="gn3")(y)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn3")(y)
 
         return nn.relu(y + shortcut)
 
@@ -137,7 +137,7 @@ class ResNetV2Stem(nn.Module):
     def __call__(self, x):
         y = StdConv(self.width, (7, 7), strides=(2, 2), dtype=self.dtype,
                     name="conv_root")(x)
-        y = nn.GroupNorm(num_groups=32, name="gn_root")(y)
+        y = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn_root")(y)
         y = nn.relu(y)
         # timm 'same' maxpool (3x3/2 on an even dim pads (0, 1)) — a
         # symmetric (1, 1) pad shifts every downstream feature by a pixel
@@ -241,6 +241,31 @@ class HybridViT(nn.Module):
 # DPT decoder: reassemble + fusion.
 # ---------------------------------------------------------------------------
 
+def _upsample2x_align_corners(x):
+    """Bilinear x2 upsample with align_corners=True — the original DPT's
+    (and HF's) fusion/head interpolation convention: output i samples input
+    i*(in-1)/(out-1). jax.image.resize's "bilinear" is half-pixel
+    (align_corners=False), a systematic decoder divergence from the
+    released weights' calibration (round-5 oracle finding). Separable, with
+    static per-axis weights.
+    """
+    def axis_resize(arr, axis):
+        in_n = arr.shape[axis]
+        out_n = 2 * in_n
+        pos = jnp.arange(out_n, dtype=jnp.float32) * (in_n - 1) / (out_n - 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_n - 1)
+        frac = (pos - lo).astype(arr.dtype)
+        a = jnp.take(arr, lo, axis=axis)
+        b = jnp.take(arr, hi, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = out_n
+        frac = frac.reshape(shape)
+        return a * (1 - frac) + b * frac
+
+    return axis_resize(axis_resize(x, 1), 2)
+
+
 class ResidualConvUnit(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
@@ -267,8 +292,7 @@ class FeatureFusionBlock(nn.Module):
 
         x = ResidualConvUnit(self.features, dtype=self.dtype, name="rcu2")(x)
 
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+        x = _upsample2x_align_corners(x)
 
         return nn.Conv(self.features, (1, 1), dtype=self.dtype, name="out_conv")(x)
 
@@ -340,8 +364,7 @@ class DPTHybrid(nn.Module):
         # Monocular depth head.
         y = nn.Conv(self.features // 2, (3, 3), padding="SAME", dtype=self.dtype,
                     name="head_conv1")(path1)
-        b, h, w, c = y.shape
-        y = jax.image.resize(y, (b, h * 2, w * 2, c), method="bilinear")
+        y = _upsample2x_align_corners(y)
         y = nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype, name="head_conv2")(y)
         y = nn.relu(y)
         y = nn.Conv(1, (1, 1), dtype=self.dtype, name="head_conv3")(y)

@@ -499,3 +499,199 @@ class TestConvertCLI:
         rc = C.main(["--all", str(ckpts), "--output", str(tmp_path / "w")])
         assert rc == 1
         assert "SHA256" in capsys.readouterr().err
+
+
+class TestDPTStemTorchOracle:
+    """Numerical oracle for the round-5 post-activation stem rework: HF
+    transformers' BitModel with the DPT-hybrid config (layer_type
+    'bottleneck' — the block the released dpt_hybrid_nyu.pt stores) is a
+    faithful upstream implementation available in-image. Transplanting its
+    random weights into our Flax ResNetV2Stem must reproduce every stage
+    output — far stronger evidence than the self-fabricated selftest
+    layout, which by construction mirrors whatever we implemented."""
+
+    def test_stem_matches_hf_bit_backbone(self):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        import jax.numpy as jnp
+
+        from transformers.models.bit.configuration_bit import BitConfig
+        from transformers.models.bit.modeling_bit import BitModel
+
+        from hive_tpu.models.dpt import ResNetV2Stem
+
+        config = BitConfig(layer_type="bottleneck", depths=[3, 4, 9],
+                           global_padding="same",
+                           embedding_dynamic_padding=True,
+                           out_features=["stage1", "stage2", "stage3"],
+                           num_groups=32)
+        with torch.no_grad():
+            hf = BitModel(config).eval()
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+        def conv(name):
+            return sd[name].transpose(2, 3, 1, 0)  # OIHW -> HWIO
+
+        params = {"conv_root": {"kernel": conv("embedder.convolution.weight")},
+                  "gn_root": {"scale": sd["embedder.norm.weight"],
+                              "bias": sd["embedder.norm.bias"]}}
+        for stage, blocks in enumerate((3, 4, 9)):
+            for block in range(blocks):
+                src = f"encoder.stages.{stage}.layers.{block}"
+                node = {}
+                for i in (1, 2, 3):
+                    node[f"conv{i}"] = {"kernel": conv(f"{src}.conv{i}.weight")}
+                    node[f"gn{i}"] = {"scale": sd[f"{src}.norm{i}.weight"],
+                                      "bias": sd[f"{src}.norm{i}.bias"]}
+                if f"{src}.downsample.conv.weight" in sd:
+                    node["conv_proj"] = {
+                        "kernel": conv(f"{src}.downsample.conv.weight")}
+                    node["gn_proj"] = {
+                        "scale": sd[f"{src}.downsample.norm.weight"],
+                        "bias": sd[f"{src}.downsample.norm.bias"]}
+                params[f"stage{stage + 1}_block{block + 1}"] = node
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 64, 96, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            out = hf(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                     output_hidden_states=True)
+        # hidden_states = (embedding, stage1, stage2, stage3) in NCHW.
+        hf_stages = [h.numpy().transpose(0, 2, 3, 1)
+                     for h in out.hidden_states[1:4]]
+
+        stem = ResNetV2Stem()
+        ours = stem.apply({"params": params}, jnp.asarray(x))
+
+        assert len(ours) == 3
+        for i, (a, b) in enumerate(zip(ours, hf_stages)):
+            a = np.asarray(a)
+            assert a.shape == b.shape, (i, a.shape, b.shape)
+            # flax GroupNorm eps 1e-6 vs torch 1e-5 gives ~1e-4-relative
+            # skew; everything else is the same arithmetic.
+            np.testing.assert_allclose(a, b, atol=2e-3, rtol=2e-3,
+                                       err_msg=f"stage {i + 1}")
+
+
+@pytest.mark.slow
+class TestDPTFullGraphTorchOracle:
+    """Full-graph numerical oracle: HF transformers' hybrid DPT (whose port
+    was validated against the original MiDaS outputs) with random seeded
+    weights, transplanted into our Flax DPTHybrid, must reproduce the
+    predicted depth map. Catches structural mismatches anywhere in the
+    stem/ViT/reassemble/fusion/head chain — before the round-5 layout fixes
+    this diverged at garbage level; now the fp-accumulation noise over ~60
+    layers leaves a mean abs delta in the 1e-6 class with a tiny cluster of
+    relu-boundary pixels around 1e-3."""
+
+    def test_full_forward_matches_hf(self):
+        torch = pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        import jax.numpy as jnp
+        from transformers import DPTConfig, DPTForDepthEstimation
+
+        from hive_tpu.models.dpt import DPTHybrid
+
+
+        config = DPTConfig(is_hybrid=True, neck_hidden_sizes=[256, 512, 768, 768],
+                           reassemble_factors=[1, 1, 1, 0.5],
+                           backbone_featmap_shape=[1, 1024, 24, 24],
+                           neck_ignore_stages=[0, 1], readout_type="project",
+                           layer_norm_eps=1e-6, backbone_out_indices=[2, 5, 8, 11])
+        torch.manual_seed(0)
+        with torch.no_grad():
+            hf = DPTForDepthEstimation(config).eval()
+        sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+
+        def conv(name):
+            return sd[name + ".weight"].transpose(2, 3, 1, 0)
+
+        def convb(name):
+            return {"kernel": conv(name), "bias": sd[name + ".bias"]}
+
+        def dense(name):
+            return {"kernel": sd[name + ".weight"].T, "bias": sd[name + ".bias"]}
+
+        def gn(name):
+            return {"scale": sd[name + ".weight"], "bias": sd[name + ".bias"]}
+
+        resnet = {"conv_root": {"kernel": conv("dpt.embeddings.backbone.bit.embedder.convolution")},
+                  "gn_root": gn("dpt.embeddings.backbone.bit.embedder.norm")}
+        for stage, blocks in enumerate((3, 4, 9)):
+            for block in range(blocks):
+                src = f"dpt.embeddings.backbone.bit.encoder.stages.{stage}.layers.{block}"
+                node = {}
+                for i in (1, 2, 3):
+                    node[f"conv{i}"] = {"kernel": conv(f"{src}.conv{i}")}
+                    node[f"gn{i}"] = gn(f"{src}.norm{i}")
+                if f"{src}.downsample.conv.weight" in sd:
+                    node["conv_proj"] = {"kernel": conv(f"{src}.downsample.conv")}
+                    node["gn_proj"] = gn(f"{src}.downsample.norm")
+                resnet[f"stage{stage + 1}_block{block + 1}"] = node
+
+        encoder = {"resnet": resnet,
+                   "patch_embed": convb("dpt.embeddings.projection"),
+                   "cls_token": sd["dpt.embeddings.cls_token"],
+                   "pos_embed": sd["dpt.embeddings.position_embeddings"]}
+        dim, heads, hd = 768, 12, 64
+        for i in range(12):
+            src = f"dpt.encoder.layer.{i}"
+            attn = {}
+            for name in ("query", "key", "value"):
+                w = sd[f"{src}.attention.attention.{name}.weight"]
+                b = sd[f"{src}.attention.attention.{name}.bias"]
+                attn[name] = {"kernel": w.T.reshape(dim, heads, hd),
+                              "bias": b.reshape(heads, hd)}
+            attn["out"] = {"kernel": sd[f"{src}.attention.output.dense.weight"].T.reshape(heads, hd, dim),
+                           "bias": sd[f"{src}.attention.output.dense.bias"]}
+            encoder[f"block{i}"] = {
+                "norm1": {"scale": sd[f"{src}.layernorm_before.weight"],
+                          "bias": sd[f"{src}.layernorm_before.bias"]},
+                "norm2": {"scale": sd[f"{src}.layernorm_after.weight"],
+                          "bias": sd[f"{src}.layernorm_after.bias"]},
+                "attn": attn,
+                "mlp_fc1": dense(f"{src}.intermediate.dense"),
+                "mlp_fc2": dense(f"{src}.output.dense"),
+            }
+
+        params = {"encoder": encoder,
+                  "reassemble3_readout": dense("neck.reassemble_stage.readout_projects.2.0"),
+                  "reassemble4_readout": dense("neck.reassemble_stage.readout_projects.3.0"),
+                  "reassemble3_project": convb("neck.reassemble_stage.layers.2.projection"),
+                  "reassemble4_project": convb("neck.reassemble_stage.layers.3.projection"),
+                  "reassemble4_downsample": convb("neck.reassemble_stage.layers.3.resize"),
+                  "head_conv1": convb("head.head.0"),
+                  "head_conv2": convb("head.head.2"),
+                  "head_conv3": convb("head.head.4")}
+        for i in range(4):
+            params[f"scratch_rn{i + 1}"] = {"kernel": conv(f"neck.convs.{i}")}
+        for ours, theirs in ((4, 0), (3, 1), (2, 2), (1, 3)):
+            src = f"neck.fusion_stage.layers.{theirs}"
+            node = {"out_conv": convb(f"{src}.projection"),
+                    "rcu2": {"conv1": convb(f"{src}.residual_layer2.convolution1"),
+                             "conv2": convb(f"{src}.residual_layer2.convolution2")}}
+            if ours != 4:
+                node["rcu1"] = {"conv1": convb(f"{src}.residual_layer1.convolution1"),
+                                "conv2": convb(f"{src}.residual_layer1.convolution2")}
+            params[f"fusion{ours}"] = node
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 384, 384, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            hf_depth = hf(torch.from_numpy(x.transpose(0, 3, 1, 2))).predicted_depth.numpy()
+
+        model = DPTHybrid(dtype=jnp.float32)
+        ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+
+        d = np.abs(ours - hf_depth)
+        rel = d / np.maximum(np.abs(hf_depth), 1e-3)
+
+
+        assert ours.shape == hf_depth.shape
+        assert d.mean() < 5e-5
+        assert d.max() < 5e-3
+        flat_a, flat_b = ours.reshape(-1), hf_depth.reshape(-1)
+        corr = np.corrcoef(flat_a, flat_b)[0, 1]
+        assert corr > 0.9999, corr
